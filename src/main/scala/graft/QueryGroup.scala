@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** A named bundle of driver-checkable queries. Each operator from
+  * SURVEY.md §2 registers exactly one entry in `queries` and (when
+  * SQL-expressible) a DuckDB oracle in `oracles` with IDENTICAL output
+  * column names and an identical deterministic ORDER BY. */
+trait QueryGroup {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracles: Map[String, String]
+}
+
+/** Determinism helpers for oracle-comparable numerics (SURVEY.md §7.4.3).
+  *
+  * Double aggregation order differs between Spark and DuckDB, so summing
+  * raw doubles is not hash-stable. All money/quantity aggregates therefore
+  * cast to exact DECIMAL first (the testdata carries ≤2 fractional digits),
+  * aggregate exactly, and only then cast to DOUBLE — both engines then
+  * produce bit-identical doubles. Precisions are kept small so products
+  * never exceed DECIMAL(38,…) (which would trigger engine-specific
+  * rounding).
+  */
+object Dec {
+  /** Exact 2-dec money/quantity: DECIMAL(12,2). */
+  def d2(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Exact small rate (discount/tax): DECIMAL(4,2). */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  /** Timestamp literal matching the parquet columns' TIMESTAMP_NTZ type
+    * (naive, session pinned UTC — same wall clock as DuckDB TIMESTAMP). */
+  def tsn(s: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.lit(s).cast("timestamp_ntz")
+}

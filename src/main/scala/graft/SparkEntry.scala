@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Aggregates every [[QueryGroup]]; each SURVEY.md §2 operator has one
+  * `queries` entry and (where SQL-expressible) a DuckDB `oracleSql` twin
+  * with identical column names and ordering. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def groups: Seq[QueryGroup] = Seq(
+    CdcQueries,
+    AggQueries)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY.md §7.2 end-to-end slice: synthesized Debezium change log
+    * → parse → unwrap → compact → join dim → aggregate. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CdcQueries.queries("cdc_revenue_by_segment")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.flatMap(_.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    groups.flatMap(_.oracles).toMap
 }

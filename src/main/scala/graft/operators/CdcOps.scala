@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.sources.{Debezium, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Batch form of the CDC pipeline — the reference's configured SMT chain
+  * `route,unwrap` plus delete-rewrite and tombstone retention
+  * (reference: k8s-manifests/connectors/postgresql-connector.yaml:50-56),
+  * and latest-by-key compaction (the core CDC materialization operator).
+  *
+  * All steps are pure DataFrame transformations: one shuffle total (the
+  * compaction window), everything else stays in whole-stage codegen. At
+  * 100 TB the compaction shuffle hash-partitions on the primary key, which
+  * is exactly the Kafka topic partitioning the reference relies on
+  * (12-way keyed partitions, prod-resources.yaml:94-95).
+  */
+object CdcOps {
+
+  /** Topic routing regex, verbatim from the configured `RegexRouter`:
+    * `([^.]+)\.([^.]+)\.([^.]+)` → `$3`
+    * (reference: postgresql-connector.yaml:51-53). */
+  val topicPattern: String = "([^.]+)\\.([^.]+)\\.([^.]+)"
+
+  /** B1: route — collapse `server.schema.table` topic to the bare table. */
+  def route(df: DataFrame): DataFrame =
+    df.withColumn("tbl", regexp_extract(col("topic"), topicPattern, 3))
+
+  /** B2+B3+B4: ExtractNewRecordState with `delete.handling.mode=rewrite`,
+    * `drop.tombstones=false`. A delete becomes its before-image row with
+    * `__deleted="true"`; non-deletes get `"false"`; tombstones (null value)
+    * pass through with null row fields and null `__deleted`, filterable via
+    * `_tombstone`. */
+  def unwrap(parsed: DataFrame): DataFrame = {
+    val routed = route(parsed)
+    routed
+      .withColumn("row", coalesce(col("env.after"), col("env.before")))
+      .withColumn("__deleted",
+        when(col("_tombstone"), lit(null).cast(StringType))
+          .otherwise(when(col("env.op") === "d", "true").otherwise("false")))
+      .select(
+        col("tbl") +: col("row.*") +: Seq(
+          col("__deleted"),
+          col("env.op").as("_op"),
+          col("env.ts_ms").as("_ts_ms"),
+          col("env.source.lsn").as("_lsn"),
+          col("env.source.snapshot").as("_snapshot"),
+          col("_tombstone")): _*)
+  }
+
+  /** Op 18: latest-by-key compaction — materialize current table state from
+    * a change log. Keyed on the primary key, ordered by the source position
+    * (`lsn` for Postgres — NOT arrival order, which at-least-once delivery
+    * does not preserve; SURVEY.md §7.4.2). Idempotent under replay: a
+    * duplicated event has the same (key, lsn, content) so `row_number`
+    * keeps an identical winner.
+    *
+    * One hash-shuffle on `keys`; no global sort. Streaming form lives in
+    * [[graft.streaming.StatefulCompaction]].
+    */
+  def compactLatest(
+      unwrapped: DataFrame,
+      keys: Seq[String],
+      ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    unwrapped
+      .filter(!col("_tombstone")) // delete is represented by the rewrite row
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("__deleted") =!= "true")
+      .drop("_rn")
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic change-log synthesis (test/verify input).
+  //
+  // Derives a Debezium change log for `orders` from the orders parquet so
+  // the DuckDB oracle can state the expected result in plain SQL over the
+  // same table:
+  //   * every order        → one insert  (op=c, lsn = k*10)
+  //   * o_orderkey%10 == 0 → one update  (op=u, lsn = k*10+5, status→'X')
+  //   * o_orderkey%20 == 0 → the update replayed verbatim (at-least-once)
+  //   * o_orderkey%7  == 0 → one delete  (op=d, lsn = k*10+8) + tombstone
+  // ---------------------------------------------------------------------
+
+  private val ordersRowType = Debezium.ordersRowSchema
+  private val nullRow = lit(null).cast(ordersRowType)
+
+  // Parquet timestamps load as TIMESTAMP_NTZ; unix_micros/unix_millis need
+  // TIMESTAMP. Session TZ is pinned UTC (build.sbt) so the cast is
+  // instant-preserving.
+  private def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
+  private def epochMs(c: Column): Column = unix_millis(c.cast(TimestampType))
+
+  private def ordersRow(status: Column): Column = struct(
+    col("o_orderkey"),
+    col("o_custkey"),
+    status.as("o_orderstatus"),
+    // decimal.handling.mode=string (postgresql-connector.yaml:48)
+    col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType)
+      .as("o_totalprice"),
+    // time.precision.mode=adaptive_time_microseconds (:49)
+    epochUs(col("o_orderdate")).as("o_orderdate_us"),
+    col("o_orderpriority"))
+
+  private def sourceStruct(lsn: Column, snapshot: Boolean): Column = struct(
+    lit("2.4.0.Final").as("version"),
+    lit("postgresql").as("connector"),
+    lit("postgres-prod").as("name"),
+    epochMs(col("o_orderdate")).as("ts_ms"),
+    lit("production").as("db"),
+    lit("public").as("schema"),
+    lit("orders").as("table"),
+    (lsn / 2).cast(LongType).as("txId"),
+    lsn.cast(LongType).as("lsn"),
+    lit(null).cast(StringType).as("file"),
+    lit(null).cast(LongType).as("pos"),
+    lit(if (snapshot) "true" else "false").as("snapshot"))
+
+  private def envelopeJson(
+      before: Column, after: Column, op: String, lsn: Column): Column =
+    to_json(struct(
+      before.as("before"),
+      after.as("after"),
+      sourceStruct(lsn, snapshot = false).as("source"),
+      lit(op).as("op"),
+      epochMs(col("o_orderdate")).as("ts_ms")))
+
+  /** Kafka-record-shaped change log (`topic`,`key`,`value`) for `orders`. */
+  def synthOrdersChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.scan(spark, sfDir, "orders")
+    val k = col("o_orderkey")
+    val topic = lit("prod.postgres.orders")
+    val keyJson = to_json(struct(col("o_orderkey")))
+    val curStatus =
+      when(k % 10 === 0, lit("X")).otherwise(col("o_orderstatus"))
+
+    val inserts = o.select(
+      topic.as("topic"), keyJson.as("key"),
+      envelopeJson(nullRow, ordersRow(col("o_orderstatus")), "c", k * 10)
+        .as("value"))
+
+    val updates = o.filter(k % 10 === 0).select(
+      topic.as("topic"), keyJson.as("key"),
+      envelopeJson(ordersRow(col("o_orderstatus")), ordersRow(lit("X")),
+        "u", k * 10 + 5).as("value"))
+
+    // at-least-once replay: the same update record delivered twice
+    val replays = o.filter(k % 20 === 0).select(
+      topic.as("topic"), keyJson.as("key"),
+      envelopeJson(ordersRow(col("o_orderstatus")), ordersRow(lit("X")),
+        "u", k * 10 + 5).as("value"))
+
+    val deletes = o.filter(k % 7 === 0).select(
+      topic.as("topic"), keyJson.as("key"),
+      envelopeJson(ordersRow(curStatus), nullRow, "d", k * 10 + 8).as("value"))
+
+    // tombstone after each delete (drop.tombstones=false keeps them)
+    val tombstones = o.filter(k % 7 === 0).select(
+      topic.as("topic"), keyJson.as("key"),
+      lit(null).cast(StringType).as("value"))
+
+    inserts.unionByName(updates).unionByName(replays)
+      .unionByName(deletes).unionByName(tombstones)
+  }
+
+  /** Full batch pipeline: synth log → parse → unwrap. */
+  def ordersUnwrapped(spark: SparkSession, sfDir: String): DataFrame =
+    unwrap(Debezium.parseEnvelope(
+      synthOrdersChangelog(spark, sfDir), Debezium.ordersRowSchema))
+
+  /** Full batch pipeline: … → compacted current state of `orders`. */
+  def ordersCompacted(spark: SparkSession, sfDir: String): DataFrame =
+    compactLatest(ordersUnwrapped(spark, sfDir),
+      keys = Seq("o_orderkey"), ordering = Seq(col("_lsn").desc))
+}

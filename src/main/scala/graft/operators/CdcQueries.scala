@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{Dec, QueryGroup}
+import graft.sources.{Debezium, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-checkable queries for the CDC core (SURVEY.md §2.C ops 2, 3, 18
+  * and the §7.2 end-to-end slice). The change log is synthesized
+  * deterministically from `orders` (see [[CdcOps.synthOrdersChangelog]]),
+  * so every oracle is plain SQL over the same table. */
+object CdcQueries extends QueryGroup {
+
+  /** Shared CTE: orders row with the configured CDC type modes applied
+    * (decimal-as-string, epoch-micros — postgresql-connector.yaml:48-49). */
+  private val baseCte =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS o_totalprice,
+      |         epoch_us(o_orderdate) AS o_orderdate_us,
+      |         o_orderpriority
+      |  FROM orders)
+      |""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // op 2: envelope parse — event counts by op (tombstones pass through)
+    "cdc_parse_counts" -> ((s, dir) => {
+      val parsed = Debezium.parseEnvelope(
+        CdcOps.synthOrdersChangelog(s, dir), Debezium.ordersRowSchema)
+      parsed
+        .groupBy(coalesce(col("env.op"), lit("tombstone")).as("op"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("op")
+    }),
+
+    // op 3 (B1): topic → table routing via the configured RegexRouter regex
+    "cdc_route" -> ((s, dir) => {
+      CdcOps.route(CdcOps.synthOrdersChangelog(s, dir))
+        .select(col("topic"), col("tbl")).distinct().orderBy("topic")
+    }),
+
+    // op 3 (B2-B4): unwrap with delete-rewrite; all non-tombstone events
+    "cdc_unwrap" -> ((s, dir) => {
+      CdcOps.ordersUnwrapped(s, dir)
+        .filter(!col("_tombstone"))
+        .select("tbl", "o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate_us", "o_orderpriority", "__deleted",
+          "_op")
+        .orderBy("o_orderkey", "_op", "__deleted")
+    }),
+
+    // op 18: latest-by-key compaction → current orders state
+    "cdc_compact" -> ((s, dir) => {
+      CdcOps.ordersCompacted(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate_us", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    // §7.2 flagship slice: change log → compact → join dim → aggregate
+    "cdc_revenue_by_segment" -> ((s, dir) => {
+      val state = CdcOps.ordersCompacted(s, dir)
+      val cust = Tables.scan(s, dir, "customer")
+      state
+        .join(cust, state("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(Dec.d2(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "cdc_parse_counts" ->
+      """SELECT op, CAST(cnt AS BIGINT) AS cnt FROM (
+        |  SELECT 'c' AS op, COUNT(*) AS cnt FROM orders
+        |  UNION ALL SELECT 'd', COUNT(*) FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL SELECT 'tombstone', COUNT(*) FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL SELECT 'u',
+        |    SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_orderkey % 20 = 0 THEN 1 ELSE 0 END)
+        |  FROM orders)
+        |ORDER BY op""".stripMargin,
+
+    "cdc_route" ->
+      "SELECT 'prod.postgres.orders' AS topic, 'orders' AS tbl",
+
+    "cdc_unwrap" -> (baseCte +
+      """SELECT * FROM (
+        |  SELECT 'orders' AS tbl, o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate_us, o_orderpriority,
+        |         'false' AS __deleted, 'c' AS _op
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'orders', o_orderkey, o_custkey, 'X', o_totalprice,
+        |         o_orderdate_us, o_orderpriority, 'false', 'u'
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'orders', o_orderkey, o_custkey, 'X', o_totalprice,
+        |         o_orderdate_us, o_orderpriority, 'false', 'u'
+        |  FROM base WHERE o_orderkey % 20 = 0
+        |  UNION ALL
+        |  SELECT 'orders', o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END,
+        |         o_totalprice, o_orderdate_us, o_orderpriority, 'true', 'd'
+        |  FROM base WHERE o_orderkey % 7 = 0)
+        |ORDER BY o_orderkey, _op, __deleted""".stripMargin),
+
+    "cdc_compact" -> (baseCte +
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate_us, o_orderpriority
+        |FROM base WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "cdc_revenue_by_segment" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |       AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 7 <> 0
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+}

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Debezium change-event envelope handling.
+  *
+  * The reference configures schemaless-JSON Kafka Connect converters
+  * (reference: k8s-manifests/environments/prod/prod-resources.yaml:10-13) so
+  * the consumer supplies the schema — here an explicit [[StructType]] per
+  * table, the Spark analog of the deployed Schema Registry
+  * (reference: helm-charts/cdc-system/values.yaml:64-69).
+  *
+  * Type-handling modes pinned by the connector config
+  * (reference: k8s-manifests/connectors/postgresql-connector.yaml:48-49):
+  *   - `decimal.handling.mode=string`  → NUMERIC/DECIMAL arrive as strings
+  *   - `time.precision.mode=adaptive_time_microseconds` → temporal columns
+  *     arrive as int64 epoch micros
+  */
+object Debezium {
+
+  /** Debezium `source` block — union of Postgres (`lsn`, `txId`) and MySQL
+    * (`file`, `pos`) provenance fields so one schema covers both connectors
+    * (reference: postgresql-connector.yaml:32,88-100). */
+  val sourceSchema: StructType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("connector", StringType),
+    StructField("name", StringType),
+    StructField("ts_ms", LongType),
+    StructField("db", StringType),
+    StructField("schema", StringType),
+    StructField("table", StringType),
+    StructField("txId", LongType),
+    StructField("lsn", LongType),     // Postgres WAL position (ordering key)
+    StructField("file", StringType),  // MySQL binlog file
+    StructField("pos", LongType),     // MySQL binlog position
+    StructField("snapshot", StringType)))
+
+  /** Full envelope `{before, after, source, op, ts_ms}` for a table row
+    * schema. `op ∈ {c,u,d,r}` (create/update/delete/snapshot-read). */
+  def envelopeSchema(row: StructType): StructType = StructType(Seq(
+    StructField("before", row),
+    StructField("after", row),
+    StructField("source", sourceSchema),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType)))
+
+  /** Parse raw Kafka-shaped records (`topic`,`key`,`value` strings) into the
+    * typed envelope column `env`. Tombstones — records whose value is null,
+    * retained because `drop.tombstones=false`
+    * (reference: postgresql-connector.yaml:55) — survive as `env IS NULL`
+    * rows; they must pass through without crashing and stay filterable.
+    *
+    * `from_json` is a codegen'd Catalyst expression, so the parse stays
+    * inside whole-stage codegen — no UDF in the hot ingest path.
+    */
+  def parseEnvelope(raw: DataFrame, rowSchema: StructType): DataFrame =
+    raw.withColumn("env", from_json(col("value"), envelopeSchema(rowSchema)))
+      .withColumn("_tombstone", col("value").isNull)
+
+  /** Row schema for the synthesized `orders` change-log fixtures, with the
+    * configured type modes applied: price decimal-as-string, timestamp as
+    * epoch micros (see object doc). */
+  val ordersRowSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", StringType),  // decimal.handling.mode=string
+    StructField("o_orderdate_us", LongType),  // adaptive_time_microseconds
+    StructField("o_orderpriority", StringType)))
+}

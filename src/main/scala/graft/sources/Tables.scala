@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch scans over the harness star schema (/root/repo/TESTDATA.md).
+  *
+  * Spark-native analog of the reference's captured-table list
+  * (reference: k8s-manifests/connectors/postgresql-connector.yaml:39 —
+  * `public.users,public.orders,public.products,public.payments`; MySQL list
+  * at :94-95). At 100 TB these would be partitioned/bucketed warehouse
+  * tables; the parquet-per-table layout here keeps the same API surface.
+  */
+object Tables {
+  /** All harness tables (TPC-H-ish star schema + events/documents/embeddings). */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables small enough to broadcast at any scale factor. */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def scan(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** Mapping from the reference's captured tables to testdata twins
+    * (FIXTURES.md §1). */
+  val captureMapping: Map[String, String] = Map(
+    "public.users" -> "customer",
+    "public.orders" -> "orders",
+    "public.products" -> "part",
+    "analytics.events" -> "events")
+}
