@@ -11,7 +11,11 @@ object SparkEntry {
 
   private def groups: Seq[QueryGroup] = Seq(
     CdcQueries,
-    AggQueries)
+    AggQueries,
+    JoinQueries,
+    FilterSetQueries,
+    WindowQueries,
+    ScalarQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY.md §7.2 end-to-end slice: synthesized Debezium change log

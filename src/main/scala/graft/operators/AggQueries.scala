@@ -32,6 +32,73 @@ object AggQueries extends QueryGroup {
           (sum(disc).cast("double") / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // op 17: distinct & count-distinct (exact); HLL approx variant is
+    // registered rows-only (agg_approx_distinct) since DuckDB's sketch
+    // differs from Spark's
+    "agg_distinct" -> ((s, dir) => {
+      val o = Tables.scan(s, dir, "orders")
+      o.agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        countDistinct(col("o_orderstatus"), col("o_orderpriority"))
+          .as("n_status_prio"))
+    }),
+
+    // approx_count_distinct: Spark's HLL++ has no DuckDB twin → rows-only
+    "agg_approx_distinct" -> ((s, dir) => {
+      Tables.scan(s, dir, "orders")
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+    }),
+
+    // op 19: rollup with subtotal rows (keys coalesced to sentinels so the
+    // grouping-null vs data-null ambiguity never reaches the compare)
+    "agg_rollup" -> ((s, dir) => {
+      val o = Tables.scan(s, dir, "orders")
+      val c = Tables.scan(s, dir, "customer")
+      val n = Tables.scan(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .rollup(col("n_name"), col("yr"))
+        .agg(sum(Dec.d2(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("n_name"), lit("ALL")).as("n_name"),
+          coalesce(col("yr"), lit(-1L)).as("yr"),
+          col("revenue"), col("n_orders"))
+        .orderBy("n_name", "yr")
+    }),
+
+    // op 19b: cube — all grouping-set combinations
+    "agg_cube" -> ((s, dir) => {
+      Tables.scan(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(Dec.d2(col("o_totalprice"))).cast("double").as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"), col("revenue"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // op 20: threshold alert — sliding 6h/1h window sum over events, kept
+    // only where the windowed sum exceeds the alert threshold (the
+    // kafka_consumer_lag_sum > 1000 for 5m analog,
+    // reference prometheus-rules.yaml:12-19)
+    "agg_threshold" -> ((s, dir) => {
+      Tables.scan(s, dir, "events")
+        .select(col("ts").cast("timestamp").as("ts"), col("value"))
+        .groupBy(window(col("ts"), "6 hours", "1 hour"))
+        .agg(sum(Dec.d2(col("value"))).as("total_dec"),
+          count(lit(1)).as("n"))
+        .filter(col("total_dec") > 5000)
+        .select(
+          col("window.start").cast("timestamp_ntz").as("ws"),
+          col("total_dec").cast("double").as("total"), col("n"))
+        .orderBy("ws")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -51,5 +118,47 @@ object AggQueries extends QueryGroup {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prio,
+        |  COUNT(DISTINCT (o_orderstatus, o_orderpriority)) AS n_status_prio
+        |FROM orders""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT COALESCE(n_name, 'ALL') AS n_name,
+        |  COALESCE(yr, -1) AS yr,
+        |  CAST(SUM(sum_dec) AS DOUBLE) AS revenue,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_orders
+        |FROM (
+        |  SELECT n_name, year(o_orderdate) AS yr,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_dec,
+        |    COUNT(*) AS cnt
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, yr)
+        |GROUP BY ROLLUP(n_name, yr)
+        |ORDER BY n_name, yr""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "agg_threshold" ->
+      """SELECT ws, CAST(total_dec AS DOUBLE) AS total, n FROM (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - i * INTERVAL 1 HOUR AS ws,
+        |    SUM(CAST(value AS DECIMAL(12,2))) AS total_dec,
+        |    COUNT(*) AS n
+        |  FROM events
+        |  CROSS JOIN generate_series(0, 5) t(i)
+        |  GROUP BY ws)
+        |WHERE total_dec > 5000
+        |ORDER BY ws""".stripMargin)
 }

@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.{Dec, QueryGroup}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Join operators (SURVEY.md §2.C ops 7-13) — the reference's declared
+  * "enrichment" capability (README.md:77).
+  *
+  * Scale notes (100 TB): fact-fact joins shuffle on their keys and let
+  * Catalyst/AQE pick SMJ vs shuffled-hash; dimension joins are explicitly
+  * `broadcast()` so the fact side never shuffles; the as-of join is a
+  * union-merge (single shuffle, linear state) rather than a range join
+  * (quadratic blowup).
+  */
+object JoinQueries extends QueryGroup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // op 7: inner equi-join, fact-to-dimension on the shuffle path
+    "join_inner" -> ((s, dir) => {
+      val o = Tables.scan(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+      val c = Tables.scan(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"),
+          Dec.d2(col("o_totalprice")).cast("double").as("price"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy("o_orderkey")
+    }),
+
+    // op 8: broadcast (map-side) join chain through the dim hierarchy —
+    // lineitem never shuffles for the joins, only for the final agg
+    "join_broadcast" -> ((s, dir) => {
+      val li = Tables.scan(s, dir, "lineitem")
+      val sup = Tables.scan(s, dir, "supplier")
+      val nat = Tables.scan(s, dir, "nation")
+      val reg = Tables.scan(s, dir, "region")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          sum(Dec.d2(col("l_extendedprice"))
+            * (lit(1) - Dec.rate(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }),
+
+    // op 9: left outer join — customers kept even with zero orders
+    "join_outer" -> ((s, dir) => {
+      val c = Tables.scan(s, dir, "customer")
+      val o = Tables.scan(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(Dec.d2(col("o_totalprice"))).cast("double"), lit(0.0))
+            .as("total"))
+        .orderBy("c_custkey")
+    }),
+
+    // op 10: left semi join — existence test without duplication
+    "join_semi" -> ((s, dir) => {
+      val c = Tables.scan(s, dir, "customer")
+      val o = Tables.scan(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // op 11: left anti join — parts never shipped in 2001
+    "join_anti" -> ((s, dir) => {
+      val p = Tables.scan(s, dir, "part")
+      val li = Tables.scan(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= Dec.tsn("2001-01-01"))
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    }),
+
+    // op 12: theta/range join — events bucketed by value range against a
+    // generated bucket dim (broadcast nested-loop on the tiny side)
+    "join_range" -> ((s, dir) => {
+      val e = Tables.scan(s, dir, "events")
+      val buckets = s.range(5).select((col("id") * 100).as("lo"))
+      e.join(broadcast(buckets),
+          e("value") >= buckets("lo") && e("value") < buckets("lo") + 100)
+        .groupBy(col("lo"))
+        .agg(count(lit(1)).as("n"),
+          sum(Dec.d2(col("value"))).cast("double").as("total"))
+        .orderBy("lo")
+    }),
+
+    // op 13: as-of join — latest order state as of each event's timestamp.
+    // Implemented as a union-merge: tag both sides, single shuffle on the
+    // key, one ordered window pass carrying the last order forward. Linear
+    // in input size (a naive range join is quadratic per key) — this is the
+    // form that survives 100 TB.
+    "join_asof" -> ((s, dir) => {
+      val e = Tables.scan(s, dir, "events")
+      // dedup orders to one per (custkey, orderdate) so the as-of winner is
+      // well-defined on date ties (max orderkey, matching the oracle)
+      val o = Tables.scan(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      val events = e.select(
+        col("user_id").as("k"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        lit(1).as("is_event"),
+        col("event_id"),
+        lit(null).cast("long").as("ord_key"))
+      val orders = o.select(
+        col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        lit(0).as("is_event"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("ord_key"))
+      // at equal t the order sorts first (is_event asc) so ts >= orderdate
+      // is inclusive, matching DuckDB ASOF semantics
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("is_event"), col("ord_key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events.unionByName(orders)
+        .withColumn("o_orderkey", last(col("ord_key"), ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+          col("t").as("ts_us"), col("o_orderkey"))
+        .orderBy("event_id")
+    }))
+
+  private val revenueExpr =
+    """SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(4,2))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |  c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "join_broadcast" ->
+      s"""SELECT r_name, CAST($revenueExpr AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name
+         |ORDER BY r_name""".stripMargin,
+
+    "join_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE),
+        |           0.0) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT p_partkey, p_name, p_brand
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_partkey = p.p_partkey
+        |                    AND l.l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "join_range" ->
+      """SELECT b.lo, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events e
+        |JOIN (SELECT i * 100 AS lo FROM generate_series(0, 4) t(i)) b
+        |  ON e.value >= b.lo AND e.value < b.lo + 100
+        |GROUP BY b.lo
+        |ORDER BY b.lo""".stripMargin,
+
+    "join_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id,
+        |  epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us, o.o_orderkey
+        |FROM events e
+        |ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin)
+}

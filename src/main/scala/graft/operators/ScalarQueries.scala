@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{Dec, QueryGroup}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scalar function families (SURVEY.md §2.C ops 29-35). All built-in
+  * Catalyst expressions — fully codegen'd, no UDFs.
+  *
+  * Determinism notes: transcendental double funcs (pow/exp/ln) are NOT
+  * bit-stable across engines, so only IEEE-exact ops (sqrt, +-*, abs) and
+  * exact decimal rounding (HALF_UP in both engines) appear in oracle-checked
+  * outputs. */
+object ScalarQueries extends QueryGroup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // op 29: string functions (the routing regex family, B1)
+    "fn_string" -> ((s, dir) => {
+      Tables.scan(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          lower(col("c_name")).as("name_lower"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          concat(col("c_mktsegment"), lit("/"), col("c_name")).as("seg_name"),
+          regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("digits"),
+          regexp_replace(col("c_name"), "0+", "0").as("squeezed"),
+          trim(lit("  x  ")).as("trimmed"),
+          col("c_name").like("Customer#%").cast("string").as("is_cust"))
+        .orderBy("c_custkey")
+    }),
+
+    // op 30: date/time functions (micros mode B6, shipdate arithmetic)
+    "fn_datetime" -> ((s, dir) => {
+      Tables.scan(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mon"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+            .as("month_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+            .cast("timestamp_ntz").as("plus7"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("epoch_ms"),
+          to_date(col("o_orderdate")).as("as_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    // op 31: math / decimal-as-string casts
+    "fn_math" -> ((s, dir) => {
+      Tables.scan(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(-col("l_quantity")).as("qty_abs"),
+          (Dec.d2(col("l_quantity")) * Dec.d2(col("l_quantity")))
+            .cast("double").as("qty_sq"),
+          sqrt(col("l_extendedprice")).as("price_root"),
+          round(Dec.d2(col("l_extendedprice")), 1).cast("double")
+            .as("price_round1"),
+          floor(col("l_extendedprice")).cast("long").as("price_floor"),
+          ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+          greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+          (col("l_orderkey") % 7).as("key_mod"),
+          // decimal-as-string round trip (the B6 type mode)
+          Dec.d2(col("l_extendedprice")).cast("string")
+            .cast(DecimalType(12, 2)).cast("double").as("price_roundtrip"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // op 32: JSON — schemaless `props` field extraction (B5 analog)
+    "fn_json" -> ((s, dir) => {
+      Tables.scan(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k_int"))
+        .orderBy("event_id")
+    }),
+
+    // op 33: array functions over the embedding column
+    "fn_array" -> ((s, dir) => {
+      Tables.scan(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).as("e0"),
+          array_max(col("embedding")).as("mx"),
+          array_min(col("embedding")).as("mn"),
+          element_at(slice(col("embedding"), 3, 1), 1).as("e2"))
+        .orderBy("vec_id")
+    }),
+
+    // op 34: struct/map construction + access (envelope-style nesting)
+    "fn_struct_map" -> ((s, dir) => {
+      Tables.scan(s, dir, "nation")
+        .withColumn("st", struct(col("n_name").as("name"),
+          col("n_regionkey").as("rk")))
+        .withColumn("mp", map(lit("nk"), col("n_nationkey")))
+        .select(col("n_nationkey"),
+          col("st").getField("name").as("s_name"),
+          col("st").getField("rk").as("s_rk"),
+          element_at(col("mp"), "nk").as("m_nk"),
+          map_keys(col("mp")).getItem(0).as("m_key"))
+        .orderBy("n_nationkey")
+    }),
+
+    // op 35: conditional / null handling (the __deleted rewrite family, B3)
+    "fn_conditional" -> ((s, dir) => {
+      Tables.scan(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high").as("tier"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("NONE"))
+            .as("seg_or_none"),
+          nvl(nullif(col("c_nationkey"), lit(0)), lit(-1)).as("nk_or_neg"),
+          (col("c_acctbal") <=> col("c_acctbal")).cast("string").as("self_eq"))
+        .orderBy("c_custkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  lower(c_name) AS name_lower,
+        |  length(c_name) AS name_len,
+        |  substr(c_name, 1, 8) AS name_prefix,
+        |  concat(c_mktsegment, '/', c_name) AS seg_name,
+        |  regexp_extract(c_name, 'Customer#(\d+)', 1) AS digits,
+        |  regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+        |  trim('  x  ') AS trimmed,
+        |  CAST(c_name LIKE 'Customer#%' AS VARCHAR) AS is_cust
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mon,
+        |  day(o_orderdate) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  o_orderdate + INTERVAL 7 DAY AS plus7,
+        |  epoch_ms(o_orderdate) AS epoch_ms,
+        |  CAST(o_orderdate AS DATE) AS as_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(-l_quantity) AS qty_abs,
+        |  CAST(CAST(l_quantity AS DECIMAL(12,2))
+        |     * CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_sq,
+        |  sqrt(l_extendedprice) AS price_root,
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS DOUBLE)
+        |    AS price_round1,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  GREATEST(l_discount, l_tax) AS max_rate,
+        |  l_orderkey % 7 AS key_mod,
+        |  CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR)
+        |     AS DECIMAL(12,2)) AS DOUBLE) AS price_roundtrip
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "fn_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k_int
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  embedding[1] AS e0,
+        |  list_aggregate(embedding, 'max') AS mx,
+        |  list_aggregate(embedding, 'min') AS mn,
+        |  embedding[3] AS e2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_struct_map" ->
+      """SELECT n_nationkey,
+        |  n_name AS s_name,
+        |  n_regionkey AS s_rk,
+        |  n_nationkey AS m_nk,
+        |  'nk' AS m_key
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "fn_conditional" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'negative'
+        |       WHEN c_acctbal < 5000 THEN 'low'
+        |       ELSE 'high' END AS tier,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'NONE') AS seg_or_none,
+        |  COALESCE(NULLIF(c_nationkey, 0), -1) AS nk_or_neg,
+        |  CAST(c_acctbal IS NOT DISTINCT FROM c_acctbal AS VARCHAR) AS self_eq
+        |FROM customer ORDER BY c_custkey""".stripMargin)
+}

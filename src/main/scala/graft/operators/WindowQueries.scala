@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{Dec, QueryGroup}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Window functions (SURVEY.md §2.C ops 21-23). Every window partitions by
+  * a key, so at scale each is one hash shuffle + per-partition sort — no
+  * global ordering anywhere (except the explicitly-global sort op 24). */
+object WindowQueries extends QueryGroup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // op 21: ranking — top-3 orders per customer with all four rank flavors
+    "window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+      Tables.scan(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Dec.d2(col("o_totalprice")).cast("double").as("price"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("nt", ntile(4).over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // op 22: analytic — per-user event deltas (lag/lead/first_value)
+    "window_laglead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.scan(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("first_value", first(col("value")).over(w))
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // op 23: frame-spec aggregates — running total + 3-row moving average
+    "window_frames" -> ((s, dir) => {
+      val base = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("date_us"), col("o_orderkey"))
+      val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = base.rowsBetween(-2, Window.currentRow)
+      Tables.scan(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"),
+          Dec.d2(col("o_totalprice")).as("price_dec"))
+        .withColumn("running_total",
+          sum(col("price_dec")).over(run).cast("double"))
+        .withColumn("moving_avg",
+          (sum(col("price_dec")).over(mov).cast("double")
+            / count(lit(1)).over(mov)))
+        .withColumn("price", col("price_dec").cast("double"))
+        .drop("price_dec")
+        .orderBy("o_custkey", "date_us", "o_orderkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |    CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+        |    CAST(RANK() OVER w AS INT) AS rnk,
+        |    CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |    CAST(NTILE(4) OVER w AS INT) AS nt
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) DESC,
+        |                        o_orderkey))
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "window_laglead" ->
+      """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  FIRST_VALUE(value) OVER w AS first_value,
+        |  value - LAG(value, 1) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "window_frames" ->
+      """SELECT o_orderkey, o_custkey,
+        |  epoch_us(o_orderdate) AS date_us,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / COUNT(*) OVER
+        |    (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |FROM orders
+        |ORDER BY o_custkey, date_us, o_orderkey""".stripMargin)
+}

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Batch scans over the harness star schema (/root/repo/TESTDATA.md).
@@ -20,7 +21,16 @@ object Tables {
   val broadcastable: Set[String] = Set("region", "nation")
 
   def scan(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    if (table == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+      // (PARQUET_TYPE_ILLEGAL) unless read as a raw long; normalize to
+      // µs-truncated TIMESTAMP_NTZ to match every other table (and DuckDB's
+      // CAST(ts AS TIMESTAMP), which also truncates ns → µs).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$table.parquet")
+        .withColumn("ts",
+          timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+    } else spark.read.parquet(s"$sfDir/$table.parquet")
 
   /** Mapping from the reference's captured tables to testdata twins
     * (FIXTURES.md §1). */
