@@ -15,7 +15,13 @@ object SparkEntry {
     JoinQueries,
     FilterSetQueries,
     WindowQueries,
-    ScalarQueries)
+    ScalarQueries,
+    StreamQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries,
+    TimeSeriesQueries,
+    MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY.md §7.2 end-to-end slice: synthesized Debezium change log

@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Typed media record: opaque binary payload + structured metadata.
+  * The 100 TB layout: payloads live in parquet BINARY columns (or object
+  * storage with a pointer column), metadata columns enable partition
+  * pruning and predicate pushdown before a single byte is decoded. */
+final case class MediaRecord(
+    media_id: Long,
+    media_kind: Int, // 0=image 1=audio 2=video
+    width: Int,
+    height: Int,
+    payload: Array[Byte])
+
+/** Decoded per-media features — the output schema of feature extraction. */
+final case class MediaFeatures(
+    media_id: Long,
+    media_kind: Int,
+    payload_len: Int,
+    n_frames: Int,
+    mean_byte: Double,
+    frame_checksums: Seq[Long])
+
+/** Multimodal decode / feature-extract plumbing (north-star).
+  *
+  * The decode step is a STUB: this container has no image/audio codecs, so
+  * `decodeStub` computes deterministic fake "frames" (fixed-stride byte
+  * chunks) and per-frame checksums. The distributed shape is real:
+  * `mapPartitions` over a `Dataset[MediaRecord]` — one decoder
+  * initialization per partition (exactly where a JNI codec or an ONNX
+  * session would be constructed once and reused), streaming iterator in /
+  * iterator out (no partition materialization), feature rows out. Swap
+  * `decodeStub` for a real codec call and nothing else changes.
+  */
+object MediaPipeline {
+
+  /** Frame stride in bytes for the fake frame-sampler. */
+  val FrameStride = 64
+
+  /** STUB decoder — deterministic fake standing in for a real codec.
+    * Real implementation would parse `payload` with an image/audio/video
+    * library; unavailable in this environment by design. */
+  def decodeStub(m: MediaRecord): MediaFeatures = {
+    val frames = m.payload.grouped(FrameStride).toSeq
+    val checksums = frames.map(f =>
+      f.foldLeft(0L)((acc, b) => (acc * 1000003L + (b & 0xff)) % 1000000007L))
+    val meanByte =
+      if (m.payload.isEmpty) 0.0
+      else m.payload.map(b => (b & 0xff).toDouble).sum / m.payload.length
+    MediaFeatures(m.media_id, m.media_kind, m.payload.length,
+      frames.size, meanByte, checksums)
+  }
+
+  /** Media table synthesized from documents (testdata has no media files);
+    * schema and batch shape match what a real ingest would produce. */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        (col("n_chars") % 3).cast("int").as("media_kind"),
+        (col("n_chars") % 64 + 16).cast("int").as("width"),
+        (col("n_chars") % 48 + 16).cast("int").as("height"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-parallel feature extraction. `mapPartitions` (not `map`) so
+    * per-partition decoder setup cost is amortized — the pattern that
+    * matters when the stub becomes a real codec. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real codec/session initialization would happen here, once per task
+      it.map(decodeStub)
+    }
+  }
+
+  /** Full pipeline as a DataFrame for ad-hoc inspection. */
+  def features(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(mediaTable(spark, sfDir)).toDF()
+}

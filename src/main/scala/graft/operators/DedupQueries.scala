@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.QueryGroup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Deduplication operators (SURVEY.md §2.C ops 44-45 + the north-star dedup
+  * family): exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design — every variant avoids the O(n²) all-pairs trap:
+  *   - exact:          one hash shuffle on the dedup key.
+  *   - n-gram Jaccard: inverted-index self-join on shingle (only documents
+  *                     sharing ≥1 shingle ever meet; word-4-gram shingles
+  *                     are highly selective, measured join fan-out ≈ 1.1×).
+  *   - MinHash+LSH:    banded signatures → bucket join; candidate count is
+  *                     O(near-dup pairs), not O(n²); exact-Jaccard verify
+  *                     only on candidates.
+  *   - SimHash:        64-bit signature, 4×16-bit block pigeonhole join —
+  *                     any pair at Hamming distance ≤3 shares one exact
+  *                     block, so the block join finds exactly those pairs
+  *                     without comparing all of them.
+  *   - embedding:      exact pair join here (oracle-able); the LSH-bucketed
+  *                     scale path is `sim_ann_lsh` in [[SimilarityQueries]].
+  *
+  * Everything is Catalyst expressions (higher-order array functions +
+  * `xxhash64`) — no UDFs, no driver-side loops.
+  */
+object DedupQueries extends QueryGroup {
+
+  /** Distinct 4-word shingles per document: (doc_id, shingle). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val w = split(lower(trim(col("text"))), "\\s+")
+    Tables.scan(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(when(size(w) >= 4,
+          transform(sequence(lit(1), size(w) - 3),
+            i => concat_ws(" ", slice(w, i, lit(4)))))
+          .otherwise(array())).as("s"))
+      .distinct()
+  }
+
+  /** Exact Jaccard pairs via inverted-index join, threshold `tau`. */
+  private def jaccardPairs(sh: DataFrame, tau: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("da", "s")
+    val b = sh.toDF("db", "s")
+    a.join(b, Seq("s")).filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.toDF("da", "na")), "da")
+      .join(broadcast(sizes.toDF("db", "nb")), "db")
+      .select(col("da"), col("db"),
+        (col("common") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // op 44: exact dedup — group by key, keep deterministic representative
+    // (min event_id), report copy count. dropDuplicates would keep an
+    // *arbitrary* row; min-per-group is the deterministic distributed form.
+    "dedup_exact" -> ((s, dir) => {
+      Tables.scan(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(min(col("event_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // op 45a: exact n-gram Jaccard near-dup pairs (inverted-index join)
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(shingles(s, dir), 0.5).orderBy("da", "db")),
+
+    // op 45b: MinHash+LSH near-dup — 32 hashes, 8 bands × 4 rows; candidates
+    // from band-bucket join, then exact-Jaccard verify on candidates only.
+    // No DuckDB oracle (xxhash64 is Spark-specific); LSH-vs-exact recall is
+    // asserted in DedupSpec instead.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val sh = shingles(s, dir)
+      val sig = sh.groupBy("doc_id")
+        .agg(collect_set(col("s")).as("sh"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(31)),
+            i => array_min(transform(col("sh"), x => xxhash64(i, x))))
+            .as("sig"))
+      val bands = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(7)), b => struct(
+          b.as("band"),
+          xxhash64(
+            element_at(col("sig"), b * 4 + 1),
+            element_at(col("sig"), b * 4 + 2),
+            element_at(col("sig"), b * 4 + 3),
+            element_at(col("sig"), b * 4 + 4)).as("bh")))).as("e"))
+        .select(col("doc_id"), col("e.band"), col("e.bh"))
+      val cand = bands.toDF("da", "band", "bh")
+        .join(bands.toDF("db", "band", "bh"), Seq("band", "bh"))
+        .filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      // exact-Jaccard verify on candidates only: common-shingle counts via
+      // equi-join on (db, s) — work is O(candidate pairs × shingles/doc)
+      val a = sh.toDF("da", "s")
+      val b = sh.toDF("db", "s")
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      cand.join(a, "da").join(b, Seq("db", "s"))
+        .groupBy("da", "db").agg(count(lit(1)).as("common"))
+        .join(broadcast(sizes.toDF("da", "na")), "da")
+        .join(broadcast(sizes.toDF("db", "nb")), "db")
+        .select(col("da"), col("db"),
+          (col("common") / (col("na") + col("nb") - col("common")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("da", "db")
+    }),
+
+    // op 45c: SimHash — tf-weighted 64-bit signature; pairs at Hamming ≤ 3
+    // found via 4×16-bit block pigeonhole join (exact for that radius).
+    "dedup_simhash" -> ((s, dir) => {
+      // tf-weighted bit sums then sign-packing need column-valued shift
+      // amounts, which only the SQL expression form allows
+      val simhash = expr(
+        """aggregate(
+          |  zip_with(
+          |    aggregate(
+          |      split(lower(trim(text)), '\\s+'),
+          |      array_repeat(0L, 64),
+          |      (acc, t) -> zip_with(acc,
+          |        transform(sequence(0, 63),
+          |          b -> CASE WHEN shiftright(xxhash64(t), b) % 2 != 0
+          |               THEN 1L ELSE -1L END),
+          |        (x, y) -> x + y)),
+          |    sequence(0, 63),
+          |    (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END),
+          |  0L, (a, v) -> a | v)""".stripMargin)
+      val sigs = Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), simhash.as("sh"))
+      val blocks = sigs.select(col("doc_id"), col("sh"),
+        expr("explode(transform(sequence(0, 3), " +
+          "k -> struct(k, shiftright(sh, k * 16) & 65535 AS blk)))").as("e"))
+        .select(col("doc_id"), col("sh"), col("e.k"), col("e.blk"))
+      blocks.toDF("da", "sha", "k", "blk")
+        .join(blocks.toDF("db", "shb", "k", "blk"), Seq("k", "blk"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"),
+          bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("da", "db")
+    }),
+
+    // op 45d: embedding-cosine near-dup pairs — exact, oracle-verified.
+    // Double-precision fold in fixed element order is bit-identical in
+    // Spark and DuckDB, so the cosine values hash-match exactly.
+    "dedup_embedding" -> ((s, dir) => {
+      val e = Tables.scan(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"),
+          sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")))
+            .as("norm"))
+      val a = e.toDF("va", "a", "na")
+      val b = e.toDF("vb", "b", "nb")
+      a.crossJoin(b).filter(col("va") < col("vb"))
+        .select(col("va"), col("vb"),
+          (aggregate(zip_with(col("a"), col("b"),
+            (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, v) => acc + v) / (col("na") * col("nb")))
+            .as("cosine"))
+        .filter(col("cosine") >= 0.8)
+        .orderBy("va", "vb")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT user_id, event_type, MIN(event_id) AS keeper_id,
+        |  COUNT(*) AS n_copies
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, common / (sa.n + sb.n - common) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON da = sa.doc_id
+        |JOIN sizes sb ON db = sb.doc_id
+        |WHERE common / (sa.n + sb.n - common) >= 0.5
+        |ORDER BY da, db""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding AS v,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b)) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_zip(a.v, b.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |    (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_zip(a.v, b.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.8
+        |ORDER BY va, vb""".stripMargin)
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.QueryGroup
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.C op 46):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the 100 TB scale path.
+  *
+  * Scale design: brute force is O(Q × N) — fine when the query set is small
+  * and broadcastable (it is here: queries broadcast, candidates stay
+  * partitioned, so the join is map-side with no shuffle of the big side;
+  * the per-query top-k is a partial-aggregated window). The LSH variant cuts
+  * the candidate set to one bucket per query (expected N/2^bits), the same
+  * pattern that scales to billions of vectors; its recall-vs-exact tradeoff
+  * is asserted in SimilaritySpec rather than a DuckDB oracle (xxhash64-seeded
+  * hyperplanes are Spark-specific).
+  *
+  * Cosine is computed as a double-precision fold in fixed element order
+  * (`zip_with` + `aggregate`), which is bit-identical between Spark and
+  * DuckDB — so the exact variant hash-matches its oracle on raw doubles.
+  */
+object SimilarityQueries extends QueryGroup {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Embeddings with precomputed L2 norm. */
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.scan(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").as("v"),
+        norm(col("embedding")).as("nrm"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact baseline: 10 query vectors × all candidates, top-10 by cosine
+    "sim_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10).toDF("qid", "qlabel", "q", "qn")
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      broadcast(q).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          (dot(col("q"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy("qid", "rank")
+    }),
+
+    // scale path: 12-bit random-hyperplane LSH — vectors hash to a bucket
+    // by the sign pattern of 12 fixed pseudo-random hyperplanes; each query
+    // only scans its own bucket. Deterministic planes: weight(p, d) derives
+    // from xxhash64(p, d), no RNG state.
+    "sim_ann_lsh" -> ((s, dir) => {
+      val planes = 12
+      // sign of <v, plane_p> where plane_p[d] = (xxhash64(p,d) % 1001)/1000 - 0.5
+      def bucket(v: Column): Column = {
+        val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+          val proj = aggregate(
+            zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
+              x.cast("double")
+                * ((xxhash64(p, d) % 1001L).cast("double") / 1000.0 - 0.5)),
+            lit(0.0), (acc, t) => acc + t)
+          when(proj > 0, 1L).otherwise(0L)
+        })
+        // pack sign bits into a bucket id with a left fold (no shifts needed)
+        aggregate(bits, lit(0L), (acc, bit) => acc * 2L + bit)
+      }
+      val e = embs(s, dir).withColumn("bucket", bucket(col("v")))
+      val q = e.filter(col("vec_id") < 10)
+        .toDF("qid", "qlabel", "q", "qn", "bucket")
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      broadcast(q).join(e, Seq("bucket"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          (dot(col("q"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy("qid", "rank")
+    }),
+
+    // label centroid similarity: per-cluster mean vector, then pairwise
+    // centroid cosine — the IVF coarse-quantizer building block (exact,
+    // oracle-verified; centroid averaging uses the same fold order in both
+    // engines via position-wise SUM grouped by dimension)
+    "sim_centroids" -> ((s, dir) => {
+      val e = Tables.scan(s, dir, "embeddings")
+      // explode to (label, dim, value); centroid accumulation is 1e-6
+      // fixed-point (floor to integer micros, sum as BIGINT) — exact,
+      // order-independent, so partial aggregation parallelizes freely AND
+      // the result is bit-reproducible across engines (float/decimal casts
+      // round differently between Spark and DuckDB; integer sums don't)
+      val dims = e.select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(sum(floor(col("x").cast("double") * 1e6).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          (col("sx").cast("double") / (col("n").cast("double") * 1e6))
+            .as("c"))
+      val cent = dims.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c"))))
+          .as("dc"))
+        .select(col("label"),
+          transform(col("dc"), x => x.getField("c")).as("centroid"))
+      val a = cent.toDF("la", "ca")
+      val b = cent.toDF("lb", "cb")
+      a.join(b, col("la") < col("lb"))
+        .select(col("la"), col("lb"),
+          (dot(col("ca"), col("cb")) / (norm(col("ca")) * norm(col("cb"))))
+            .as("cosine"))
+        .orderBy("la", "lb")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, label, embedding AS v,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |scored AS (SELECT q.vec_id AS qid, e.vec_id, e.label,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(q.v, e.v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |      (x, y) -> x + y) / (q.nrm * e.nrm) AS cosine
+        |  FROM e q JOIN e ON q.vec_id < 10 AND q.vec_id != e.vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT qid, vec_id, label, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "sim_centroids" ->
+      """WITH dims AS (SELECT label, u.dim - 1 AS dim, u.x
+        |  FROM (SELECT label,
+        |          unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS dim
+        |        FROM embeddings) u(label, x, dim)),
+        |cd AS (SELECT label, dim,
+        |    CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |      AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000) AS c
+        |  FROM dims GROUP BY label, dim),
+        |cent AS (SELECT label,
+        |    list_transform(list_sort(list(struct_pack(dim := dim, c := c))),
+        |      s -> s.c) AS centroid
+        |  FROM cd GROUP BY label)
+        |SELECT a.label AS la, b.label AS lb,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_zip(a.centroid, b.centroid),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |    (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(a.centroid, x -> x * x)), (x, y) -> x + y))
+        |   * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(b.centroid, x -> x * x)), (x, y) -> x + y)))
+        |  AS cosine
+        |FROM cent a JOIN cent b ON a.label < b.label
+        |ORDER BY la, lb""".stripMargin)
+}

@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.QueryGroup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.C op 47
+  * + the north-star text-analysis list: token counting, quality scoring,
+  * language ID, document fingerprinting, term statistics).
+  *
+  * All operators are pure Catalyst column expressions — `split`,
+  * `regexp_count`, higher-order `aggregate`/`transform` — no UDFs, so the
+  * whole pipeline stays codegen-friendly and fully distributed: every
+  * operator here is embarrassingly parallel per document except the final
+  * term-stats aggregation (one hash shuffle on `term`).
+  *
+  * Determinism note: quality/langid scores use only +,-,*,/ and integer
+  * counts (IEEE-exact, bit-identical across engines); no transcendental
+  * functions (exp/ln/pow), whose last-ULP rounding differs between libm
+  * implementations and would break the DuckDB hash-compare.
+  */
+object TextQueries extends QueryGroup {
+
+  /** Whitespace tokens of lower-cased trimmed text. */
+  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** BPE-ish word/number/punct splitter (the classic pre-tokenizer shape:
+    * letter runs | digit runs | single non-alnum). */
+  private val bpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Stopword markers per language for n-gram/marker language ID. On real
+    * multilingual corpora these separate languages sharply; the synthetic
+    * testdata is English-vocabulary for every `lang`, so the *machinery*
+    * (marker counting, argmax with deterministic tie-break) is what this
+    * operator demonstrates and the oracle verifies. */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|to|in|is|it)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "es" -> "\\b(el|la|los|de|que|es)\\b",
+    "fr" -> "\\b(le|la|les|des|et|est)\\b",
+    "zh" -> "[\\x{4e00}-\\x{9fff}]") // same \x{…} escape parses in RE2 too
+
+  /** Polynomial rolling hash of a string, char by char:
+    * h = (h * 1000003 + code(c)) mod 1000000007. Stays within Long
+    * (max ~1e9*1e6+1114111 < 2^63) so both engines compute it exactly. */
+  private def charFold(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => (acc * 1000003L + ascii(ch)) % 1000000007L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting: whitespace tokens + BPE-ish pre-tokenizer count
+    "text_tokens" -> ((s, dir) => {
+      Tables.scan(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(toks(col("text"))).as("n_ws_tokens"),
+          regexp_count(col("text"), lit(bpePat)).as("n_bpe_tokens"),
+          length(col("text")).as("n_chars_meas"))
+        .orderBy("doc_id")
+    }),
+
+    // quality scoring: length/punct/stopword ratios → composite score
+    "text_quality" -> ((s, dir) => {
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          size(toks(col("text"))).cast("double").as("n_tokens"),
+          length(col("text")).cast("double").as("n_chars"),
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
+            .as("n_punct"),
+          regexp_count(lower(col("text")),
+            lit("\\b(the|a|of|and|to|in|is|it)\\b")).cast("double")
+            .as("n_stop"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          (col("n_punct") / col("n_chars")).as("punct_ratio"),
+          (col("n_stop") / col("n_tokens")).as("stop_ratio"),
+          (least(lit(1.0), col("n_tokens") / lit(50.0))
+            * (lit(1.0) - col("n_punct") / col("n_chars"))
+            * (lit(1.0) - lit(0.5) * col("n_stop") / col("n_tokens")))
+            .as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // language ID: per-language marker counts, argmax with fixed tie-break
+    // order (first in langMarkers wins ties)
+    "text_langid" -> ((s, dir) => {
+      val scored = langMarkers.foldLeft(Tables.scan(s, dir, "documents")) {
+        case (df, (l, pat)) =>
+          df.withColumn(s"s_$l", regexp_count(lower(col("text")), lit(pat)))
+      }
+      val best = langMarkers.map { case (l, _) => col(s"s_$l") }
+        .reduce((a, b) => greatest(a, b))
+      val pred = langMarkers.reverse.foldLeft(lit("und")) {
+        case (acc, (l, _)) => when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+      }
+      scored
+        .select(col("doc_id"), col("lang"),
+          pred.as("pred_lang"), best.cast("long").as("best_score"),
+          (pred === col("lang")).as("is_match"))
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprinting: rolling hash of whitespace-normalized text;
+    // fp collisions = exact-duplicate candidates
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"),
+          charFold(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+            .as("fp"),
+          charFold(substring(regexp_replace(lower(trim(col("text"))),
+            "\\s+", " "), 1, 64)).as("fp_prefix64"))
+        .orderBy("doc_id")
+    }),
+
+    // term statistics: tf + document frequency, top 100 terms
+    "text_termstats" -> ((s, dir) => {
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("term"))
+        .limit(100)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INT)
+        |    AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS INT) AS n_bpe_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_meas
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)
+        |    AS n_tokens,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |    AS n_punct,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  n_punct / n_chars AS punct_ratio,
+        |  n_stop / n_tokens AS stop_ratio,
+        |  least(1.0, n_tokens / 50.0) * (1.0 - n_punct / n_chars)
+        |    * (1.0 - 0.5 * n_stop / n_tokens) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH m AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(the|a|of|and|to|in|is|it)\b')) AS INT) AS s_en,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(der|die|das|und|ist|nicht)\b')) AS INT) AS s_de,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(el|la|los|de|que|es)\b')) AS INT) AS s_es,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(le|la|les|des|et|est)\b')) AS INT) AS s_fr,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '[\x{4e00}-\x{9fff}]')) AS INT) AS s_zh
+        |  FROM documents),
+        |b AS (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM m)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
+        |       WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+        |       WHEN s_zh = best THEN 'zh' ELSE 'und' END AS pred_lang,
+        |  CAST(best AS BIGINT) AS best_score,
+        |  (CASE WHEN s_en = best THEN 'en' WHEN s_de = best THEN 'de'
+        |        WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+        |        WHEN s_zh = best THEN 'zh' ELSE 'und' END) = lang AS is_match
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH n AS (SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (a, b) -> (a * 1000003 + b) % 1000000007) AS fp,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(substr(t, 1, 64), ''),
+        |      c -> CAST(ord(c) AS BIGINT))),
+        |    (a, b) -> (a * 1000003 + b) % 1000000007) AS fp_prefix64
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "text_termstats" ->
+      """SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id,
+        |        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |      FROM documents)
+        |GROUP BY term ORDER BY tf DESC, term LIMIT 100""".stripMargin)
+}

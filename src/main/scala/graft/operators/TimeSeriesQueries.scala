@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.QueryGroup
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Time-series operators over `events` (SURVEY.md §2.C op 48): resample to
+  * a fixed grid with gap fill, and per-key time-range sliding statistics.
+  *
+  * Scale design: the minute spine is `sequence()`-generated from two global
+  * scalars (min/max), so gap fill is a broadcast of the tiny spine against
+  * the aggregated (already small) per-minute table — no shuffle of raw
+  * events beyond the one groupBy. Sliding stats use a RANGE window over
+  * epoch seconds, partitioned by user — one hash shuffle, state bounded by
+  * the window span per key.
+  *
+  * Determinism: moving sums of raw doubles are not order-stable across
+  * engines, so sums use `floor(value*100)` integers (exact) — the
+  * cents-quantized analytic, a standard trick for reproducible pipelines.
+  */
+object TimeSeriesQueries extends QueryGroup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // resample to 1-minute grid per event_type with zero-filled gaps
+    "ts_resample" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+        .select(col("event_type"), date_trunc("minute", col("ts")).as("m"),
+          col("value"))
+      val agg = ev.groupBy("event_type", "m")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      val bounds = ev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 MINUTE"))).as("m"))
+        .crossJoin(ev.select("event_type").distinct())
+      spine.join(agg, Seq("event_type", "m"), "left")
+        .select(col("event_type"), col("m"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+        .orderBy("event_type", "m")
+    }),
+
+    // per-user sliding 5-minute stats (RANGE frame over epoch seconds)
+    "ts_sliding" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-300, 0)
+      Tables.scan(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_seconds(col("ts").cast("timestamp")).as("epoch_s"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("n_5m", count(lit(1)).over(w))
+        .withColumn("sum_cents_5m", sum(col("cents")).over(w))
+        .withColumn("max_cents_5m", max(col("cents")).over(w))
+        .orderBy("event_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "ts_resample" ->
+      """WITH ev AS (SELECT event_type, date_trunc('minute', ts) AS m, value
+        |  FROM events),
+        |agg AS (SELECT event_type, m, COUNT(*) AS n,
+        |    SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (SELECT t.m, e.event_type
+        |  FROM (SELECT unnest(generate_series((SELECT MIN(m) FROM ev),
+        |          (SELECT MAX(m) FROM ev), INTERVAL 1 MINUTE)) AS m) t
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) e)
+        |SELECT s.event_type, s.m,
+        |  COALESCE(a.n, 0) AS n, COALESCE(a.sum_cents, 0) AS sum_cents
+        |FROM spine s LEFT JOIN agg a
+        |  ON s.event_type = a.event_type AND s.m = a.m
+        |ORDER BY s.event_type, s.m""".stripMargin,
+
+    "ts_sliding" ->
+      """SELECT event_id, user_id,
+        |  CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents,
+        |  COUNT(*) OVER w AS n_5m,
+        |  SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS sum_cents_5m,
+        |  MAX(CAST(floor(value * 100) AS BIGINT)) OVER w AS max_cents_5m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+}
