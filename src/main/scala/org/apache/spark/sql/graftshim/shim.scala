@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` surface: Column ⇄ catalyst Expression.
+  * Lives under org.apache.spark.sql so the sql-private accessors resolve —
+  * the established pattern for Spark extension libraries that add custom
+  * expressions without forking (same Spark version pinned in build.sbt). */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

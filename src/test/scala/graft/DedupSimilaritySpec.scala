@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{DedupQueries, SimilarityQueries}
+
+/** Recall/parity contracts for the hash-based dedup + ANN operators that
+  * have no SQL oracle (SURVEY.md §5.2): LSH candidates must agree with the
+  * exact computations they approximate. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    (if (DedupQueries.queries.contains(name)) DedupQueries.queries(name)
+     else SimilarityQueries.queries(name))(spark, sfDir)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH near-dup pairs ⊆ exact n-gram-Jaccard pairs") {
+    val exact = pairs("dedup_ngram_jaccard")
+    val lsh = pairs("dedup_minhash_lsh")
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted non-near-dup pairs: ${lsh.diff(exact)}")
+    // 8 bands × 4 rows at τ=0.5 → expected recall ≈ 1 on this data
+    assert(lsh.size >= (exact.size * 0.9).toInt,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash finds the high-Jaccard near-dup pairs") {
+    val exact = pairs("dedup_ngram_jaccard")
+    val sim = pairs("dedup_simhash")
+    // hamming ≤3 on 64 bits is a tighter near-dup notion than jaccard ≥0.5;
+    // it must still be dominated by the exact near-dup set
+    assert(sim.subsetOf(exact),
+      s"simhash emitted pairs outside exact near-dups: ${sim.diff(exact)}")
+    assert(sim.nonEmpty, "simhash found no pairs at all")
+  }
+
+  test("ANN-LSH results are true neighbors of the same query") {
+    val brute = SimilarityQueries.queries("sim_topk")(spark, sfDir)
+      .select("qid", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = SimilarityQueries.queries("sim_ann_lsh")(spark, sfDir)
+      .select("qid", "vec_id", "cosine").collect()
+    assert(ann.nonEmpty, "ANN returned nothing")
+    // every ANN hit must carry the exact cosine the brute-force run computed
+    // (when it appears in the brute-force top-10) — same fold, same value
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(c == r.getDouble(2)))
+    }
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val df = DedupQueries.queries("dedup_embedding")(spark, sfDir)
+      .collect()
+    df.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.8)
+    }
+  }
+}
