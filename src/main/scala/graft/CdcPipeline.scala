@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.CdcOps
+import graft.sources.Debezium
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Connector-config-shaped pipeline builder (SURVEY.md §2.A A12) — the
+  * engine's top-level API, mirroring the reference's connector JSON
+  * (reference: k8s-manifests/connectors/postgresql-connector.yaml:28-58):
+  * table include list, snapshot mode, type-handling modes and the SMT
+  * chain are all pinned by configuration, not code.
+  *
+  * @param tables          captured tables → row schema (the Schema
+  *                        Registry analog; include-list = keySet)
+  * @param keyColumns      primary key per table (compaction key)
+  * @param orderingColumn  source-position column for compaction order
+  *                        (`_lsn` for Postgres, binlog pos for MySQL)
+  * @param deleteRewrite   `delete.handling.mode=rewrite`
+  * @param keepTombstones  `drop.tombstones=false`
+  */
+final case class CdcPipelineConfig(
+    tables: Map[String, StructType],
+    keyColumns: Map[String, Seq[String]],
+    orderingColumn: String = "_lsn",
+    deleteRewrite: Boolean = true,
+    keepTombstones: Boolean = true)
+
+/** Batch/stream-agnostic CDC pipeline: raw Kafka-shaped records
+  * (`topic`,`key`,`value`) → parse → route/unwrap → per-table current
+  * state. Works identically on a bounded DataFrame (snapshot replay,
+  * `Trigger.AvailableNow`) and an unbounded one (the `readStream` form —
+  * same expressions, no code change; SURVEY.md §3.1). */
+final class CdcPipeline(config: CdcPipelineConfig) {
+
+  /** Parse + unwrap one table's records with its registered schema. */
+  def unwrapped(raw: DataFrame, table: String): DataFrame = {
+    val schema = config.tables.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' not in include list ${config.tables.keySet}"))
+    val parsed = Debezium.parseEnvelope(raw, schema)
+    val un = CdcOps.unwrap(parsed)
+    // capture-side include-list filter (postgresql-connector.yaml:39)
+    un.filter(col("tbl") === table)
+  }
+
+  /** Materialized current state of one captured table. */
+  def table(spark: SparkSession, raw: DataFrame, name: String): DataFrame = {
+    val keys = config.keyColumns(name)
+    val ordering: Seq[Column] = Seq(col(config.orderingColumn).desc)
+    CdcOps.compactLatest(unwrapped(raw, name), keys, ordering)
+  }
+}
