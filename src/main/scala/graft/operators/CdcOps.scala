@@ -165,6 +165,43 @@ object CdcOps {
       .unionByName(deletes).unionByName(tombstones)
   }
 
+  /** A4: initial-snapshot events — `snapshot.mode=initial`
+    * (postgresql-connector.yaml:47) bulk-reads each captured table once and
+    * emits every row as `op='r'` with `source.snapshot="true"` before WAL
+    * streaming starts. lsn=0 ranks snapshot rows below every stream event,
+    * so compaction lets the tail supersede the snapshot per key. */
+  def synthOrdersSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.scan(spark, sfDir, "orders")
+    o.select(
+      lit("prod.postgres.orders").as("topic"),
+      to_json(struct(col("o_orderkey"))).as("key"),
+      to_json(struct(
+        nullRow.as("before"),
+        ordersRow(col("o_orderstatus")).as("after"),
+        sourceStruct(lit(0), snapshot = true).as("source"),
+        lit("r").as("op"),
+        epochMs(col("o_orderdate")).as("ts_ms"))).as("value"))
+  }
+
+  /** The streaming tail only (updates, replays, deletes, tombstones — no
+    * base inserts): what WAL streaming delivers after the snapshot. */
+  def synthOrdersTail(spark: SparkSession, sfDir: String): DataFrame =
+    synthOrdersChangelog(spark, sfDir)
+      .withColumn("_op_peek",
+        get_json_object(col("value"), "$.op"))
+      .filter(col("value").isNull || col("_op_peek") =!= "c")
+      .drop("_op_peek")
+
+  /** A5: split the record flow into data events vs schema-change (DDL)
+    * events. The reference captures DDL to a side topic
+    * (`schema-changes.prod.postgres`, postgresql-connector.yaml:44-46);
+    * v1 policy per SURVEY.md §2.A: route them to a control stream,
+    * log-and-ignore (the fixed schema registry stays authoritative). */
+  def splitSchemaChanges(raw: DataFrame): (DataFrame, DataFrame) = {
+    val isDdl = col("topic").startsWith("schema-changes.")
+    (raw.filter(!isDdl), raw.filter(isDdl))
+  }
+
   /** Full batch pipeline: synth log → parse → unwrap. */
   def ordersUnwrapped(spark: SparkSession, sfDir: String): DataFrame =
     unwrap(Debezium.parseEnvelope(

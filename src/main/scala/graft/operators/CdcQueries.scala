@@ -57,6 +57,22 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // A4: snapshot-then-stream — op='r' bulk snapshot (lsn=0) ∪ WAL tail
+    // (updates/deletes only, no base inserts); compaction must let the
+    // tail supersede snapshot rows per key. Same expected state as
+    // cdc_compact, reached via the other capture path.
+    "cdc_snapshot_union" -> ((s, dir) => {
+      val raw = CdcOps.synthOrdersSnapshot(s, dir)
+        .unionByName(CdcOps.synthOrdersTail(s, dir))
+      val un = CdcOps.unwrap(
+        Debezium.parseEnvelope(raw, Debezium.ordersRowSchema))
+      CdcOps.compactLatest(un,
+        keys = Seq("o_orderkey"), ordering = Seq(col("_lsn").desc))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate_us", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // §7.2 flagship slice: change log → compact → join dim → aggregate
     "cdc_revenue_by_segment" -> ((s, dir) => {
       val state = CdcOps.ordersCompacted(s, dir)
@@ -107,6 +123,14 @@ object CdcQueries extends QueryGroup {
         |ORDER BY o_orderkey, _op, __deleted""".stripMargin),
 
     "cdc_compact" -> (baseCte +
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate_us, o_orderpriority
+        |FROM base WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "cdc_snapshot_union" -> (baseCte +
       """SELECT o_orderkey, o_custkey,
         |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
         |         AS o_orderstatus,

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Kafka CDC topic source (SURVEY.md §2.A A1/A2/A6) — the unbounded
+  * ingress. The reference's Debezium connectors publish per-table topics
+  * `prod.postgres.<schema>.<table>` with JSON key/value
+  * (reference: k8s-manifests/connectors/postgresql-connector.yaml:43,51-53;
+  * prod-resources.yaml:10-13); consumers subscribe by pattern.
+  *
+  * No broker exists in the test environment, so this module isolates the
+  * Kafka-specific wiring in two seams: [[changeStream]] (the readStream
+  * options) and [[fromKafkaShape]] (the pure projection from Kafka's
+  * columns to the engine's `topic`/`key`/`value` strings). Everything
+  * downstream — parse, unwrap, compact, sinks — is Kafka-agnostic and
+  * covered by MemoryStream tests; [[fromKafkaShape]] itself is covered by
+  * a batch test with Kafka-schema-shaped rows.
+  */
+object KafkaCdc {
+
+  /** Raw Kafka records for all captured CDC topics. `maxOffsetsPerTrigger`
+    * bounds micro-batch size so one batch never exceeds executor memory —
+    * the knob that matters at 100 TB/day ingest. */
+  def changeStream(
+      spark: SparkSession,
+      brokers: String,
+      subscribePattern: String = "prod\\.postgres\\..*",
+      maxOffsetsPerTrigger: Long = 10_000_000L): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribePattern", subscribePattern)
+      .option("startingOffsets", "earliest") // snapshot events included
+      .option("failOnDataLoss", "false")     // at-least-once source
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+      .transform(fromKafkaShape)
+
+  /** Kafka's fixed schema (key/value BINARY, topic, partition, offset,
+    * timestamp) → the engine's record shape. Keeps `partition`/`offset`
+    * for offset-based replay dedup (SURVEY.md §2.C op 40). */
+  def fromKafkaShape(kafka: DataFrame): DataFrame =
+    kafka.select(
+      col("topic"),
+      col("key").cast("string").as("key"),
+      col("value").cast("string").as("value"),
+      col("partition").as("_partition"),
+      col("offset").as("_offset"))
+
+  /** Standard sink wiring for a CDC flow: checkpointed, 5 s cadence
+    * (the reference's offset-flush interval, prod-resources.yaml:20). */
+  def withCdcTrigger[T](
+      w: org.apache.spark.sql.streaming.DataStreamWriter[T],
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[T] =
+    w.option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+}

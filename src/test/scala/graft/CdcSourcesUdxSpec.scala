@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.Udx
+import graft.operators.CdcOps
+import graft.sources.KafkaCdc
+import org.apache.spark.sql.functions._
+
+/** Snapshot∪stream capture, schema-change routing, Kafka record-shape
+  * projection, and the UDF/UDAF extension surface. */
+class CdcSourcesUdxSpec extends SparkSpec {
+
+  test("snapshot∪tail compacts to the same state as the full changelog") {
+    val viaSnapshot = SparkEntry.queries("cdc_snapshot_union")(spark, sfDir)
+    val viaLog = SparkEntry.queries("cdc_compact")(spark, sfDir)
+    assert(viaSnapshot.exceptAll(viaLog).count() == 0)
+    assert(viaLog.exceptAll(viaSnapshot).count() == 0)
+  }
+
+  test("schema-change events route to the control stream") {
+    import spark.implicits._
+    val data = CdcOps.synthOrdersChangelog(spark, sfDir)
+    val ddl = Seq(
+      ("schema-changes.prod.postgres", """{"db":"production"}""",
+        """{"ddl":"ALTER TABLE orders ADD COLUMN note text"}"""))
+      .toDF("topic", "key", "value")
+    val (dataOut, ddlOut) = CdcOps.splitSchemaChanges(data.unionByName(ddl))
+    assert(ddlOut.count() == 1)
+    assert(dataOut.count() == data.count())
+  }
+
+  test("Kafka record shape projects to engine records with replay offsets") {
+    import spark.implicits._
+    val kafkaShaped = Seq(
+      ("prod.postgres.orders", "k1".getBytes, "v1".getBytes, 3, 42L))
+      .toDF("topic", "key", "value", "partition", "offset")
+    val out = KafkaCdc.fromKafkaShape(kafkaShaped).collect().head
+    assert(out.getString(0) == "prod.postgres.orders")
+    assert(out.getString(1) == "k1" && out.getString(2) == "v1")
+    assert(out.getInt(3) == 3 && out.getLong(4) == 42L)
+  }
+
+  test("weighted_mean Aggregator map-side combines to the exact mean") {
+    import spark.implicits._
+    Udx.register(spark)
+    val df = Seq((1.0, 1.0), (3.0, 3.0), (100.0, 0.0))
+      .toDF("v", "w").repartition(3)
+    df.createOrReplaceTempView("wm")
+    val r = spark.sql("SELECT weighted_mean(v, w) AS m FROM wm")
+      .collect().head.getDouble(0)
+    assert(r == (1.0 * 1.0 + 3.0 * 3.0) / 4.0)
+    val c = spark.sql("SELECT clamp01(1.5) AS c").collect().head.getDouble(0)
+    assert(c == 1.0)
+  }
+}
