@@ -15,6 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object FilterSetQueries extends QueryGroup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // op 1: parquet table scan — the source primitive every other operator
+    // composes over
+    "scan_table" -> ((s, dir) => {
+      Tables.scan(s, dir, "nation").orderBy("n_nationkey")
+    }),
+
     // op 4: projection — subset, renamed, computed columns
     "projection" -> ((s, dir) => {
       Tables.scan(s, dir, "lineitem")
@@ -95,6 +101,9 @@ object FilterSetQueries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    "scan_table" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
     "projection" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))
