@@ -69,4 +69,13 @@ object Debezium {
     StructField("o_totalprice", StringType),  // decimal.handling.mode=string
     StructField("o_orderdate_us", LongType),  // adaptive_time_microseconds
     StructField("o_orderpriority", StringType)))
+
+  /** Row schema for `customer` (the reference's `public.users` twin,
+    * FIXTURES.md §1 mapping) with the same type modes. */
+  val customerRowSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", StringType),     // decimal.handling.mode=string
+    StructField("c_mktsegment", StringType)))
 }
