@@ -84,6 +84,30 @@ object AggQueries extends QueryGroup {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // pivot — event counts per user bucketed by type as columns (the
+    // wide-table reshape; compiles to conditional aggregation, one shuffle)
+    "agg_pivot" -> ((s, dir) => {
+      Tables.scan(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // exact percentiles — median + p90 of order totals per status
+    // (interpolated definition matches DuckDB quantile_cont; the
+    // interpolation arithmetic is the same IEEE sequence in both engines)
+    "agg_percentile" -> ((s, dir) => {
+      Tables.scan(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy("o_orderstatus")
+    }),
+
     // op 20: threshold alert — sliding 6h/1h window sum over events, kept
     // only where the windowed sum exceeds the alert threshold (the
     // kafka_consumer_lag_sum > 1000 for 5m analog,
@@ -119,6 +143,21 @@ object AggQueries extends QueryGroup {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS "click",
+        |  COUNT(*) FILTER (event_type = 'view') AS "view",
+        |  COUNT(*) FILTER (event_type = 'purchase') AS "purchase"
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "agg_distinct" ->
       """SELECT COUNT(DISTINCT o_custkey) AS n_cust,

@@ -112,6 +112,22 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // edit distance — exact Levenshtein between document prefixes for a
+    // bounded id range (the verify step of fuzzy-matching pipelines; both
+    // engines implement the same DP definition, so values match exactly)
+    "text_editdist" -> ((s, dir) => {
+      val d = Tables.scan(s, dir, "documents")
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      val a = d.toDF("da", "pa")
+      val b = d.toDF("db", "pb")
+      a.crossJoin(b).filter(col("da") < col("db"))
+        .select(col("da"), col("db"),
+          levenshtein(col("pa"), col("pb")).as("dist"))
+        .filter(col("dist") <= 25)
+        .orderBy("da", "db")
+    }),
+
     // term statistics: tf + document frequency, top 100 terms
     "text_termstats" -> ((s, dir) => {
       Tables.scan(s, dir, "documents")
@@ -186,6 +202,15 @@ object TextQueries extends QueryGroup {
         |      c -> CAST(ord(c) AS BIGINT))),
         |    (a, b) -> (a * 1000003 + b) % 1000000007) AS fp_prefix64
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "text_editdist" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS p
+        |  FROM documents WHERE doc_id < 30)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  CAST(levenshtein(a.p, b.p) AS INT) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 25
+        |ORDER BY da, db""".stripMargin,
 
     "text_termstats" ->
       """SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df

@@ -48,6 +48,20 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN recall against brute force is usable") {
+    val brute = SimilarityQueries.queries("sim_topk")(spark, sfDir)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityQueries.queries("sim_ann_ivf")(spark, sfDir)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // nprobe=2 of 16 lists over 10 natural clusters — recall well above
+    // random (10/500); exact bound is data-dependent, contract is "usable"
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val df = DedupQueries.queries("dedup_embedding")(spark, sfDir)
       .collect()
