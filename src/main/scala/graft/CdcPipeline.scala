@@ -3,7 +3,7 @@ package graft
 import graft.operators.CdcOps
 import graft.sources.Debezium
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
 
 /** Connector-config-shaped pipeline builder (SURVEY.md §2.A A12) — the
@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions.col
   * @param keyColumns      primary key per table (compaction key)
   * @param orderingColumn  source-position column for compaction order
   *                        (`_lsn` for Postgres, binlog pos for MySQL)
-  * @param deleteRewrite   `delete.handling.mode=rewrite`
-  * @param keepTombstones  `drop.tombstones=false`
+  * @param deleteRewrite   `delete.handling.mode=rewrite` (false = 'drop':
+  *                        delete records removed from the unwrapped flow)
+  * @param keepTombstones  `drop.tombstones=false` (false = tombstones
+  *                        filtered out)
   */
 final case class CdcPipelineConfig(
     tables: Map[String, StructType],
@@ -42,11 +44,19 @@ final class CdcPipeline(config: CdcPipelineConfig) {
     val parsed = Debezium.parseEnvelope(raw, schema)
     val un = CdcOps.unwrap(parsed)
     // capture-side include-list filter (postgresql-connector.yaml:39)
-    un.filter(col("tbl") === table)
+    val mine = un.filter(col("tbl") === table)
+    // configured delete/tombstone modes (postgresql-connector.yaml:55-56):
+    // deleteRewrite=false → Debezium 'drop' mode, delete records vanish;
+    // keepTombstones=false → drop.tombstones=true, null-value records go
+    val afterDeletes =
+      if (config.deleteRewrite) mine
+      else mine.filter(col("_tombstone") || col("__deleted") =!= "true")
+    if (config.keepTombstones) afterDeletes
+    else afterDeletes.filter(!col("_tombstone"))
   }
 
   /** Materialized current state of one captured table. */
-  def table(spark: SparkSession, raw: DataFrame, name: String): DataFrame = {
+  def table(raw: DataFrame, name: String): DataFrame = {
     val keys = config.keyColumns(name)
     val ordering: Seq[Column] = Seq(col(config.orderingColumn).desc)
     CdcOps.compactLatest(unwrapped(raw, name), keys, ordering)

@@ -34,7 +34,9 @@ object CdcOps {
     * pass through with null row fields and null `__deleted`, filterable via
     * `_tombstone`. */
   def unwrap(parsed: DataFrame): DataFrame = {
-    val routed = route(parsed)
+    // corrupt records (unparseable non-null values) are dropped here;
+    // callers wanting a dead-letter stream filter on _corrupt BEFORE unwrap
+    val routed = route(parsed).filter(!col("_corrupt"))
     routed
       .withColumn("row", coalesce(col("env.after"), col("env.before")))
       .withColumn("__deleted",
@@ -132,12 +134,23 @@ object CdcOps {
   // records once per (session, sfDir) — the graded operators (parse, unwrap,
   // compact) still execute per query, only the fixture build is shared.
   private val changelogCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
 
-  /** Kafka-record-shaped change log (`topic`,`key`,`value`) for `orders`. */
+  /** Kafka-record-shaped change log (`topic`,`key`,`value`) for `orders`.
+    * Bounded cache (unpersist + evict oldest) so long-lived JVMs running
+    * many sessions/scale factors don't pin DataFrames — and their
+    * SparkSessions — forever. */
   def synthOrdersChangelog(spark: SparkSession, sfDir: String): DataFrame =
-    changelogCache.getOrElseUpdate((spark, sfDir),
-      buildOrdersChangelog(spark, sfDir).persist())
+    changelogCache.synchronized {
+      changelogCache.getOrElseUpdate((spark, sfDir), {
+        while (changelogCache.size >= 4) {
+          val (k, df) = changelogCache.head
+          scala.util.Try(df.unpersist())
+          changelogCache.remove(k)
+        }
+        buildOrdersChangelog(spark, sfDir).persist()
+      })
+    }
 
   private def buildOrdersChangelog(
       spark: SparkSession, sfDir: String): DataFrame = {

@@ -71,8 +71,10 @@ object SimilarityQueries extends QueryGroup {
             val proj = aggregate(
               zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
                 x.cast("double")
-                  * ((xxhash64(t, p, d) % 1001L).cast("double") / 1000.0
-                    - 0.5)),
+                  // pmod, not %: signed modulo would shift weights to a
+                  // [-1.5, 0.5) band and collapse the sign-bit buckets
+                  * (pmod(xxhash64(t, p, d), lit(1001L)).cast("double")
+                    / 1000.0 - 0.5)),
               lit(0.0), (acc, dp) => acc + dp)
             when(proj > 0, 1L).otherwise(0L)
           })

@@ -26,8 +26,11 @@ object Skew {
     val salted = df.select(
       key.as("k"),
       value.as("v"),
-      // deterministic shard: spread rows of one key across `salts` groups
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).as("_salt"))
+      // content-derived shard: recomputation under task retry reassigns a
+      // row to the SAME salt (monotonically_increasing_id would not — the
+      // SPARK-23207 lost/duplicated-rows class of bug); fully identical
+      // rows sharing a shard is the accepted tradeoff of content hashing
+      pmod(xxhash64(key, value), lit(salts)).as("_salt"))
     salted
       .groupBy(col("k"), col("_salt"))
       .agg(sum(col("v")).as("_psum"), count(lit(1)).as("_pcnt"))

@@ -58,6 +58,19 @@ object Debezium {
   def parseEnvelope(raw: DataFrame, rowSchema: StructType): DataFrame =
     raw.withColumn("env", from_json(col("value"), envelopeSchema(rowSchema)))
       .withColumn("_tombstone", col("value").isNull)
+      // a non-null value that from_json cannot parse is CORRUPT, not a
+      // tombstone — without this flag it would flow through unwrap as a
+      // live all-null row and compaction would materialize a null-key row.
+      // PERMISSIVE mode yields an all-null struct (not a null struct) on
+      // malformed input, so detect via the mandatory envelope `op` field.
+      // (Deliberately env.op, not a get_json_object probe: the probe
+      // spins up a fresh Jackson parser per evaluation and benched ~2×
+      // slower once filter pushdown multiplied the call sites.)
+      // single env reference: `env.op IS NULL` already covers `env IS NULL`
+      // (null-struct field access is null), and after filter pushdown every
+      // env reference here becomes one more full from_json per record
+      .withColumn("_corrupt",
+        col("value").isNotNull && col("env.op").isNull)
 
   /** Row schema for the synthesized `orders` change-log fixtures, with the
     * configured type modes applied: price decimal-as-string, timestamp as

@@ -33,10 +33,14 @@ object Sinks {
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // only a missing path (first batch) may fall back to empty state;
+        // any other read failure must fail the batch — a blanket catch
+        // would silently wipe accumulated sink state
         val existing =
-          try spark.read.parquet(path)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], batch.schema) }
+          if (!new java.io.File(path).exists())
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], batch.schema)
+          else spark.read.parquet(path)
         val w = Window.partitionBy(key).orderBy(col(orderingCol).desc)
         val merged = existing.unionByName(batch)
           .withColumn("_rn", row_number().over(w))

@@ -39,13 +39,25 @@ final case class KeyState(
   */
 object StatefulCompaction {
 
+  /** (lsn, deleted) lexicographic rank — equal-lsn ties prefer the delete
+    * rewrite, matching the batch path's `orderBy(lsn.desc, deleted.desc)`
+    * so batch and streaming materialize identical state even on sources
+    * that can emit position ties (MySQL binlog pos, snapshot rows). */
+  private def rank(lsn: Long, deleted: Boolean): (Long, Int) =
+    (lsn, if (deleted) 1 else 0)
+
+  private def newerThan(a: KeyedChange, lsn: Long, deleted: Boolean): Boolean =
+    Ordering[(Long, Int)].gt(rank(a.lsn, a.deleted), rank(lsn, deleted))
+
   def update(
       key: Long,
       events: Iterator[KeyedChange],
       state: GroupState[KeyState]): Iterator[KeyState] = {
-    val newest = events.reduceOption((a, b) => if (a.lsn >= b.lsn) a else b)
+    val newest = events.reduceOption((a, b) =>
+      if (newerThan(a, b.lsn, b.deleted)) a else b)
     newest match {
-      case Some(e) if !state.exists || e.lsn > state.get.lsn =>
+      case Some(e)
+          if !state.exists || newerThan(e, state.get.lsn, state.get.deleted) =>
         val s = KeyState(key, e.lsn, e.deleted, e.payload)
         state.update(s)
         Iterator.single(s)

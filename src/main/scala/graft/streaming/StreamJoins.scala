@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
 object StreamJoins {
 
   /** Op 14: stream-static join — enrich a CDC stream with a dimension
-    * table. The static side is broadcast when small (Catalyst decides via
-    * autoBroadcastJoinThreshold); at 100 TB the dim is either broadcast or
-    * pre-bucketed on the join key so the stream side never reshuffles. */
+    * table. `broadcastDim = true` (default) hints the broadcast for
+    * genuinely small dims; pass false for large dims so Catalyst picks a
+    * non-broadcast strategy instead of OOMing on a forced hint — at
+    * 100 TB the large-dim route is a pre-bucketed join. */
   def enrich(
       stream: DataFrame,
       dim: DataFrame,
-      keys: Seq[String]): DataFrame =
-    stream.join(broadcast(dim), keys, "left_outer")
+      keys: Seq[String],
+      broadcastDim: Boolean = true): DataFrame =
+    stream.join(if (broadcastDim) broadcast(dim) else dim, keys, "left_outer")
 
   /** Op 15: stream-stream inner join with event-time bounds. Both sides
     * carry watermarks; the time-bound condition lets Spark evict join state

@@ -32,13 +32,17 @@ object StreamingMetrics {
 
   /** Listener capturing per-batch progress; inspectable in tests and
     * pollable the way Prometheus polls the exporter. */
-  final class ProgressRecorder extends StreamingQueryListener {
+  final class ProgressRecorder(maxEntries: Int = 10000)
+      extends StreamingQueryListener {
     private val buf = new ConcurrentLinkedQueue[BatchMetrics]()
 
     override def onQueryStarted(event: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(event: QueryProgressEvent): Unit = {
       val p = event.progress
+      // ring-buffer bound: a 5 s trigger produces ~17k batches/day — an
+      // unbounded listener would leak driver memory on long-lived streams
+      while (buf.size() >= maxEntries) buf.poll()
       buf.add(BatchMetrics(
         Option(p.name).getOrElse(""),
         p.batchId,

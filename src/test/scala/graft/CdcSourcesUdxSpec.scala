@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.Udx
 import graft.operators.CdcOps
-import graft.sources.KafkaCdc
+import graft.sources.{Debezium, KafkaCdc}
 import org.apache.spark.sql.functions._
 
 /** Snapshot∪stream capture, schema-change routing, Kafka record-shape
@@ -14,6 +14,37 @@ class CdcSourcesUdxSpec extends SparkSpec {
     val viaLog = SparkEntry.queries("cdc_compact")(spark, sfDir)
     assert(viaSnapshot.exceptAll(viaLog).count() == 0)
     assert(viaLog.exceptAll(viaSnapshot).count() == 0)
+  }
+
+  test("corrupt values are flagged and dropped, tombstones are kept") {
+    import spark.implicits._
+    val raw = Seq(
+      ("prod.postgres.orders", "k", "{not json"),          // corrupt
+      ("prod.postgres.orders", "k", null.asInstanceOf[String])) // tombstone
+      .toDF("topic", "key", "value")
+    val parsed = Debezium.parseEnvelope(raw, Debezium.ordersRowSchema)
+    assert(parsed.filter(col("_corrupt")).count() == 1)
+    assert(parsed.filter(col("_tombstone")).count() == 1)
+    val un = CdcOps.unwrap(parsed)
+    // the corrupt record must not surface as a live null-key row
+    assert(un.count() == 1 && un.filter(col("_tombstone")).count() == 1)
+  }
+
+  test("delete/tombstone mode knobs change the unwrapped flow") {
+    val raw = CdcOps.synthOrdersChangelog(spark, sfDir)
+    def pipe(rewrite: Boolean, tombs: Boolean) = new CdcPipeline(
+      CdcPipelineConfig(
+        tables = Map("orders" -> Debezium.ordersRowSchema),
+        keyColumns = Map("orders" -> Seq("o_orderkey")),
+        deleteRewrite = rewrite, keepTombstones = tombs))
+    val full = pipe(rewrite = true, tombs = true).unwrapped(raw, "orders")
+    val noDel = pipe(rewrite = false, tombs = true).unwrapped(raw, "orders")
+    val noTomb = pipe(rewrite = true, tombs = false).unwrapped(raw, "orders")
+    val deletes = full.filter(col("__deleted") === "true").count()
+    val tombs = full.filter(col("_tombstone")).count()
+    assert(deletes > 0 && tombs > 0)
+    assert(noDel.count() == full.count() - deletes)
+    assert(noTomb.count() == full.count() - tombs)
   }
 
   test("schema-change events route to the control stream") {

@@ -65,9 +65,10 @@ class DedupSimilaritySpec extends SparkSpec {
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val df = DedupQueries.queries("dedup_embedding")(spark, sfDir)
       .collect()
+    assert(df.nonEmpty, "threshold should be non-vacuous on this corpus")
     df.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
-      assert(r.getDouble(2) >= 0.8)
+      assert(r.getDouble(2) >= 0.35)
     }
   }
 }

@@ -54,12 +54,12 @@ class MultiTableSpec extends SparkSpec {
         "users" -> Seq("c_custkey")))
     val pipe = new CdcPipeline(cfg)
 
-    val orders = pipe.table(spark, mixed, "orders")
+    val orders = pipe.table(mixed, "orders")
     val expectedOrders = CdcOps.ordersCompacted(spark, sfDir)
     assert(orders.exceptAll(expectedOrders).count() == 0)
     assert(expectedOrders.exceptAll(orders).count() == 0)
 
-    val users = pipe.table(spark, mixed, "users")
+    val users = pipe.table(mixed, "users")
     val src = Tables.scan(spark, sfDir, "customer")
     assert(users.count() == src.count())
     // updated rows show the +100 balance

@@ -77,7 +77,7 @@ class SinksAndJoinsSpec extends SparkSpec {
       keyColumns = Map("orders" -> Seq("o_orderkey")))
     val pipe = new CdcPipeline(cfg)
     val raw = CdcOps.synthOrdersChangelog(spark, sfDir)
-    val current = pipe.table(spark, raw, "orders")
+    val current = pipe.table(raw, "orders")
     val expected = CdcOps.ordersCompacted(spark, sfDir)
     assert(current.exceptAll(expected).count() == 0)
     assert(expected.exceptAll(current).count() == 0)

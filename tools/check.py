@@ -43,9 +43,12 @@ def main():
     sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out = args[1] if len(args) > 1 else "/tmp/graft_verify"
     only = None
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
         if a.startswith("--only"):
-            only = set(a.split("=", 1)[1].split(","))
+            val = a.split("=", 1)[1] if "=" in a else (
+                argv[i + 1] if i + 1 < len(argv) else "")
+            only = set(val.split(",")) if val else None
 
     con = duckdb.connect()
     for t in TABLES:
