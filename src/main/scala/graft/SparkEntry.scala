@@ -21,7 +21,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TimeSeriesQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    PipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY.md §7.2 end-to-end slice: synthesized Debezium change log

@@ -134,23 +134,28 @@ object CdcOps {
   // records once per (session, sfDir) — the graded operators (parse, unwrap,
   // compact) still execute per query, only the fixture build is shared.
   private val changelogCache =
-    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String, String), DataFrame]
 
-  /** Kafka-record-shaped change log (`topic`,`key`,`value`) for `orders`.
-    * Bounded cache (unpersist + evict oldest) so long-lived JVMs running
-    * many sessions/scale factors don't pin DataFrames — and their
-    * SparkSessions — forever. */
-  def synthOrdersChangelog(spark: SparkSession, sfDir: String): DataFrame =
+  // Bounded cache (unpersist + evict oldest) so long-lived JVMs running
+  // many sessions/scale factors don't pin DataFrames — and their
+  // SparkSessions — forever.
+  private def cached(
+      spark: SparkSession, sfDir: String, variant: String)(
+      build: => DataFrame): DataFrame =
     changelogCache.synchronized {
-      changelogCache.getOrElseUpdate((spark, sfDir), {
-        while (changelogCache.size >= 4) {
+      changelogCache.getOrElseUpdate((spark, sfDir, variant), {
+        while (changelogCache.size >= 8) {
           val (k, df) = changelogCache.head
           scala.util.Try(df.unpersist())
           changelogCache.remove(k)
         }
-        buildOrdersChangelog(spark, sfDir).persist()
+        build.persist()
       })
     }
+
+  /** Kafka-record-shaped change log (`topic`,`key`,`value`) for `orders`. */
+  def synthOrdersChangelog(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "log")(buildOrdersChangelog(spark, sfDir))
 
   private def buildOrdersChangelog(
       spark: SparkSession, sfDir: String): DataFrame = {
@@ -195,7 +200,11 @@ object CdcOps {
     * emits every row as `op='r'` with `source.snapshot="true"` before WAL
     * streaming starts. lsn=0 ranks snapshot rows below every stream event,
     * so compaction lets the tail supersede the snapshot per key. */
-  def synthOrdersSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+  def synthOrdersSnapshot(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "snapshot")(buildOrdersSnapshot(spark, sfDir))
+
+  private def buildOrdersSnapshot(
+      spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.scan(spark, sfDir, "orders")
     o.select(
       lit("prod.postgres.orders").as("topic"),

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.QueryGroup
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The composed training-data pipeline (the north-star end-to-end shape):
+  * quality filter → language filter → near-dup removal → kept corpus.
+  * Each stage is an operator from the catalog; this query proves they
+  * compose into the real cleaning flow a 100 TB corpus runs through, and
+  * the whole composition stays DuckDB-oracle-checkable.
+  *
+  * Near-dup removal policy: from each near-dup pair (Jaccard ≥ 0.5 over
+  * 4-word shingles) the lower doc_id survives — the standard greedy
+  * keep-first rule, chosen over connected-components because it is
+  * deterministic, one join deep, and SQL-expressible (CC needs iteration).
+  * Docs failing the quality/language gates never enter pair generation, so
+  * the expensive stage runs on the reduced corpus — filter early, always.
+  */
+object PipelineQueries extends QueryGroup {
+
+  private val minTokens = 20
+  private val maxStopRatio = 0.45
+
+  private def gated(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    Tables.scan(s, dir, "documents")
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stop", regexp_count(lower(col("text")),
+        lit("\\b(the|a|of|and|to|in|is|it)\\b")))
+      .filter(col("n_tokens") >= minTokens
+        && col("n_stop").cast("double") / col("n_tokens") <= maxStopRatio
+        && col("lang").isin("en", "de", "es", "fr"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val docs = gated(s, dir)
+      val sh = docs
+        .select(col("doc_id"),
+          explode(VectorFunctions.wordShingles(lower(trim(col("text"))), 4))
+            .as("sg"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.toDF("da", "sg")
+      val b = sh.toDF("db", "sg")
+      val dropped = a.join(b, Seq("sg")).filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("common"))
+        .join(broadcast(sizes.toDF("da", "na")), "da")
+        .join(broadcast(sizes.toDF("db", "nb")), "db")
+        .filter(col("common") / (col("na") + col("nb") - col("common"))
+          >= 0.5)
+        .select(col("db").as("doc_id")).distinct()
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" ->
+      """WITH gated AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INT)
+        |      AS n_tokens,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|to|in|is|it)\b')) AS n_stop
+        |  FROM documents
+        |  WHERE lang IN ('en','de','es','fr')),
+        |g2 AS (SELECT * FROM gated
+        |  WHERE n_tokens >= 20
+        |    AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.45),
+        |toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM g2),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS sg
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dropped AS (SELECT DISTINCT db AS doc_id
+        |  FROM pairs
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE common / (sa.n + sb.n - common) >= 0.5)
+        |SELECT doc_id, lang, n_tokens FROM g2
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin)
+}
