@@ -95,6 +95,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("threshold alerts fire only when the sliding sum exceeds the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Double)]
+    val alerts = StreamOps.thresholdAlerts(
+      in.toDF().toDF("ts", "lag"), "ts", "lag",
+      width = "5 minutes", slide = "1 minute", threshold = 1000.0,
+      lateness = "1 minute")
+    val q = alerts.writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // minute 0: 600 (below); minute 2: 700 → windows covering both
+      // minutes hold 1300 (above)
+      in.addData((ts("2024-01-01 00:00:30"), 600.0),
+        (ts("2024-01-01 00:02:30"), 700.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:30:00"), 1.0)) // advance watermark
+      q.processAllAvailable()
+      val totals = spark.table("alerts").select("total").collect()
+        .map(_.getDouble(0))
+      assert(totals.nonEmpty && totals.forall(_ > 1000.0))
+      assert(totals.contains(1300.0))
+    } finally q.stop()
+  }
+
+  test("session windows merge within gap and split beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long)]
+    val sessions = StreamOps.sessionCounts(
+      in.toDF().toDF("ts", "uid"), "ts", "uid",
+      gap = "10 minutes", lateness = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:05:00"), 1L),  // same session (gap 5 < 10)
+        (ts("2024-01-01 00:20:00"), 1L))  // new session (gap 15 > 10)
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 01:00:00"), 2L)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .filter($"uid" === 1L).select("s_start", "n").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      assert(rows == Set(("2024-01-01 00:00:00.0", 2L),
+        ("2024-01-01 00:20:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("progress metrics capture per-batch rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
