@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Layout
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Bucketing eliminates the join shuffle — the co-located-join claim of
+  * PLANS.md, proven by plan inspection rather than asserted in prose. */
+class LayoutSpec extends SparkSpec {
+
+  test("partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/ev"
+    Layout.writePartitioned(
+      Tables.scan(spark, sfDir, "events"), dir, Seq("event_type"))
+    val pruned = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"),
+      s"expected partition filter in scan:\n$plan")
+    val expected = Tables.scan(spark, sfDir, "events")
+      .filter(col("event_type") === "click").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("same-bucketed tables join without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // disable broadcast so the join strategy question is real (tiny test
+    // tables would otherwise broadcast and trivially have no exchange)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.writeBucketed(
+        Tables.scan(spark, sfDir, "orders"), "b_orders",
+        Seq("o_orderkey"), buckets = 8)
+      Layout.writeBucketed(
+        Tables.scan(spark, sfDir, "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+        Seq("o_orderkey"), buckets = 8)
+
+      val bucketed = Layout.bucketedJoin(
+        spark, "b_orders", "b_lineitem", Seq("o_orderkey"))
+      assert(!Layout.hasShuffleExchange(bucketed),
+        "bucketed join must not shuffle:\n"
+          + bucketed.queryExecution.executedPlan)
+      // same join over raw parquet shuffles both sides
+      val plain = Tables.scan(spark, sfDir, "orders").join(
+        Tables.scan(spark, sfDir, "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey"), Seq("o_orderkey"))
+      assert(Layout.hasShuffleExchange(plain))
+      // and the results agree
+      assert(bucketed.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
