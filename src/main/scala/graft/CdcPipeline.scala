@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions.col
   * @param tables          captured tables → row schema (the Schema
   *                        Registry analog; include-list = keySet)
   * @param keyColumns      primary key per table (compaction key)
-  * @param orderingColumn  source-position column for compaction order
-  *                        (`_lsn` for Postgres, binlog pos for MySQL)
+  * @param orderingColumns source-position columns for compaction order,
+  *                        most-significant first (`Seq("_lsn")` for
+  *                        Postgres; `Seq("_file", "_pos")` for MySQL
+  *                        binlog coordinates)
   * @param deleteRewrite   `delete.handling.mode=rewrite` (false = 'drop':
   *                        delete records removed from the unwrapped flow)
   * @param keepTombstones  `drop.tombstones=false` (false = tombstones
@@ -25,7 +27,7 @@ import org.apache.spark.sql.functions.col
 final case class CdcPipelineConfig(
     tables: Map[String, StructType],
     keyColumns: Map[String, Seq[String]],
-    orderingColumn: String = "_lsn",
+    orderingColumns: Seq[String] = Seq("_lsn"),
     deleteRewrite: Boolean = true,
     keepTombstones: Boolean = true)
 
@@ -58,7 +60,7 @@ final class CdcPipeline(config: CdcPipelineConfig) {
   /** Materialized current state of one captured table. */
   def table(raw: DataFrame, name: String): DataFrame = {
     val keys = config.keyColumns(name)
-    val ordering: Seq[Column] = Seq(col(config.orderingColumn).desc)
+    val ordering: Seq[Column] = config.orderingColumns.map(col(_).desc)
     CdcOps.compactLatest(unwrapped(raw, name), keys, ordering)
   }
 }

@@ -48,6 +48,10 @@ object CdcOps {
           col("env.op").as("_op"),
           col("env.ts_ms").as("_ts_ms"),
           col("env.source.lsn").as("_lsn"),
+          // MySQL provenance (binlog file + position) — its ordering key is
+          // the (_file, _pos) pair, not _lsn (postgresql-connector.yaml:88-100)
+          col("env.source.file").as("_file"),
+          col("env.source.pos").as("_pos"),
           col("env.source.snapshot").as("_snapshot"),
           col("_tombstone")): _*)
   }
