@@ -67,6 +67,28 @@ object MediaPipeline {
       .as[MediaRecord]
   }
 
+  /** STUB resize — deterministic byte downsample standing in for an image
+    * resize: keep every stride-th byte so output size tracks the target
+    * dimension ratio. Real implementation swaps in a codec + scaler; the
+    * schema (binary in, binary out + new dims) is what downstream sees. */
+  def resizeStub(m: MediaRecord, targetW: Int, targetH: Int): MediaRecord = {
+    val ratio = math.max(1,
+      math.ceil(m.width.toDouble * m.height / (targetW.toDouble * targetH))
+        .toInt)
+    val out = m.payload.zipWithIndex.collect {
+      case (b, i) if i % ratio == 0 => b
+    }
+    m.copy(width = targetW, height = targetH, payload = out)
+  }
+
+  /** STUB audio features — frame energies (mean |byte|) per fixed-length
+    * frame, the shape of an MFCC/energy extractor's output. */
+  def audioFeaturesStub(m: MediaRecord, frameLen: Int = 32): Seq[Double] =
+    m.payload.grouped(frameLen).map { f =>
+      if (f.isEmpty) 0.0
+      else f.map(b => math.abs(b.toDouble)).sum / f.length
+    }.toSeq
+
   /** Partition-parallel feature extraction. `mapPartitions` (not `map`) so
     * per-partition decoder setup cost is amortized — the pattern that
     * matters when the stub becomes a real codec. */

@@ -105,6 +105,20 @@ object ScalarQueries extends QueryGroup {
         .orderBy("n_nationkey")
     }),
 
+    // op 29b: bitwise — mask/pack/popcount (partition + bucket math at
+    // scale is exactly this family)
+    "fn_bitwise" -> ((s, dir) => {
+      Tables.scan(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_partkey").bitwiseAND(255).as("b_and"),
+          col("p_partkey").bitwiseOR(4096).as("b_or"),
+          col("p_partkey").bitwiseXOR(col("p_size")).as("b_xor"),
+          expr("shiftleft(p_partkey, 2)").as("b_shl"),
+          expr("shiftright(p_partkey, 1)").as("b_shr"),
+          bit_count(col("p_partkey")).as("b_pop"))
+        .orderBy("p_partkey")
+    }),
+
     // op 35: conditional / null handling (the __deleted rewrite family, B3)
     "fn_conditional" -> ((s, dir) => {
       Tables.scan(s, dir, "customer")
@@ -182,6 +196,16 @@ object ScalarQueries extends QueryGroup {
         |  n_nationkey AS m_nk,
         |  'nk' AS m_key
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+        |  p_partkey & 255 AS b_and,
+        |  p_partkey | 4096 AS b_or,
+        |  xor(p_partkey, p_size) AS b_xor,
+        |  p_partkey << 2 AS b_shl,
+        |  p_partkey >> 1 AS b_shr,
+        |  CAST(bit_count(p_partkey) AS INT) AS b_pop
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "fn_conditional" ->
       """SELECT c_custkey,

@@ -43,6 +43,40 @@ object TimeSeriesQueries extends QueryGroup {
         .orderBy("event_type", "m")
     }),
 
+    // sessionized conversion funnel: gap-based sessions (islands form, the
+    // batch twin of session_window), then per-session view→click→purchase
+    // progression — the composed product-analytics shape over the events
+    // stream. One shuffle for the session window, one for the rollup.
+    "ts_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sessions = Tables.scan(s, dir, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull
+            || col("ts").cast("timestamp").cast("long")
+              - col("prev").cast("timestamp").cast("long") >= 1800,
+            1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions
+        .groupBy("user_id", "sid")
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("saw"),
+          max(when(col("event_type") === "click", 1).otherwise(0))
+            .as("clicked"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("purchased"))
+        .agg(
+          count(lit(1)).as("sessions"),
+          sum(col("saw")).cast("long").as("with_view"),
+          sum(when(col("saw") === 1 && col("clicked") === 1, 1).otherwise(0))
+            .cast("long").as("view_then_click"),
+          sum(when(col("saw") === 1 && col("clicked") === 1
+            && col("purchased") === 1, 1).otherwise(0))
+            .cast("long").as("full_funnel"))
+    }),
+
     // per-user sliding 5-minute stats (RANGE frame over epoch seconds)
     "ts_sliding" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
@@ -74,6 +108,33 @@ object TimeSeriesQueries extends QueryGroup {
         |FROM spine s LEFT JOIN agg a
         |  ON s.event_type = a.event_type AND s.m = a.m
         |ORDER BY s.event_type, s.m""".stripMargin,
+
+    "ts_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) AS es
+        |  FROM events),
+        |m AS (SELECT *, lag(es) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |g AS (SELECT *, SUM(CASE WHEN prev IS NULL OR es - prev >= 1800
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (SELECT user_id, sid,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS clicked,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS purchased
+        |  FROM g GROUP BY 1, 2)
+        |SELECT COUNT(*) AS sessions,
+        |  CAST(SUM(saw) AS BIGINT) AS with_view,
+        |  CAST(SUM(CASE WHEN saw = 1 AND clicked = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS view_then_click,
+        |  CAST(SUM(CASE WHEN saw = 1 AND clicked = 1 AND purchased = 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+        |FROM sess""".stripMargin,
 
     "ts_sliding" ->
       """SELECT event_id, user_id,

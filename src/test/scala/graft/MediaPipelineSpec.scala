@@ -25,6 +25,24 @@ class MediaPipelineSpec extends SparkSpec {
     assert(rows.map(_.frame_checksums).toSeq == again.map(_.frame_checksums).toSeq)
   }
 
+  test("resize and audio-feature stubs keep the distributed batch shape") {
+    import org.apache.spark.sql.functions.col
+    val spark0 = spark
+    import spark0.implicits._
+    val media = MediaPipeline.mediaTable(spark, sfDir)
+    val resized = media.map(m => MediaPipeline.resizeStub(m, 32, 32))
+    resized.collect().foreach { m =>
+      assert(m.width == 32 && m.height == 32)
+      assert(m.payload.nonEmpty)
+    }
+    val energies = media
+      .map(m => m.media_id -> MediaPipeline.audioFeaturesStub(m))
+      .toDF("media_id", "energies")
+    val n = energies.filter(col("media_id") < 5).collect()
+    assert(n.nonEmpty)
+    n.foreach(r => assert(r.getSeq[Double](1).forall(e => e >= 0 && e <= 255)))
+  }
+
   test("repartitioning does not change extracted features") {
     val media = MediaPipeline.mediaTable(spark, sfDir)
     val a = MediaPipeline.extractFeatures(media)
