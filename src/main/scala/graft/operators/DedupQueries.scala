@@ -141,6 +141,50 @@ object DedupQueries extends QueryGroup {
         .orderBy("da", "db")
     }),
 
+    // op 45e: near-dup clusters — connected components over the exact
+    // Jaccard pair graph by iterative min-label propagation (each round:
+    // one join + one aggregate; rounds ≈ graph diameter, which for
+    // near-dup graphs is tiny). The driver loop only orchestrates —
+    // every iteration is a distributed join, nothing is collected except
+    // the 1-row convergence check. Oracle: recursive-CTE transitive
+    // closure (viable in DuckDB because the pair graph is small; the
+    // Spark form is the one that scales).
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = jaccardPairs(shingles(s, dir), 0.5)
+        .select(col("da"), col("db"))
+      // materialize the pair graph once — every iteration (and every
+      // convergence check) would otherwise recompute the full
+      // inverted-index Jaccard join through lineage
+      val edges = pairs
+        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+        .localCheckpoint()
+      val verts = edges.select(col("da").as("v")).distinct()
+      var labels = verts.withColumn("lbl", col("v"))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val nbrMin = edges
+          .join(labels, edges("db") === labels("v"))
+          .groupBy(edges("da").as("v2"))
+          .agg(min(col("lbl")).as("nbl"))
+        var next = labels.join(nbrMin, labels("v") === col("v2"), "left")
+          .select(col("v"),
+            least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        // truncate the growing iterative lineage only every few rounds —
+        // eager localCheckpoint is one extra job per call, and near-dup
+        // graphs converge in a handful of rounds anyway
+        if (rounds % 3 == 2) next = next.localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("lbl", "old"), "v")
+          .filter(col("lbl") =!= col("old")).limit(1).count() == 0
+        labels = next
+        rounds += 1
+      }
+      labels.groupBy(col("lbl").as("component"))
+        .agg(count(lit(1)).as("size"),
+          sort_array(collect_list(col("v"))).as("members"))
+        .orderBy("component")
+    }),
+
     // op 45d: embedding-cosine near-dup pairs — exact, oracle-verified.
     // τ=0.35 sits above the corpus's p99.9 pairwise cosine (0.377 max 0.513
     // at sf0.01) so the result is selective but non-empty.
@@ -187,6 +231,34 @@ object DedupQueries extends QueryGroup {
         |JOIN sizes sb ON db = sb.doc_id
         |WHERE common / (sa.n + sb.n - common) >= 0.5
         |ORDER BY da, db""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT da, db FROM cand
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE common / (sa.n + sb.n - common) >= 0.5),
+        |e AS (SELECT da, db FROM jp UNION SELECT db, da FROM jp),
+        |reach(v, r) AS (
+        |  SELECT da AS v, da AS r FROM e
+        |  UNION
+        |  SELECT e.da, reach.r FROM e JOIN reach ON e.db = reach.v),
+        |comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+        |SELECT component, COUNT(*) AS size, list_sort(list(v)) AS members
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding AS v,
