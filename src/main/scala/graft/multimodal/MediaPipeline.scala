@@ -34,6 +34,15 @@ final case class MediaFeatures(
   * iterator out (no partition materialization), feature rows out. Swap
   * `decodeStub` for a real codec call and nothing else changes.
   */
+/** The codec seam: implement this once per real format and pass it to
+  * [[MediaPipeline.extractFeatures]] — the distributed plumbing does not
+  * change. Must be Serializable (ships to executors); heavyweight native
+  * resources belong in a lazy per-JVM field, initialized on first decode
+  * within a task. */
+trait MediaDecoder extends Serializable {
+  def decode(m: MediaRecord): MediaFeatures
+}
+
 object MediaPipeline {
 
   /** Frame stride in bytes for the fake frame-sampler. */
@@ -42,6 +51,10 @@ object MediaPipeline {
   /** STUB decoder — deterministic fake standing in for a real codec.
     * Real implementation would parse `payload` with an image/audio/video
     * library; unavailable in this environment by design. */
+  object StubDecoder extends MediaDecoder {
+    override def decode(m: MediaRecord): MediaFeatures = decodeStub(m)
+  }
+
   def decodeStub(m: MediaRecord): MediaFeatures = {
     val frames = m.payload.grouped(FrameStride).toSeq
     val checksums = frames.map(f =>
@@ -92,11 +105,13 @@ object MediaPipeline {
   /** Partition-parallel feature extraction. `mapPartitions` (not `map`) so
     * per-partition decoder setup cost is amortized — the pattern that
     * matters when the stub becomes a real codec. */
-  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def extractFeatures(
+      media: Dataset[MediaRecord],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real codec/session initialization would happen here, once per task
-      it.map(decodeStub)
+      it.map(decoder.decode)
     }
   }
 

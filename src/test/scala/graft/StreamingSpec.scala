@@ -145,6 +145,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("alerts round-trip through the Kafka re-publish shape") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Sinks
+    val in = MemoryStream[(Timestamp, Double)]
+    // alert stream → Kafka-shaped control records (A11) → parse back:
+    // the reference's alert → Alertmanager path as a topic round trip
+    val shaped = Sinks.toKafkaShape(
+      StreamOps.thresholdAlerts(in.toDF().toDF("ts", "lag"), "ts", "lag",
+        width = "5 minutes", slide = "5 minutes", threshold = 1000.0,
+        lateness = "1 minute"),
+      keyCols = Seq("w_start"))
+    val q = shaped.writeStream.format("memory").queryName("ctl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts("2024-01-01 00:01:00"), 800.0),
+        (ts("2024-01-01 00:02:00"), 900.0))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:30:00"), 1.0)) // close the window
+      q.processAllAvailable()
+      val rows = spark.table("ctl").collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getString(0).contains("w_start"))
+        val total = spark.range(1).select(
+          get_json_object(lit(r.getString(1)), "$.total").cast("double"))
+          .collect().head.getDouble(0)
+        assert(total == 1700.0)
+      }
+    } finally q.stop()
+  }
+
   test("progress metrics capture per-batch rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
