@@ -119,6 +119,28 @@ object ScalarQueries extends QueryGroup {
         .orderBy("p_partkey")
     }),
 
+    // op 29c: regexp extraction — all matches as arrays (log/text mining)
+    "fn_regexp" -> ((s, dir) => {
+      Tables.scan(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          expr("regexp_extract_all(props, '[0-9]+', 0)").as("numbers"),
+          regexp_extract(col("props"), "\"([a-z_]+)\":", 1).as("first_key"),
+          regexp_count(col("props"), lit("\":")).as("n_fields"))
+        .orderBy("event_id")
+    }),
+
+    // op 31b: ANSI-safe casts — try_cast returns null instead of raising,
+    // the ingestion-hardening form for untrusted columns
+    "fn_trycast" -> ((s, dir) => {
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("try_cast(substr(text, 1, 3) AS INT)").as("bad_int"),
+          expr("try_cast(n_chars AS INT)").as("good_int"),
+          expr("try_cast(lang AS DATE)").as("bad_date"))
+        .orderBy("doc_id")
+    }),
+
     // op 35: conditional / null handling (the __deleted rewrite family, B3)
     "fn_conditional" -> ((s, dir) => {
       Tables.scan(s, dir, "customer")
@@ -196,6 +218,21 @@ object ScalarQueries extends QueryGroup {
         |  n_nationkey AS m_nk,
         |  'nk' AS m_key
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "fn_regexp" ->
+      """SELECT event_id,
+        |  regexp_extract_all(props, '[0-9]+') AS numbers,
+        |  regexp_extract(props, '"([a-z_]+)":', 1) AS first_key,
+        |  CAST(len(regexp_extract_all(props, '":')) AS INT) AS n_fields
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id""".stripMargin,
+
+    "fn_trycast" ->
+      """SELECT doc_id,
+        |  try_cast(substr(text, 1, 3) AS INT) AS bad_int,
+        |  try_cast(n_chars AS INT) AS good_int,
+        |  try_cast(lang AS DATE) AS bad_date
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "fn_bitwise" ->
       """SELECT p_partkey,

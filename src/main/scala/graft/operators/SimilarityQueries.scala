@@ -107,63 +107,7 @@ object SimilarityQueries extends QueryGroup {
     // the full corpus is never scanned per query. Rows-only (k-means
     // assignment has no SQL-oracle twin); recall contract in
     // DedupSimilaritySpec.
-    "sim_ann_ivf" -> ((s, dir) => {
-      val k = 16
-      val nprobe = 2
-      val e = embs(s, dir)
-      val n = e.count()
-      val step = math.max(n / k, 1L)
-      // deterministic spread seeds, re-centered by one Lloyd iteration
-      val seeds = e.filter(col("vec_id") % step === 0)
-        .limit(k)
-        .select(col("vec_id").as("cid"), col("v").as("c"))
-      def nearest(vecs: DataFrame, cents: DataFrame, out: String) = {
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("d").desc, col("cid"))
-        vecs.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cid"),
-            (VectorFunctions.floatDot(col("v"), col("c"))
-              / (col("nrm") * VectorFunctions.floatNorm(col("c")))).as("d"))
-          .withColumn("r", row_number().over(w))
-          .filter(col("r") === 1)
-          .select(col("vec_id"), col("cid").as(out))
-      }
-      val assign0 = nearest(e, seeds, "cid")
-      // recompute centroids as fixed-point means (exact, order-independent)
-      val cents = e.join(assign0, "vec_id")
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim")
-        .agg(sum(floor(col("x").cast("double") * 1e6).cast("long")).as("sx"),
-          count(lit(1)).as("cnt"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("dim"),
-          (col("sx").cast("double") / (col("cnt").cast("double") * 1e6))
-            .cast("float").as("cx")))).as("dc"))
-        .select(col("cid"), transform(col("dc"), p => p.getField("cx"))
-          .as("c"))
-      val lists = e.join(nearest(e, cents, "cid"), "vec_id")
-      // queries probe their nprobe nearest centroids
-      val q = e.filter(col("vec_id") < 10)
-      val wq = Window.partitionBy("qid").orderBy(col("d").desc, col("cid"))
-      val probes = q.crossJoin(broadcast(cents))
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn"), col("cid"),
-          (VectorFunctions.floatDot(col("v"), col("c"))
-            / (col("nrm") * VectorFunctions.floatNorm(col("c")))).as("d"))
-        .withColumn("r", row_number().over(wq))
-        .filter(col("r") <= nprobe)
-        .select("qid", "qv", "qn", "cid")
-      val wr = Window.partitionBy("qid")
-        .orderBy(col("cosine").desc, col("vec_id"))
-      broadcast(probes).join(lists, Seq("cid"))
-        .filter(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id"), col("label"),
-          (VectorFunctions.floatDot(col("qv"), col("v"))
-            / (col("qn") * col("nrm"))).as("cosine"))
-        .withColumn("rank", row_number().over(wr))
-        .filter(col("rank") <= 10)
-        .orderBy("qid", "rank")
-    }),
+    "sim_ann_ivf" -> ((s, dir) => ivfTopK(s, dir, kCentroids = 16, nprobe = 2)),
 
     // label centroid similarity: per-cluster mean vector, then pairwise
     // centroid cosine — the IVF coarse-quantizer building block (exact,
@@ -200,6 +144,74 @@ object SimilarityQueries extends QueryGroup {
             .as("cosine"))
         .orderBy("la", "lb")
     }))
+
+
+  /** IVF ANN, parametrized: coarse-quantize to `kCentroids` (deterministic
+    * spread seeds + `lloydIters` re-centering rounds, fixed-point means),
+    * build inverted lists, probe each query's `nprobe` nearest lists.
+    * Recall grows with nprobe at linear probe cost — the knob a deployment
+    * tunes; DedupSimilaritySpec measures the curve. */
+  def ivfTopK(
+      s: SparkSession,
+      dir: String,
+      kCentroids: Int,
+      nprobe: Int,
+      lloydIters: Int = 1): DataFrame = {
+    val e = embs(s, dir)
+    val n = e.count()
+    val step = math.max(n / kCentroids, 1L)
+    def nearest(vecs: DataFrame, cents: DataFrame, out: String) = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("d").desc, col("cid"))
+      vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (VectorFunctions.floatDot(col("v"), col("c"))
+            / (col("nrm") * VectorFunctions.floatNorm(col("c")))).as("d"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("cid").as(out))
+    }
+    var cents = e.filter(col("vec_id") % step === 0)
+      .limit(kCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    // Lloyd re-centering: assign → fixed-point mean (exact,
+    // order-independent) per centroid per dimension
+    for (_ <- 1 to lloydIters) {
+      val assign = nearest(e, cents, "cid")
+      cents = e.join(assign, "vec_id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(sum(floor(col("x").cast("double") * 1e6).cast("long")).as("sx"),
+          count(lit(1)).as("cnt"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"),
+          (col("sx").cast("double") / (col("cnt").cast("double") * 1e6))
+            .cast("float").as("cx")))).as("dc"))
+        .select(col("cid"), transform(col("dc"), p => p.getField("cx"))
+          .as("c"))
+    }
+    val lists = e.join(nearest(e, cents, "cid"), "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+    val wq = Window.partitionBy("qid").orderBy(col("d").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cid"),
+        (VectorFunctions.floatDot(col("v"), col("c"))
+          / (col("nrm") * VectorFunctions.floatNorm(col("c")))).as("d"))
+      .withColumn("r", row_number().over(wq))
+      .filter(col("r") <= nprobe)
+      .select("qid", "qv", "qn", "cid")
+    val wr = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(probes).join(lists, Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        (VectorFunctions.floatDot(col("qv"), col("v"))
+          / (col("qn") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 10)
+      .orderBy("qid", "rank")
+  }
 
   val oracles: Map[String, String] = Map(
     "sim_topk" ->

@@ -48,6 +48,23 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF recall curve: more probes, monotonically more recall") {
+    val brute = SimilarityQueries.queries("sim_topk")(spark, sfDir)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(1, 2, 4).map { np =>
+      val hits = SimilarityQueries.ivfTopK(spark, sfDir,
+        kCentroids = 16, nprobe = np)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      np -> hits.intersect(brute).size.toDouble / brute.size
+    }
+    // probing more lists can only add candidates → recall non-decreasing
+    assert(recalls.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a })
+    assert(recalls.last._2 > recalls.head._2,
+      s"wider probe should help on clustered data: $recalls")
+  }
+
   test("IVF ANN recall against brute force is usable") {
     val brute = SimilarityQueries.queries("sim_topk")(spark, sfDir)
       .select("qid", "vec_id").collect()
