@@ -31,8 +31,14 @@ object SparkEntry {
     CdcQueries.queries("cdc_revenue_by_segment")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    groups.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = groups.flatMap(_.queries)
+    val dups = all.groupBy(_._1).filter(_._2.sizeIs > 1).keys
+    // a duplicate name would silently shadow a query in the Map and the
+    // driver's correctness gate would grade the wrong plan — fail loudly
+    require(dups.isEmpty, s"duplicate query names across groups: $dups")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

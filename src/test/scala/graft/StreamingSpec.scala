@@ -145,6 +145,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog and stops (snapshot replay)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val in = MemoryStream[Long]
+    in.addData(1L to 100L: _*) // pre-existing backlog = the snapshot
+    val q = in.toDF().toDF("k")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("avnow")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(30000) // AvailableNow terminates by itself
+      assert(!q.isActive, "query should self-terminate after draining")
+      assert(spark.table("avnow").collect().head.getLong(0) == 100L)
+    } finally if (q.isActive) q.stop()
+  }
+
   test("alerts round-trip through the Kafka re-publish shape") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
