@@ -77,6 +77,28 @@ object TimeSeriesQueries extends QueryGroup {
             .cast("long").as("full_funnel"))
     }),
 
+    // z-score anomaly detection per event_type — population moments from
+    // fixed-point integer sums (exact, order-independent, so both engines
+    // derive bit-identical mean/σ), then flag |z| > 3 events
+    "ts_anomaly" -> ((s, dir) => {
+      val cents = floor(col("value") * 100).cast("long")
+      val stats = Tables.scan(s, dir, "events")
+        .groupBy("event_type")
+        .agg(sum(cents).as("s1"), sum(cents * cents).as("s2"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          (col("s1").cast("double") / col("n")).as("mu"),
+          sqrt((col("s2").cast("double") / col("n"))
+            - (col("s1").cast("double") / col("n"))
+            * (col("s1").cast("double") / col("n"))).as("sigma"))
+      Tables.scan(s, dir, "events")
+        .join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          ((cents.cast("double") - col("mu")) / col("sigma")).as("z"))
+        .filter(abs(col("z")) > 3.0)
+        .orderBy("event_id")
+    }),
+
     // per-user sliding 5-minute stats (RANGE frame over epoch seconds)
     "ts_sliding" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
@@ -135,6 +157,21 @@ object TimeSeriesQueries extends QueryGroup {
         |  CAST(SUM(CASE WHEN saw = 1 AND clicked = 1 AND purchased = 1
         |    THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
         |FROM sess""".stripMargin,
+
+    "ts_anomaly" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |st AS (SELECT event_type,
+        |    CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mu,
+        |    sqrt(CAST(SUM(cents * cents) AS DOUBLE) / COUNT(*)
+        |      - (CAST(SUM(cents) AS DOUBLE) / COUNT(*))
+        |      * (CAST(SUM(cents) AS DOUBLE) / COUNT(*))) AS sigma
+        |  FROM c GROUP BY event_type)
+        |SELECT event_id, c.event_type,
+        |  (CAST(cents AS DOUBLE) - mu) / sigma AS z
+        |FROM c JOIN st ON c.event_type = st.event_type
+        |WHERE abs((CAST(cents AS DOUBLE) - mu) / sigma) > 3.0
+        |ORDER BY event_id""".stripMargin,
 
     "ts_sliding" ->
       """SELECT event_id, user_id,
