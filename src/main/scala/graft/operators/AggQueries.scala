@@ -108,6 +108,22 @@ object AggQueries extends QueryGroup {
         .orderBy("o_orderstatus")
     }),
 
+    // custom Aggregator on the graded surface: quantity-weighted mean price
+    // via the registered weighted_mean UDAF (graft.functions.Udx). Inputs
+    // are integer-valued doubles (cents / centiquantities), so the double
+    // accumulation is exact and order-independent below 2^53 — hash-stable
+    // against the plain-SQL oracle despite being a custom agg.
+    "agg_weighted" -> ((s, dir) => {
+      graft.functions.Udx.register(s)
+      Tables.scan(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("double").as("pc"),
+          floor(col("l_quantity") * 100).cast("double").as("qc"))
+        .groupBy("l_returnflag")
+        .agg(expr("weighted_mean(pc, qc)").as("w_mean_price_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // op 20: threshold alert — sliding 6h/1h window sum over events, kept
     // only where the windowed sum exceeds the alert threshold (the
     // kafka_consumer_lag_sum > 1000 for 5m analog,
@@ -143,6 +159,13 @@ object AggQueries extends QueryGroup {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_weighted" ->
+      """SELECT l_returnflag,
+        |  SUM(floor(l_extendedprice * 100) * floor(l_quantity * 100))
+        |    / SUM(floor(l_quantity * 100)) AS w_mean_price_cents
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "agg_pivot" ->
       """SELECT user_id,
