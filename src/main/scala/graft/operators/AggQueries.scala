@@ -124,6 +124,35 @@ object AggQueries extends QueryGroup {
         .orderBy("l_returnflag")
     }),
 
+    // equal-width histogram — the distribution-profiling primitive; bin
+    // edges from exact integer floors so assignment is engine-identical
+    "agg_histogram" -> ((s, dir) => {
+      val cents = floor(col("value") * 100).cast("long")
+      Tables.scan(s, dir, "events")
+        .select(least(greatest(floor((cents - lit(-50000))
+          / lit(5000.0)).cast("long"), lit(0L)), lit(19L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    }),
+
+    // data-quality profile — per-column null/distinct/min/max, the first
+    // thing any ingestion pipeline computes; one pass, all aggregates
+    // partial+final
+    "agg_profile" -> ((s, dir) => {
+      Tables.scan(s, dir, "orders")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_custkey")).as("custkey_nonnull"),
+          countDistinct(col("o_custkey")).as("custkey_distinct"),
+          min(col("o_custkey")).as("custkey_min"),
+          max(col("o_custkey")).as("custkey_max"),
+          countDistinct(col("o_orderstatus")).as("status_distinct"),
+          min(Dec.d2(col("o_totalprice"))).cast("double").as("price_min"),
+          max(Dec.d2(col("o_totalprice"))).cast("double").as("price_max"),
+          min(col("o_orderdate")).as("date_min"),
+          max(col("o_orderdate")).as("date_max"))
+    }),
+
     // op 20: threshold alert — sliding 6h/1h window sum over events, kept
     // only where the windowed sum exceeds the alert threshold (the
     // kafka_consumer_lag_sum > 1000 for 5m analog,
@@ -166,6 +195,28 @@ object AggQueries extends QueryGroup {
         |    / SUM(floor(l_quantity * 100)) AS w_mean_price_cents
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT least(greatest(CAST(floor(
+        |    (CAST(floor(value * 100) AS BIGINT) - (-50000)) / 5000.0)
+        |    AS BIGINT), 0), 19) AS bin,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "agg_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(o_custkey) AS custkey_nonnull,
+        |  COUNT(DISTINCT o_custkey) AS custkey_distinct,
+        |  MIN(o_custkey) AS custkey_min,
+        |  MAX(o_custkey) AS custkey_max,
+        |  COUNT(DISTINCT o_orderstatus) AS status_distinct,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS price_min,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS price_max,
+        |  MIN(o_orderdate) AS date_min,
+        |  MAX(o_orderdate) AS date_max
+        |FROM orders""".stripMargin,
 
     "agg_pivot" ->
       """SELECT user_id,
