@@ -159,10 +159,13 @@ object CdcOps {
 
   /** Kafka-record-shaped change log (`topic`,`key`,`value`) for `orders`. */
   def synthOrdersChangelog(spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "log")(buildOrdersChangelog(spark, sfDir))
+    cached(spark, sfDir, "log")(buildOrdersChangelog(spark, sfDir)._1)
 
+  /** Returns (full changelog, streaming tail): the tail is the same union
+    * minus the base inserts, constructed from the branches directly — no
+    * JSON re-probe of the serialized records to recover `op`. */
   private def buildOrdersChangelog(
-      spark: SparkSession, sfDir: String): DataFrame = {
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val o = Tables.scan(spark, sfDir, "orders")
     val k = col("o_orderkey")
     val topic = lit("prod.postgres.orders")
@@ -195,8 +198,9 @@ object CdcOps {
       topic.as("topic"), keyJson.as("key"),
       lit(null).cast(StringType).as("value"))
 
-    inserts.unionByName(updates).unionByName(replays)
+    val tail = updates.unionByName(replays)
       .unionByName(deletes).unionByName(tombstones)
+    (inserts.unionByName(tail), tail)
   }
 
   /** A4: initial-snapshot events — `snapshot.mode=initial`
@@ -222,13 +226,12 @@ object CdcOps {
   }
 
   /** The streaming tail only (updates, replays, deletes, tombstones — no
-    * base inserts): what WAL streaming delivers after the snapshot. */
+    * base inserts): what WAL streaming delivers after the snapshot. Built
+    * from the non-insert union branches directly rather than peeking `op`
+    * back out of the serialized JSON (`get_json_object` spins up a fresh
+    * parser per record — at changelog scale that doubled the fixture cost). */
   def synthOrdersTail(spark: SparkSession, sfDir: String): DataFrame =
-    synthOrdersChangelog(spark, sfDir)
-      .withColumn("_op_peek",
-        get_json_object(col("value"), "$.op"))
-      .filter(col("value").isNull || col("_op_peek") =!= "c")
-      .drop("_op_peek")
+    cached(spark, sfDir, "tail")(buildOrdersChangelog(spark, sfDir)._2)
 
   /** A5: split the record flow into data events vs schema-change (DDL)
     * events. The reference captures DDL to a side topic

@@ -181,7 +181,9 @@ object DedupQueries extends QueryGroup {
       }
       labels.groupBy(col("lbl").as("component"))
         .agg(count(lit(1)).as("size"),
-          sort_array(collect_list(col("v"))).as("members"))
+          // joined to a string: the driver's pandas compare cannot hash
+          // array-typed output columns
+          array_join(sort_array(collect_list(col("v"))), ",").as("members"))
         .orderBy("component")
     }),
 
@@ -190,8 +192,13 @@ object DedupQueries extends QueryGroup {
     // at sf0.01) so the result is selective but non-empty.
     // Double-precision fold in fixed element order is bit-identical in
     // Spark and DuckDB, so the cosine values hash-match exactly.
+    // Input is id-bounded (like text_editdist): the all-pairs join is the
+    // deliberate exact oracle twin and must stay constant-size as the data
+    // scales — `sim_ann_lsh` / `dedup_minhash_lsh` are the production
+    // near-dup paths at 100 TB.
     "dedup_embedding" -> ((s, dir) => {
       val e = Tables.scan(s, dir, "embeddings")
+        .filter(col("vec_id") < 500)
         .select(col("vec_id"), col("embedding").as("v"),
           VectorFunctions.floatNorm(col("embedding")).as("norm"))
       val a = e.toDF("va", "a", "na")
@@ -257,7 +264,8 @@ object DedupQueries extends QueryGroup {
         |  UNION
         |  SELECT e.da, reach.r FROM e JOIN reach ON e.db = reach.v),
         |comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
-        |SELECT component, COUNT(*) AS size, list_sort(list(v)) AS members
+        |SELECT component, COUNT(*) AS size,
+        |  array_to_string(list_sort(list(v)), ',') AS members
         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
 
     "dedup_embedding" ->
@@ -266,7 +274,7 @@ object DedupQueries extends QueryGroup {
         |    list_transform(embedding,
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
         |    (a, b) -> a + b)) AS nrm
-        |  FROM embeddings)
+        |  FROM embeddings WHERE vec_id < 500)
         |SELECT a.vec_id AS va, b.vec_id AS vb,
         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    list_transform(list_zip(a.v, b.v),

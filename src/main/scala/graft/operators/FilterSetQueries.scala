@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{Dec, QueryGroup}
 import graft.sources.Tables
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -53,15 +52,15 @@ object FilterSetQueries extends QueryGroup {
         .orderBy("event_type")
     }),
 
-    // op 24: global sort (range-partitioned). The pos column pins the total
-    // order so an order-insensitive compare still verifies sortedness.
+    // op 24: global sort — a plain orderBy compiles to a range-partitioned
+    // Sort (sampled bounds → Exchange rangepartitioning → per-partition
+    // sort), which scales; a global row_number() window would funnel every
+    // row through one task.
     "sort_global" -> ((s, dir) => {
       Tables.scan(s, dir, "orders")
         .select(col("o_orderkey"),
           Dec.d2(col("o_totalprice")).cast("double").as("price"))
-        .withColumn("pos", row_number().over(
-          Window.orderBy(col("price").desc, col("o_orderkey"))))
-        .orderBy("pos")
+        .orderBy(col("price").desc, col("o_orderkey"))
     }),
 
     // op 25: top-k — Catalyst rewrites orderBy+limit to TakeOrderedAndProject
@@ -127,12 +126,9 @@ object FilterSetQueries extends QueryGroup {
 
     "sort_global" ->
       """SELECT o_orderkey,
-        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
-        |  CAST(ROW_NUMBER() OVER (
-        |    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) DESC,
-        |             o_orderkey) AS INT) AS pos
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         |FROM orders
-        |ORDER BY pos""".stripMargin,
+        |ORDER BY price DESC, o_orderkey""".stripMargin,
 
     "topk" ->
       """SELECT l_partkey,

@@ -124,7 +124,10 @@ object ScalarQueries extends QueryGroup {
       Tables.scan(s, dir, "events")
         .filter(col("event_id") < 2000)
         .select(col("event_id"),
-          expr("regexp_extract_all(props, '[0-9]+', 0)").as("numbers"),
+          // joined to a string: the driver's pandas compare cannot hash
+          // array-typed output columns
+          array_join(expr("regexp_extract_all(props, '[0-9]+', 0)"), ",")
+            .as("numbers"),
           regexp_extract(col("props"), "\"([a-z_]+)\":", 1).as("first_key"),
           regexp_count(col("props"), lit("\":")).as("n_fields"))
         .orderBy("event_id")
@@ -221,7 +224,8 @@ object ScalarQueries extends QueryGroup {
 
     "fn_regexp" ->
       """SELECT event_id,
-        |  regexp_extract_all(props, '[0-9]+') AS numbers,
+        |  array_to_string(regexp_extract_all(props, '[0-9]+'), ',')
+        |    AS numbers,
         |  regexp_extract(props, '"([a-z_]+)":', 1) AS first_key,
         |  CAST(len(regexp_extract_all(props, '":')) AS INT) AS n_fields
         |FROM events WHERE event_id < 2000

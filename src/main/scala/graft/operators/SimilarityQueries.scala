@@ -172,6 +172,9 @@ object SimilarityQueries extends QueryGroup {
         .select(col("vec_id"), col("cid").as(out))
     }
     var cents = e.filter(col("vec_id") % step === 0)
+      // orderBy before limit: an unordered limit is not guaranteed to pick
+      // the same rows across planner changes — seeds must be deterministic
+      .orderBy("vec_id")
       .limit(kCentroids)
       .select(col("vec_id").as("cid"), col("v").as("c"))
     // Lloyd re-centering: assign → fixed-point mean (exact,

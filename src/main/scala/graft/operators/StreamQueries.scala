@@ -68,7 +68,8 @@ object StreamQueries extends QueryGroup {
     "stream_sliding" ->
       """SELECT date_trunc('minute', ts) - k.k * INTERVAL 1 MINUTE AS w_start,
         |  COUNT(*) AS n,
-        |  SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
         |FROM events CROSS JOIN (SELECT unnest(range(0, 5)) AS k) k
         |GROUP BY 1 ORDER BY w_start""".stripMargin,
 

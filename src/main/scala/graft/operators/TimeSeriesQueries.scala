@@ -126,7 +126,8 @@ object TimeSeriesQueries extends QueryGroup {
         |          (SELECT MAX(m) FROM ev), INTERVAL 1 MINUTE)) AS m) t
         |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) e)
         |SELECT s.event_type, s.m,
-        |  COALESCE(a.n, 0) AS n, COALESCE(a.sum_cents, 0) AS sum_cents
+        |  COALESCE(a.n, 0) AS n,
+        |  CAST(COALESCE(a.sum_cents, 0) AS BIGINT) AS sum_cents
         |FROM spine s LEFT JOIN agg a
         |  ON s.event_type = a.event_type AND s.m = a.m
         |ORDER BY s.event_type, s.m""".stripMargin,
@@ -178,7 +179,8 @@ object TimeSeriesQueries extends QueryGroup {
         |  CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
         |  CAST(floor(value * 100) AS BIGINT) AS cents,
         |  COUNT(*) OVER w AS n_5m,
-        |  SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS sum_cents_5m,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS sum_cents_5m,
         |  MAX(CAST(floor(value * 100) AS BIGINT)) OVER w AS max_cents_5m
         |FROM events
         |WINDOW w AS (PARTITION BY user_id
