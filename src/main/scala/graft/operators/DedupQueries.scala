@@ -11,9 +11,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *
   * Scale design — every variant avoids the O(n²) all-pairs trap:
   *   - exact:          one hash shuffle on the dedup key.
-  *   - n-gram Jaccard: inverted-index self-join on shingle (only documents
-  *                     sharing ≥1 shingle ever meet; word-4-gram shingles
-  *                     are highly selective, measured join fan-out ≈ 1.1×).
+  *   - n-gram Jaccard: df-capped inverted-index self-join on shingle (only
+  *                     documents sharing ≥1 sub-cap shingle ever meet;
+  *                     stop-shingles with df > [[maxShingleDf]] are dropped
+  *                     from candidate generation so no single hot shingle
+  *                     can contribute df² pairs), then exact full-set
+  *                     Jaccard verify on the candidates only.
   *   - MinHash+LSH:    banded signatures → bucket join; candidate count is
   *                     O(near-dup pairs), not O(n²); exact-Jaccard verify
   *                     only on candidates.
@@ -44,12 +47,39 @@ object DedupQueries extends QueryGroup {
       .select(col("doc_id"), explode(col("sh_feats")).as("s"))
       .distinct()
 
-  /** Exact Jaccard pairs via inverted-index join, threshold `tau`. */
-  private def jaccardPairs(sh: DataFrame, tau: Double): DataFrame = {
+  /** df-cap for the shingle inverted index: shingles appearing in more than
+    * this many documents are dropped before candidate generation. A hot
+    * "stop-shingle" (boilerplate, template text) contributes df² candidate
+    * pairs — at 100 TB one such shingle joins essentially every document
+    * pair that shares it. Pairs that genuinely overlap (Jaccard ≥ τ over
+    * whole shingle sets) share many shingles, so they are still found via
+    * their rarer ones; only pairs whose ONLY overlap is boilerplate are
+    * skipped — which is the desired near-dup semantics anyway. The measured
+    * max df on the synthetic corpora is 6, so the cap is purely a scale
+    * guard there (result sets unchanged). Keep the SQL oracles' `HAVING
+    * COUNT(*) <= 50` in sync with this value. */
+  private[graft] val maxShingleDf = 50
+
+  /** Candidate near-dup pairs from the df-capped inverted index: only
+    * documents sharing at least one sub-cap shingle ever meet. */
+  private[graft] def candidatePairs(sh: DataFrame, maxDf: Int): DataFrame = {
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("s")
+    val idx = sh.join(rare, "s").select(col("doc_id"), col("s"))
+    idx.toDF("da", "s").join(idx.toDF("db", "s"), Seq("s"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** Exact Jaccard over the FULL (uncapped) shingle sets, computed only for
+    * the given candidate pairs — work is O(candidates × shingles/doc), and
+    * the reported jaccard is the true value, not a capped approximation. */
+  private[graft] def verifyJaccard(
+      cand: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.toDF("da", "s")
-    val b = sh.toDF("db", "s")
-    a.join(b, Seq("s")).filter(col("da") < col("db"))
+    cand.join(sh.toDF("da", "s"), "da")
+      .join(sh.toDF("db", "s"), Seq("db", "s"))
       .groupBy("da", "db").agg(count(lit(1)).as("common"))
       .join(broadcast(sizes.toDF("da", "na")), "da")
       .join(broadcast(sizes.toDF("db", "nb")), "db")
@@ -58,6 +88,11 @@ object DedupQueries extends QueryGroup {
           .as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
+
+  /** Exact Jaccard pairs: df-capped candidate generation, full-set verify. */
+  private[graft] def jaccardPairs(
+      sh: DataFrame, tau: Double, maxDf: Int = maxShingleDf): DataFrame =
+    verifyJaccard(candidatePairs(sh, maxDf), sh, tau)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // op 44: exact dedup — group by key, keep deterministic representative
@@ -102,18 +137,7 @@ object DedupQueries extends QueryGroup {
         .select("da", "db").distinct()
       // exact-Jaccard verify on candidates only: common-shingle counts via
       // equi-join on (db, s) — work is O(candidate pairs × shingles/doc)
-      val a = sh.toDF("da", "s")
-      val b = sh.toDF("db", "s")
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      cand.join(a, "da").join(b, Seq("db", "s"))
-        .groupBy("da", "db").agg(count(lit(1)).as("common"))
-        .join(broadcast(sizes.toDF("da", "na")), "da")
-        .join(broadcast(sizes.toDF("db", "nb")), "db")
-        .select(col("da"), col("db"),
-          (col("common") / (col("na") + col("nb") - col("common")))
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("da", "db")
+      verifyJaccard(cand, sh, 0.5).orderBy("da", "db")
     }),
 
     // op 45c: SimHash — tf-weighted 64-bit signature; pairs at Hamming ≤ 3
@@ -229,8 +253,14 @@ object DedupQueries extends QueryGroup {
         |      ELSE [] END) AS s
         |  FROM toks),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN rare r ON a.s = r.s
+        |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT c.da, c.db, COUNT(*) AS common
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
         |  GROUP BY 1, 2)
         |SELECT da, db, common / (sa.n + sb.n - common) AS jaccard
         |FROM pairs
@@ -251,8 +281,14 @@ object DedupQueries extends QueryGroup {
         |      ELSE [] END) AS s
         |  FROM toks),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |cand AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+        |cand0 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN rare r ON a.s = r.s
+        |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+        |cand AS (SELECT c.da, c.db, COUNT(*) AS common
+        |  FROM cand0 c
+        |  JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
         |  GROUP BY 1, 2),
         |jp AS (SELECT da, db FROM cand
         |  JOIN sizes sa ON da = sa.doc_id

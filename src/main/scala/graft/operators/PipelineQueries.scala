@@ -41,17 +41,11 @@ object PipelineQueries extends QueryGroup {
       val sh = docs
         .select(col("doc_id"),
           explode(VectorFunctions.wordShingles(lower(trim(col("text"))), 4))
-            .as("sg"))
+            .as("s"))
         .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.toDF("da", "sg")
-      val b = sh.toDF("db", "sg")
-      val dropped = a.join(b, Seq("sg")).filter(col("da") < col("db"))
-        .groupBy("da", "db").agg(count(lit(1)).as("common"))
-        .join(broadcast(sizes.toDF("da", "na")), "da")
-        .join(broadcast(sizes.toDF("db", "nb")), "db")
-        .filter(col("common") / (col("na") + col("nb") - col("common"))
-          >= 0.5)
+      // shared df-capped inverted-index near-dup pairs (DedupQueries):
+      // candidate generation drops stop-shingles, verify is full-set exact
+      val dropped = DedupQueries.jaccardPairs(sh, 0.5)
         .select(col("db").as("doc_id")).distinct()
       docs.join(dropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_tokens"))
@@ -81,8 +75,14 @@ object PipelineQueries extends QueryGroup {
         |      ELSE [] END) AS sg
         |  FROM toks),
         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |rare AS (SELECT sg FROM sh GROUP BY sg HAVING COUNT(*) <= 50),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN rare r ON a.sg = r.sg
+        |  JOIN sh b ON b.sg = a.sg AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT c.da, c.db, COUNT(*) AS common
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db AND b.sg = a.sg
         |  GROUP BY 1, 2),
         |dropped AS (SELECT DISTINCT db AS doc_id
         |  FROM pairs

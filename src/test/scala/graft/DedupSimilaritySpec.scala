@@ -79,6 +79,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("df-cap kills stop-shingle candidate blowup without losing true pairs") {
+    import spark.implicits._
+    // 60 unrelated docs that all share one boilerplate shingle (df=60),
+    // plus each doc's 5 unique shingles; docs 100/101 are true near-dups
+    // sharing 4 rare shingles (jaccard 4/6 ≈ 0.67)
+    val boiler = (1L to 60L).map(d => (d, "hot shingle boiler plate"))
+    val unique = (1L to 60L).flatMap(d => (1 to 5).map(i => (d, s"u $d $i x")))
+    val dup = Seq(100L, 101L).flatMap(d =>
+      (1 to 4).map(i => (d, s"shared dup shingle $i")) :+
+        ((d, s"own $d tail y")))
+    val sh = (boiler ++ unique ++ dup).toDF("doc_id", "s")
+
+    // uncapped: the hot shingle alone contributes C(60,2) = 1770 candidates
+    val uncapped = operators.DedupQueries.candidatePairs(sh, maxDf = 10000)
+    assert(uncapped.count() === 1771)
+    // capped: only the true near-dup pair survives candidate generation
+    val capped = operators.DedupQueries.candidatePairs(sh, maxDf = 50)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((100L, 101L)))
+    // and verify reports the TRUE full-set jaccard for it
+    val pairs = operators.DedupQueries.jaccardPairs(sh, 0.5, maxDf = 50)
+      .collect()
+    assert(pairs.length === 1)
+    assert(math.abs(pairs.head.getDouble(2) - 4.0 / 6.0) < 1e-12)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val df = DedupQueries.queries("dedup_embedding")(spark, sfDir)
       .collect()
