@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // BASELINE.md protocol: this host's timings swing ±45% run-to-run, so a
+    // single sample cannot distinguish regression from noise — run the whole
+    // suite `reps` times and report per-query MEDIANS (and the median of the
+    // per-run totals).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,23 +20,37 @@ object Bench {
     graft.sources.Tables.all.foreach { t =>
       graft.sources.Tables.scan(spark, sfDir, t).count()
     }
-    var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        // a crashing query must not read as a fast query: record it so the
-        // emitted JSON distinguishes regression from speedup
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    var failed = Set.empty[String]
+    def runOnce(): Map[String, Double] = SparkEntry.queries.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          // a crashing query must not read as a fast query: record it so the
+          // emitted JSON distinguishes regression from speedup
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val runs = (1 to reps).map { i =>
+      val r = runOnce()
+      System.err.println(f"[bench] run $i/$reps total ${r.values.sum}%.1f s")
+      r
+    }
+    val names = SparkEntry.queries.keys.toSeq
+    val medQ = names.map(n => n -> median(runs.map(_(n)))).toMap
+    val totals = runs.map(_.values.sum)
+    val qs = names.map(n => s"\"" + n + "\":" + medQ(n))
       .mkString("{", ",", "}")
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val fs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val ts = totals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${median(totals)},"unit":"sec","queries":$qs,"failed":$fs,"runs":$ts,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -157,13 +157,23 @@ object CdcOps {
       })
     }
 
-  /** Kafka-record-shaped change log (`topic`,`key`,`value`) for `orders`. */
+  /** Kafka-record-shaped change log (`topic`,`key`,`value`) for `orders`:
+    * the union of the two independently-persisted branch fixtures, so a
+    * session using both the full log and the tail computes and stores the
+    * shared non-insert branches exactly once (the union of two cached
+    * branches is recomputed per query, but that is two in-memory scans). */
   def synthOrdersChangelog(spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "log")(buildOrdersChangelog(spark, sfDir)._1)
+    synthOrdersInserts(spark, sfDir)
+      .unionByName(synthOrdersTail(spark, sfDir))
 
-  /** Returns (full changelog, streaming tail): the tail is the same union
-    * minus the base inserts, constructed from the branches directly — no
-    * JSON re-probe of the serialized records to recover `op`. */
+  /** The base-insert branch only (`op='c'` for every order), persisted. */
+  private def synthOrdersInserts(
+      spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "inserts")(buildOrdersChangelog(spark, sfDir)._1)
+
+  /** Returns (insert branch, streaming tail): the tail is the non-insert
+    * union, constructed from the branches directly — no JSON re-probe of
+    * the serialized records to recover `op`. */
   private def buildOrdersChangelog(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val o = Tables.scan(spark, sfDir, "orders")
@@ -200,7 +210,7 @@ object CdcOps {
 
     val tail = updates.unionByName(replays)
       .unionByName(deletes).unionByName(tombstones)
-    (inserts.unionByName(tail), tail)
+    (inserts, tail)
   }
 
   /** A4: initial-snapshot events — `snapshot.mode=initial`
@@ -229,7 +239,8 @@ object CdcOps {
     * base inserts): what WAL streaming delivers after the snapshot. Built
     * from the non-insert union branches directly rather than peeking `op`
     * back out of the serialized JSON (`get_json_object` spins up a fresh
-    * parser per record — at changelog scale that doubled the fixture cost). */
+    * parser per record — at changelog scale that doubled the fixture cost).
+    * Persisted once and shared with [[synthOrdersChangelog]]. */
   def synthOrdersTail(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "tail")(buildOrdersChangelog(spark, sfDir)._2)
 

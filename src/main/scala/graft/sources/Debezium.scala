@@ -54,9 +54,24 @@ object Debezium {
     *
     * `from_json` is a codegen'd Catalyst expression, so the parse stays
     * inside whole-stage codegen — no UDF in the hot ingest path.
+    *
+    * The parse runs EXACTLY ONCE per record: `env` is produced through an
+    * `explode(array(...))` Generate fence. Without it, Catalyst pushes the
+    * downstream corrupt-guard filter below this projection and — because
+    * whole-stage codegen does not share subexpressions across a
+    * Filter/Project boundary — every record pays a second `from_json`
+    * (the round-1/2 "double parse" tax). A predicate over a
+    * Generate-produced attribute cannot be pushed below the Generate, so
+    * filters on `env`/`_corrupt` consume the already-materialized struct.
+    * `explode(array(x))` is row-count-preserving even for null `x`
+    * (the array literal is `[null]`, never an empty array), so tombstones
+    * still pass through. Trade-off: from_json field pruning no longer
+    * applies for op-only consumers — irrelevant here, since every caller
+    * unwraps most of the envelope.
     */
   def parseEnvelope(raw: DataFrame, rowSchema: StructType): DataFrame =
-    raw.withColumn("env", from_json(col("value"), envelopeSchema(rowSchema)))
+    raw.withColumn("env",
+        explode(array(from_json(col("value"), envelopeSchema(rowSchema)))))
       .withColumn("_tombstone", col("value").isNull)
       // a non-null value that from_json cannot parse is CORRUPT, not a
       // tombstone — without this flag it would flow through unwrap as a
@@ -65,10 +80,7 @@ object Debezium {
       // malformed input, so detect via the mandatory envelope `op` field.
       // (Deliberately env.op, not a get_json_object probe: the probe
       // spins up a fresh Jackson parser per evaluation and benched ~2×
-      // slower once filter pushdown multiplied the call sites.)
-      // single env reference: `env.op IS NULL` already covers `env IS NULL`
-      // (null-struct field access is null), and after filter pushdown every
-      // env reference here becomes one more full from_json per record
+      // slower.)
       .withColumn("_corrupt",
         col("value").isNotNull && col("env.op").isNull)
 
