@@ -244,6 +244,86 @@ object CdcOps {
   def synthOrdersTail(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "tail")(buildOrdersChangelog(spark, sfDir)._2)
 
+  // ---------------------------------------------------------------------
+  // A2: MySQL-connector change log. Binlog provenance is a (file, pos)
+  // pair — `pos` RESETS when the log rotates, so the compaction ordering
+  // key is (_file, _pos), not _pos alone (reference:
+  // k8s-manifests/connectors/postgresql-connector.yaml:88-100 documents
+  // the per-connector provenance split). The fixture builds the rotation
+  // in: updates land in binlog.000002 at pos = o_orderkey — numerically
+  // SMALLER than their insert's pos (o_orderkey*10) in binlog.000001 — so
+  // pos-only or arrival ordering would resurrect the stale insert and the
+  // DuckDB oracle would catch it.
+  // ---------------------------------------------------------------------
+
+  private def mysqlSource(file: String, pos: Column): Column = struct(
+    lit("2.4.0.Final").as("version"),
+    lit("mysql").as("connector"),
+    lit("mysql-prod").as("name"),
+    epochMs(col("o_orderdate")).as("ts_ms"),
+    lit("production").as("db"),
+    lit(null).cast(StringType).as("schema"),
+    lit("orders").as("table"),
+    lit(null).cast(LongType).as("txId"),
+    lit(null).cast(LongType).as("lsn"),
+    lit(file).as("file"),
+    pos.cast(LongType).as("pos"),
+    lit("false").as("snapshot"))
+
+  private def mysqlEnvelope(
+      before: Column, after: Column, op: String,
+      file: String, pos: Column): Column =
+    to_json(struct(
+      before.as("before"),
+      after.as("after"),
+      mysqlSource(file, pos).as("source"),
+      lit(op).as("op"),
+      epochMs(col("o_orderdate")).as("ts_ms")))
+
+  /** Kafka-record-shaped MySQL binlog change log for `orders`, spanning a
+    * log rotation (see block comment above). Same event mix and expected
+    * final state as the Postgres fixture: every order inserted, %10 keys
+    * updated to status 'X' (replayed for %20 — at-least-once), %7 keys
+    * deleted. */
+  def synthOrdersMySqlChangelog(
+      spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "mysql")(buildOrdersMySqlChangelog(spark, sfDir))
+
+  private def buildOrdersMySqlChangelog(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.scan(spark, sfDir, "orders")
+    val k = col("o_orderkey")
+    val topic = lit("prod.mysql.orders")
+    val keyJson = to_json(struct(col("o_orderkey")))
+    val curStatus =
+      when(k % 10 === 0, lit("X")).otherwise(col("o_orderstatus"))
+
+    val inserts = o.select(
+      topic.as("topic"), keyJson.as("key"),
+      mysqlEnvelope(nullRow, ordersRow(col("o_orderstatus")), "c",
+        "binlog.000001", k * 10).as("value"))
+
+    // rotation: later FILE, numerically smaller pos
+    val updates = o.filter(k % 10 === 0).select(
+      topic.as("topic"), keyJson.as("key"),
+      mysqlEnvelope(ordersRow(col("o_orderstatus")), ordersRow(lit("X")),
+        "u", "binlog.000002", k).as("value"))
+
+    // at-least-once replay: identical (file, pos, content) — compaction
+    // must stay idempotent under the duplicate
+    val replays = o.filter(k % 20 === 0).select(
+      topic.as("topic"), keyJson.as("key"),
+      mysqlEnvelope(ordersRow(col("o_orderstatus")), ordersRow(lit("X")),
+        "u", "binlog.000002", k).as("value"))
+
+    val deletes = o.filter(k % 7 === 0).select(
+      topic.as("topic"), keyJson.as("key"),
+      mysqlEnvelope(ordersRow(curStatus), nullRow, "d",
+        "binlog.000003", k).as("value"))
+
+    inserts.unionByName(updates).unionByName(replays).unionByName(deletes)
+  }
+
   /** A5: split the record flow into data events vs schema-change (DDL)
     * events. The reference captures DDL to a side topic
     * (`schema-changes.prod.postgres`, postgresql-connector.yaml:44-46);

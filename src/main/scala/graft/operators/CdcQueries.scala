@@ -57,6 +57,21 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // A2: MySQL-connector compaction — binlog (file, pos) ordering across
+    // a log rotation. The fixture's updates have numerically smaller pos
+    // than their inserts (later file), so pos-only ordering would pick the
+    // stale insert and fail the oracle's hash compare.
+    "cdc_compact_mysql" -> ((s, dir) => {
+      val un = CdcOps.unwrap(Debezium.parseEnvelope(
+        CdcOps.synthOrdersMySqlChangelog(s, dir), Debezium.ordersRowSchema))
+      CdcOps.compactLatest(un,
+        keys = Seq("o_orderkey"),
+        ordering = Seq(col("_file").desc, col("_pos").desc))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate_us", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // A4: snapshot-then-stream — op='r' bulk snapshot (lsn=0) ∪ WAL tail
     // (updates/deletes only, no base inserts); compaction must let the
     // tail supersede snapshot rows per key. Same expected state as
@@ -123,6 +138,14 @@ object CdcQueries extends QueryGroup {
         |ORDER BY o_orderkey, _op, __deleted""".stripMargin),
 
     "cdc_compact" -> (baseCte +
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate_us, o_orderpriority
+        |FROM base WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "cdc_compact_mysql" -> (baseCte +
       """SELECT o_orderkey, o_custkey,
         |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
         |         AS o_orderstatus,

@@ -5,20 +5,43 @@ import org.apache.spark.sql.types._
 /** Schema evolution from the DDL control stream (SURVEY.md §2.A A5 /
   * §1.4): the reference captures DDL to `schema-changes.prod.postgres`
   * (`include.schema.changes=true`, postgresql-connector.yaml:44-46), and
-  * the consumer-side registry must evolve forward-compatibly — an added
-  * column appears as nullable, so envelopes produced BEFORE the DDL still
-  * parse (the field is simply null) and envelopes after it populate it.
-  * This is exactly `from_json`'s missing-field behavior, so evolution =
-  * updating the registry StructType; no reprocessing.
+  * the consumer-side registry must evolve compatibly without reprocessing:
   *
-  * v1 scope: ADD COLUMN only (the forward-compatible evolution); type
-  * changes and drops need a reprocessing policy and stay out of scope,
-  * matching SURVEY.md §2.A A5's "log-and-ignore the rest".
+  *   - ADD COLUMN: the new column appears as nullable — envelopes produced
+  *     BEFORE the DDL still parse (the field is simply null) and envelopes
+  *     after it populate it. This is exactly `from_json`'s missing-field
+  *     behavior.
+  *   - DROP COLUMN: the column disappears from the registry — envelopes
+  *     produced BEFORE the DDL still parse (`from_json` ignores JSON
+  *     fields absent from the schema), post-DDL envelopes never had it.
+  *   - Type WIDENING (int→bigint, real→double): the registry moves to the
+  *     wider type — old narrow values parse losslessly under it. Anything
+  *     narrowing or shape-changing is NOT forward-compatible and is
+  *     log-and-ignored (it needs a reprocessing policy, SURVEY.md §2.A
+  *     A5's "log-and-ignore the rest").
   */
 object SchemaEvolution {
 
+  /** One registry-applicable schema change parsed from DDL. */
+  sealed trait SchemaChange { def table: String }
+  final case class AddCol(table: String, field: StructField)
+      extends SchemaChange
+  final case class DropCol(table: String, column: String)
+      extends SchemaChange
+  final case class AlterColType(table: String, column: String, to: DataType)
+      extends SchemaChange
+
+  private val Tbl = """(?:[\w"]+\.)?([\w"]+)"""
   private val AddColumn =
-    """(?i)ALTER\s+TABLE\s+(?:[\w"]+\.)?([\w"]+)\s+ADD\s+COLUMN\s+([\w"]+)\s+([\w()\[\], ]+?)\s*$""".r
+    s"""(?i)ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+COLUMN\\s+([\\w"]+)\\s+([\\w()\\[\\], ]+?)\\s*$$""".r
+  private val DropColumn =
+    s"""(?i)ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?([\\w"]+)\\s*$$""".r
+  // Postgres `ALTER COLUMN c TYPE t` / `SET DATA TYPE t`; MySQL `MODIFY
+  // COLUMN c t`
+  private val AlterType =
+    s"""(?i)ALTER\\s+TABLE\\s+$Tbl\\s+(?:ALTER\\s+COLUMN\\s+([\\w"]+)\\s+(?:SET\\s+DATA\\s+)?TYPE|MODIFY\\s+COLUMN\\s+([\\w"]+))\\s+([\\w()\\[\\], ]+?)\\s*$$""".r
+
+  private def unq(s: String) = s.replaceAll("\"", "")
 
   /** Debezium-typed mapping for the common Postgres DDL type names, under
     * the configured modes (decimal-as-string, adaptive micros). */
@@ -35,27 +58,58 @@ object SchemaEvolution {
     }
 
   /** Parse one DDL statement; None when unsupported (log-and-ignore). */
+  def parseDdl(ddl: String): Option[SchemaChange] = ddl match {
+    case AddColumn(table, colName, sqlType) =>
+      Some(AddCol(unq(table),
+        StructField(unq(colName), sqlTypeToSpark(sqlType), nullable = true)))
+    case DropColumn(table, colName) =>
+      Some(DropCol(unq(table), unq(colName)))
+    case AlterType(table, pgCol, myCol, sqlType) =>
+      Some(AlterColType(unq(table),
+        unq(Option(pgCol).getOrElse(myCol)), sqlTypeToSpark(sqlType)))
+    case _ => None
+  }
+
+  /** Kept for callers of the v1 (round-1) API. */
   def parseAddColumn(ddl: String): Option[(String, StructField)] =
-    ddl match {
-      case AddColumn(table, colName, sqlType) =>
-        Some((table.replaceAll("\"", ""),
-          StructField(colName.replaceAll("\"", ""),
-            sqlTypeToSpark(sqlType), nullable = true)))
-      case _ => None
+    parseDdl(ddl).collect { case AddCol(t, f) => (t, f) }
+
+  /** Is `from` → `to` a lossless widening? Old values parse exactly under
+    * the wider type; everything else needs reprocessing. */
+  private[sources] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (IntegerType, LongType)   => true
+      case (IntegerType, DoubleType) => true
+      case (FloatType, DoubleType)   => true
+      case _                         => false
     }
 
-  /** Apply supported DDL statements to a registry; unknown statements and
-    * unknown tables are ignored (the side topic also carries session DDL
-    * noise in real deployments). Duplicate adds are idempotent. */
+  /** Apply supported DDL statements to a registry; unknown statements,
+    * unknown tables/columns, and non-widening type changes are ignored
+    * (the side topic also carries session DDL noise in real deployments).
+    * Duplicate adds/drops are idempotent. */
   def evolve(
       registry: Map[String, StructType],
       ddls: Seq[String]): Map[String, StructType] =
-    ddls.flatMap(parseAddColumn).foldLeft(registry) {
-      case (reg, (table, field)) =>
-        reg.get(table) match {
-          case Some(schema) if !schema.fieldNames.contains(field.name) =>
+    ddls.flatMap(parseDdl).foldLeft(registry) { (reg, change) =>
+      reg.get(change.table) match {
+        case None => reg
+        case Some(schema) => change match {
+          case AddCol(table, field)
+              if !schema.fieldNames.contains(field.name) =>
             reg.updated(table, StructType(schema.fields :+ field))
-          case _ => reg
+          case DropCol(table, column) =>
+            reg.updated(table,
+              StructType(schema.fields.filterNot(_.name == column)))
+          case AlterColType(table, column, to) =>
+            schema.fields.find(_.name == column) match {
+              case Some(f) if widens(f.dataType, to) =>
+                reg.updated(table, StructType(schema.fields.map(x =>
+                  if (x.name == column) x.copy(dataType = to) else x)))
+              case _ => reg // narrowing / unknown column: log-and-ignore
+            }
+          case _ => reg // duplicate add: idempotent
         }
+      }
     }
 }
