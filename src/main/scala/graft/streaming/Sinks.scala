@@ -1,9 +1,10 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 
 /** Sink layer (SURVEY.md §2.A A7-A11): the Spark stand-ins for the
   * reference's declared sink fan-out — Elasticsearch (enriched docs,
@@ -19,39 +20,93 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 object Sinks {
 
   /** A7/A10 analog: per-batch upsert-by-key into a keyed parquet table
-    * (doc-id upsert in ES, SET in Redis). Each micro-batch folds new rows
-    * into current state by (key, max ordering) — replays and out-of-order
-    * events are no-ops, so the sink is idempotent under retries. At scale
-    * the overwrite becomes a MERGE into a keyed table format; the
-    * per-batch dedup logic is identical. */
+    * (doc-id upsert in ES, SET in Redis) — the poor man's MERGE.
+    *
+    * State layout is hash-bucketed on the key (`_bucket =
+    * pmod(xxhash64(key), nBuckets)`, a hive partition directory per
+    * bucket), so a micro-batch:
+    *   1. computes which buckets its keys hash into (≤ nBuckets — the
+    *      only driver-side collect, bounded by the bucket count, never by
+    *      data volume);
+    *   2. reads ONLY those buckets back (partition pruning on `_bucket`);
+    *   3. merges batch rows in by (key, max ordering) — replays and
+    *      out-of-order events are no-ops, so the sink stays idempotent
+    *      under at-least-once delivery;
+    *   4. rewrites ONLY the touched buckets (dynamic partition overwrite);
+    *      untouched buckets are never read or written.
+    * Per-batch I/O is O(state in touched buckets), not O(total state) —
+    * the property that survives unbounded state growth; at 100 TB
+    * `nBuckets` scales with state size exactly like ES shards / Redis
+    * hash slots in the reference (ES sized 3+5 nodes × 1 Ti,
+    * values-prod.yaml:22-28).
+    *
+    * All filesystem probes go through the Hadoop FileSystem resolved from
+    * the path, so the same code runs on file:, hdfs:, or s3a: URIs. */
   def upsertByKey(
       stream: DataFrame,
       path: String,
       key: String,
-      orderingCol: String): DataStreamWriter[Row] =
+      orderingCol: String,
+      nBuckets: Int = 64): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Update)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        // only a missing path (first batch) may fall back to empty state;
-        // any other read failure must fail the batch — a blanket catch
-        // would silently wipe accumulated sink state
-        val existing =
-          if (!new java.io.File(path).exists())
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[Row], batch.schema)
-          else spark.read.parquet(path)
-        val w = Window.partitionBy(key).orderBy(col(orderingCol).desc)
-        val merged = existing.unionByName(batch)
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
-        // two-phase write: stage then swap would be atomic on a real object
-        // store; plain overwrite keeps the local harness simple
-        merged.write.mode(SaveMode.Overwrite).parquet(path + ".tmp")
-        spark.read.parquet(path + ".tmp").write
-          .mode(SaveMode.Overwrite).parquet(path)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, batchId, path, key, orderingCol, nBuckets)
       }
+
+  /** One micro-batch of the bucketed upsert (see [[upsertByKey]]);
+    * factored out so batch callers / tests can drive it directly. */
+  private[streaming] def upsertBatch(
+      batch: DataFrame,
+      batchId: Long,
+      path: String,
+      key: String,
+      orderingCol: String,
+      nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val bucketed = batch.withColumn("_bucket", bucketOf(col(key), nBuckets))
+    val touched = bucketed.select("_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      // only a missing path (first batch) may fall back to empty state;
+      // any other read failure must fail the batch — a blanket catch
+      // would silently wipe accumulated sink state
+      val existing =
+        if (fs.exists(target))
+          spark.read.parquet(path)
+            .filter(col("_bucket").isin(touched.map(Int.box): _*))
+        else bucketed.limit(0)
+      val w = Window.partitionBy(key).orderBy(col(orderingCol).desc)
+      val merged = existing.unionByName(bucketed)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      // two-phase publish: stage the merged buckets, then swap them in via
+      // dynamic partition overwrite — only partitions present in the
+      // staged data are replaced, every other bucket's files are untouched
+      val stage = new Path(path + s".stage-$batchId")
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy("_bucket").parquet(stage.toString)
+      spark.read.parquet(stage.toString).write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(path)
+      fs.delete(stage, true)
+    }
+    ()
+  }
+
+  /** Key → state bucket. Int-typed so the hive partition directory value
+    * round-trips under partition-column type inference. */
+  private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
+
+  /** Read current sink state (the data columns, without the internal
+    * `_bucket` partition column). */
+  def readState(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("_bucket")
 
   /** A8/A9 analog: append aggregated results to a warehouse table,
     * partitioned by a date-ish column so downstream reads prune. */

@@ -33,6 +33,70 @@ class SinksAndJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertByKey rewrites only the buckets a batch touches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val nBuckets = 4
+    // pick two keys that hash to different state buckets
+    val buckets = spark.createDataset(1L to 50L).toDF("k")
+      .withColumn("b",
+        pmod(xxhash64(col("k")), lit(nBuckets.toLong)).cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kA = buckets.keys.min
+    val kB = buckets.keys.filter(buckets(_) != buckets(kA)).min
+    val (bA, bB) = (buckets(kA), buckets(kB))
+    val dir = Files.createTempDirectory("graft_bsink").toString + "/t"
+    def bucketFiles(b: Int): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_bucket=$b")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSet
+    }
+    val in = MemoryStream[(Long, Long, String)]
+    val q = Sinks.upsertByKey(
+      in.toDF().toDF("k", "lsn", "v"), dir, "k", "lsn", nBuckets)
+      .start()
+    try {
+      in.addData((kA, 10L, "a"), (kB, 20L, "b"))
+      q.processAllAvailable()
+      val filesA0 = bucketFiles(bA)
+      val filesB0 = bucketFiles(bB)
+      assert(filesA0.nonEmpty && filesB0.nonEmpty)
+      in.addData((kA, 15L, "a2")) // touches only bucket bA
+      q.processAllAvailable()
+      // partition rewrites produce fresh part-file names: bucket bA must
+      // have changed, bucket bB must be byte-for-byte untouched
+      assert(bucketFiles(bA) != filesA0, "touched bucket was not rewritten")
+      assert(bucketFiles(bB) == filesB0,
+        "batch touching only one bucket rewrote another bucket's files")
+      val state = Sinks.readState(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(state == Set((kA, 15L, "a2"), (kB, 20L, "b")))
+    } finally q.stop()
+  }
+
+  test("upsertByKey accumulates state on a file:-URI path (Hadoop FS probe)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // an explicit file: URI — a java.io.File existence probe would always
+    // say "missing", silently dropping prior state on every batch
+    val dir = "file://" +
+      Files.createTempDirectory("graft_fsink").toString + "/t"
+    val in = MemoryStream[(Long, Long, String)]
+    val q = Sinks.upsertByKey(
+      in.toDF().toDF("k", "lsn", "v"), dir, "k", "lsn")
+      .start()
+    try {
+      in.addData((1L, 10L, "a"))
+      q.processAllAvailable()
+      in.addData((2L, 20L, "b")) // second batch must keep key 1's state
+      q.processAllAvailable()
+      val state = Sinks.readState(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(state == Set((1L, 10L, "a"), (2L, 20L, "b")))
+    } finally q.stop()
+  }
+
   test("stream-static enrich broadcasts the dim side") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
