@@ -21,17 +21,21 @@ object Bench {
       graft.sources.Tables.scan(spark, sfDir, t).count()
     }
     var failed = Set.empty[String]
-    def runOnce(): Map[String, Double] = SparkEntry.queries.map {
+    // a rep where the query throws yields None — a crashing query must not
+    // read as a fast query, and its near-zero fast-fail elapsed time must
+    // not be mixed into the median either (median of mixed success/failure
+    // samples is meaningless)
+    def runOnce(): Map[String, Option[Double]] = SparkEntry.queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          // a crashing query must not read as a fast query: record it so the
-          // emitted JSON distinguishes regression from speedup
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -40,13 +44,19 @@ object Bench {
     }
     val runs = (1 to reps).map { i =>
       val r = runOnce()
-      System.err.println(f"[bench] run $i/$reps total ${r.values.sum}%.1f s")
+      System.err.println(
+        f"[bench] run $i/$reps total ${r.values.flatten.sum}%.1f s")
       r
     }
     val names = SparkEntry.queries.keys.toSeq
-    val medQ = names.map(n => n -> median(runs.map(_(n)))).toMap
-    val totals = runs.map(_.values.sum)
-    val qs = names.map(n => s"\"" + n + "\":" + medQ(n))
+    // per-query median over SUCCESSFUL reps only; null when every rep failed
+    val medQ = names.map { n =>
+      val ok = runs.flatMap(_(n))
+      n -> (if (ok.isEmpty) None else Some(median(ok)))
+    }.toMap
+    val totals = runs.map(_.values.flatten.sum)
+    val qs = names.map(n =>
+        s"\"" + n + "\":" + medQ(n).map(_.toString).getOrElse("null"))
       .mkString("{", ",", "}")
     val fs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ts = totals.map(t => f"$t%.3f").mkString("[", ",", "]")

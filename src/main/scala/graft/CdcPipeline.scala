@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions.col
   * @param keyColumns      primary key per table (compaction key)
   * @param orderingColumns source-position columns for compaction order,
   *                        most-significant first (`Seq("_lsn")` for
-  *                        Postgres; `Seq("_file", "_pos")` for MySQL
-  *                        binlog coordinates)
+  *                        Postgres; `Seq("_file_seq", "_pos")` for MySQL
+  *                        binlog coordinates — `_file_seq` is the parsed
+  *                        numeric binlog suffix, which keeps ordering
+  *                        correct when the log index rolls past 999999
+  *                        and the raw string order inverts)
   * @param deleteRewrite   `delete.handling.mode=rewrite` (false = 'drop':
   *                        delete records removed from the unwrapped flow)
   * @param keepTombstones  `drop.tombstones=false` (false = tombstones

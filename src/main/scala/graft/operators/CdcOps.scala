@@ -49,8 +49,14 @@ object CdcOps {
           col("env.ts_ms").as("_ts_ms"),
           col("env.source.lsn").as("_lsn"),
           // MySQL provenance (binlog file + position) — its ordering key is
-          // the (_file, _pos) pair, not _lsn (postgresql-connector.yaml:88-100)
+          // the (file, pos) pair, not _lsn (postgresql-connector.yaml:88-100)
           col("env.source.file").as("_file"),
+          // the COMPACTION key for the file half is the parsed numeric
+          // suffix, not the raw string: past binlog.999999 the suffix grows
+          // to 7 digits and lexicographic order inverts ("binlog.1000000" <
+          // "binlog.999999"), which would resurrect stale rows
+          regexp_extract(col("env.source.file"), "(\\d+)$", 1)
+            .cast(LongType).as("_file_seq"),
           col("env.source.pos").as("_pos"),
           col("env.source.snapshot").as("_snapshot"),
           col("_tombstone")): _*)

@@ -60,13 +60,16 @@ object CdcQueries extends QueryGroup {
     // A2: MySQL-connector compaction — binlog (file, pos) ordering across
     // a log rotation. The fixture's updates have numerically smaller pos
     // than their inserts (later file), so pos-only ordering would pick the
-    // stale insert and fail the oracle's hash compare.
+    // stale insert and fail the oracle's hash compare. The file half
+    // orders by the parsed numeric suffix (`_file_seq`) — raw-string
+    // ordering inverts when the suffix rolls past 6 digits
+    // (MySqlOrderingSpec proves the counterfactual).
     "cdc_compact_mysql" -> ((s, dir) => {
       val un = CdcOps.unwrap(Debezium.parseEnvelope(
         CdcOps.synthOrdersMySqlChangelog(s, dir), Debezium.ordersRowSchema))
       CdcOps.compactLatest(un,
         keys = Seq("o_orderkey"),
-        ordering = Seq(col("_file").desc, col("_pos").desc))
+        ordering = Seq(col("_file_seq").desc, col("_pos").desc))
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate_us", "o_orderpriority")
         .orderBy("o_orderkey")

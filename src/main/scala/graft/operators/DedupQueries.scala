@@ -51,13 +51,24 @@ object DedupQueries extends QueryGroup {
     * this many documents are dropped before candidate generation. A hot
     * "stop-shingle" (boilerplate, template text) contributes df² candidate
     * pairs — at 100 TB one such shingle joins essentially every document
-    * pair that shares it. Pairs that genuinely overlap (Jaccard ≥ τ over
-    * whole shingle sets) share many shingles, so they are still found via
-    * their rarer ones; only pairs whose ONLY overlap is boilerplate are
-    * skipped — which is the desired near-dup semantics anyway. The measured
-    * max df on the synthetic corpora is 6, so the cap is purely a scale
-    * guard there (result sets unchanged). Keep the SQL oracles' `HAVING
-    * COUNT(*) <= 50` in sync with this value. */
+    * pair that shares it.
+    *
+    * KNOWN LIMITATION — the cap bounds WORK, not RECALL. A pair is found
+    * only if it shares at least one sub-cap shingle. Two failure shapes:
+    * (a) pairs whose only overlap is boilerplate are skipped — desired,
+    * their true Jaccard is below threshold anyway; but (b) a duplicate
+    * CLUSTER with more than `maxShingleDf` near-identical copies of one
+    * template pushes EVERY shingle its members share over the cap, so all
+    * of the cluster's pairs drop out of candidate generation — recall
+    * collapses on exactly the template-spam shape large corpora contain.
+    * `dedup_ngram_jaccard` therefore misses dup clusters larger than
+    * `maxShingleDf`; the MinHash+LSH variant (`dedup_minhash_lsh`) is the
+    * scale path for those — signatures are per-document and band buckets
+    * grow linearly with cluster size, so no df cap is needed there.
+    *
+    * The measured max df on the synthetic corpora is 6, so the cap is
+    * purely a scale guard here (result sets unchanged). Keep the SQL
+    * oracles' `HAVING COUNT(*) <= 50` in sync with this value. */
   private[graft] val maxShingleDf = 50
 
   /** Candidate near-dup pairs from the df-capped inverted index: only

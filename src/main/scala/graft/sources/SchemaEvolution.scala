@@ -37,25 +37,34 @@ object SchemaEvolution {
   private val DropColumn =
     s"""(?i)ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+COLUMN\\s+(?:IF\\s+EXISTS\\s+)?([\\w"]+)\\s*$$""".r
   // Postgres `ALTER COLUMN c TYPE t` / `SET DATA TYPE t`; MySQL `MODIFY
-  // COLUMN c t`
+  // [COLUMN] c t` — the COLUMN keyword is optional and usually omitted
   private val AlterType =
-    s"""(?i)ALTER\\s+TABLE\\s+$Tbl\\s+(?:ALTER\\s+COLUMN\\s+([\\w"]+)\\s+(?:SET\\s+DATA\\s+)?TYPE|MODIFY\\s+COLUMN\\s+([\\w"]+))\\s+([\\w()\\[\\], ]+?)\\s*$$""".r
+    s"""(?i)ALTER\\s+TABLE\\s+$Tbl\\s+(?:ALTER\\s+COLUMN\\s+([\\w"]+)\\s+(?:SET\\s+DATA\\s+)?TYPE|MODIFY\\s+(?:COLUMN\\s+)?([\\w"]+))\\s+([\\w()\\[\\], ]+?)\\s*$$""".r
 
   private def unq(s: String) = s.replaceAll("\"", "")
 
   /** Debezium-typed mapping for the common Postgres DDL type names, under
-    * the configured modes (decimal-as-string, adaptive micros). */
-  def sqlTypeToSpark(t: String): DataType =
-    t.trim.toLowerCase.takeWhile(c => c != '(') match {
+    * the configured modes (decimal-as-string, adaptive micros). Postgres
+    * canonicalizes several names to MULTI-WORD forms ("double precision",
+    * "timestamp with time zone") — normalize whitespace after stripping
+    * any `(p,s)` suffix so those match instead of falling through to
+    * StringType (which would silently veto a real→double widening). */
+  def sqlTypeToSpark(t: String): DataType = {
+    val norm = t.trim.toLowerCase.takeWhile(c => c != '(')
+      .trim.replaceAll("\\s+", " ")
+    norm match {
       case "smallint" | "int" | "integer" | "serial"       => IntegerType
       case "bigint" | "bigserial"                          => LongType
       case "real"                                          => FloatType
-      case "double" | "float8"                             => DoubleType
+      case "double" | "double precision" | "float" | "float8"
+                                                           => DoubleType
       case "boolean" | "bool"                              => BooleanType
       case "numeric" | "decimal"                           => StringType // decimal.handling.mode=string
-      case "timestamp" | "timestamptz" | "time" | "date"   => LongType   // adaptive micros
+      // timestamp[tz] / time[tz] / "… with[out] time zone" / date
+      case s if s.startsWith("time") || s == "date"        => LongType   // adaptive micros
       case _                                               => StringType // text/varchar/json/unknown
     }
+  }
 
   /** Parse one DDL statement; None when unsupported (log-and-ignore). */
   def parseDdl(ddl: String): Option[SchemaChange] = ddl match {

@@ -31,7 +31,7 @@ class MySqlOrderingSpec extends SparkSpec {
     val cfg = CdcPipelineConfig(
       tables = Map("products" -> Debezium.ordersRowSchema),
       keyColumns = Map("products" -> Seq("o_orderkey")),
-      orderingColumns = Seq("_file", "_pos"))
+      orderingColumns = Seq("_file_seq", "_pos"))
     val state = new CdcPipeline(cfg).table(raw, "products")
       .select("o_orderkey", "o_orderstatus").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
@@ -43,5 +43,31 @@ class MySqlOrderingSpec extends SparkSpec {
       .select("o_orderkey", "o_orderstatus").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(wrong == Set((1L, "OLD"), (2L, "A")))
+  }
+
+  test("binlog ordering survives the suffix rolling past 6 digits") {
+    import spark.implicits._
+    // when the index grows from binlog.999999 to binlog.1000000 the raw
+    // string order INVERTS ("binlog.1000000" < "binlog.999999") — the
+    // parsed numeric suffix (_file_seq) keeps the true order
+    val raw = Seq(
+      ("prod.mysql.products", "k", env(1, "binlog.999999", 900, "OLD")),
+      ("prod.mysql.products", "k", env(1, "binlog.1000000", 5, "NEW")))
+      .toDF("topic", "key", "value")
+    val cfg = CdcPipelineConfig(
+      tables = Map("products" -> Debezium.ordersRowSchema),
+      keyColumns = Map("products" -> Seq("o_orderkey")),
+      orderingColumns = Seq("_file_seq", "_pos"))
+    val state = new CdcPipeline(cfg).table(raw, "products")
+      .select("o_orderkey", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state == Set((1L, "NEW")))
+    // raw-string file ordering resurrects the stale row — counterfactual
+    val wrong = new CdcPipeline(
+      cfg.copy(orderingColumns = Seq("_file", "_pos")))
+      .table(raw, "products")
+      .select("o_orderkey", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(wrong == Set((1L, "OLD")))
   }
 }

@@ -25,6 +25,26 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(!out.contains("unknown_table"))
   }
 
+  test("multi-word Postgres type names and MySQL MODIFY shorthand parse") {
+    // Postgres canonicalizes to 'double precision' — must widen real→double
+    val reg = Map("t" -> StructType(Seq(
+      StructField("r", FloatType), StructField("i", IntegerType),
+      StructField("f", FloatType))))
+    val out = SchemaEvolution.evolve(reg, Seq(
+      "ALTER TABLE t ALTER COLUMN r TYPE double precision",
+      // MySQL's usual spelling omits the COLUMN keyword
+      "ALTER TABLE t MODIFY i bigint",
+      // bare 'float' is double precision in Postgres
+      "ALTER TABLE t ALTER COLUMN f TYPE float",
+      "ALTER TABLE t ADD COLUMN ts timestamp with time zone",
+      "ALTER TABLE t ADD COLUMN d double precision"))("t")
+    assert(out("r").dataType == DoubleType)
+    assert(out("i").dataType == LongType)
+    assert(out("f").dataType == DoubleType)
+    assert(out("ts").dataType == LongType)   // adaptive micros
+    assert(out("d").dataType == DoubleType)
+  }
+
   test("old envelopes parse under the evolved schema with null new column") {
     import spark.implicits._
     val oldEnv =
