@@ -177,43 +177,13 @@ object DedupQueries extends QueryGroup {
     }),
 
     // op 45e: near-dup clusters — connected components over the exact
-    // Jaccard pair graph by iterative min-label propagation (each round:
-    // one join + one aggregate; rounds ≈ graph diameter, which for
-    // near-dup graphs is tiny). The driver loop only orchestrates —
-    // every iteration is a distributed join, nothing is collected except
-    // the 1-row convergence check. Oracle: recursive-CTE transitive
-    // closure (viable in DuckDB because the pair graph is small; the
-    // Spark form is the one that scales).
+    // Jaccard pair graph (see [[connectedComponents]]). Oracle:
+    // recursive-CTE transitive closure (viable in DuckDB because the
+    // pair graph is small; the Spark form is the one that scales).
     "dedup_clusters" -> ((s, dir) => {
       val pairs = jaccardPairs(shingles(s, dir), 0.5)
         .select(col("da"), col("db"))
-      // materialize the pair graph once — every iteration (and every
-      // convergence check) would otherwise recompute the full
-      // inverted-index Jaccard join through lineage
-      val edges = pairs
-        .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
-        .localCheckpoint()
-      val verts = edges.select(col("da").as("v")).distinct()
-      var labels = verts.withColumn("lbl", col("v"))
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val nbrMin = edges
-          .join(labels, edges("db") === labels("v"))
-          .groupBy(edges("da").as("v2"))
-          .agg(min(col("lbl")).as("nbl"))
-        var next = labels.join(nbrMin, labels("v") === col("v2"), "left")
-          .select(col("v"),
-            least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-        // truncate the growing iterative lineage only every few rounds —
-        // eager localCheckpoint is one extra job per call, and near-dup
-        // graphs converge in a handful of rounds anyway
-        if (rounds % 3 == 2) next = next.localCheckpoint()
-        converged = next.join(labels.withColumnRenamed("lbl", "old"), "v")
-          .filter(col("lbl") =!= col("old")).limit(1).count() == 0
-        labels = next
-        rounds += 1
-      }
+      val (labels, _) = connectedComponents(pairs)
       labels.groupBy(col("lbl").as("component"))
         .agg(count(lit(1)).as("size"),
           // joined to a string: the driver's pandas compare cannot hash
@@ -245,6 +215,61 @@ object DedupQueries extends QueryGroup {
         .filter(col("cosine") >= 0.35)
         .orderBy("va", "vb")
     }))
+
+  /** Connected components over an undirected pair graph `(da, db)` by
+    * iterative min-label propagation; returns `(labels (v, lbl), rounds)`
+    * where `lbl` is the component id (= min member).
+    *
+    * Scale design: every round is one distributed join + aggregate;
+    * rounds ≈ graph diameter, which for near-dup graphs is tiny. The
+    * driver only orchestrates — nothing row-sized is ever collected.
+    *
+    * Exactly ONE Spark action per round: the round's labels carry an
+    * `observe` metric counting changed labels, and a single `count()` on
+    * the cached result both materializes the round (so the next
+    * iteration — and the convergence decision — never recompute it
+    * through lineage) and delivers the convergence metric as a
+    * side-effect. The old shape (lazy `next` + separate probe
+    * join/count) computed every round twice. */
+  private[graft] def connectedComponents(
+      pairs: DataFrame): (DataFrame, Int) = {
+    // materialize the symmetrized edge list once — every round would
+    // otherwise recompute the candidate-pair engine through lineage
+    val edges = pairs
+      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+      .localCheckpoint()
+    val verts = edges.select(col("da").as("v")).distinct()
+    var labels = verts.withColumn("lbl", col("v"))
+    var cachedPrev: DataFrame = null
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = edges
+        .join(labels, edges("db") === labels("v"))
+        .groupBy(edges("da").as("v2"))
+        .agg(min(col("lbl")).as("nbl"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = labels.join(nbrMin, labels("v") === col("v2"), "left")
+        .select(labels("v").as("v"),
+          least(labels("lbl"), coalesce(col("nbl"), labels("lbl")))
+            .as("lbl"),
+          labels("lbl").as("_old"))
+        .observe(obs, sum(when(col("lbl") =!= col("_old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .drop("_old")
+        .cache()
+      next.count() // the round's single action (metric rides along)
+      converged = (obs.get.get("changed") match {
+        case Some(n: Long) => n
+        case _             => 0L // empty vertex set → no metric row
+      }) == 0L
+      if (cachedPrev != null) cachedPrev.unpersist()
+      cachedPrev = next
+      labels = next
+      rounds += 1
+    }
+    (labels, rounds)
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->

@@ -12,10 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * compose into the real cleaning flow a 100 TB corpus runs through, and
   * the whole composition stays DuckDB-oracle-checkable.
   *
-  * Near-dup removal policy: from each near-dup pair (Jaccard ≥ 0.5 over
-  * 4-word shingles) the lower doc_id survives — the standard greedy
-  * keep-first rule, chosen over connected-components because it is
-  * deterministic, one join deep, and SQL-expressible (CC needs iteration).
+  * Two near-dup removal policies, both graded:
+  *   - `pipeline_clean_corpus` (greedy): from each near-dup pair
+  *     (Jaccard ≥ 0.5 over 4-word shingles) the lower doc_id survives —
+  *     deterministic, one join deep, SQL-expressible. On a chain A~B~C it
+  *     keeps BOTH A and C even though each is a near-dup of B.
+  *   - `pipeline_clean_corpus_cc` (connected components): one survivor —
+  *     the min doc_id — per near-dup COMPONENT, the policy production
+  *     dedup pipelines use; reuses [[DedupQueries.connectedComponents]]
+  *     (min-label propagation, oracle = recursive-CTE closure).
   * Docs failing the quality/language gates never enter pair generation, so
   * the expensive stage runs on the reduced corpus — filter early, always.
   */
@@ -35,18 +40,39 @@ object PipelineQueries extends QueryGroup {
         && col("lang").isin("en", "de", "es", "fr"))
   }
 
+  /** Gated docs + their near-dup pairs (shared by both cleaning policies).
+    * The pair engine is DedupQueries' df-capped inverted index: candidate
+    * generation drops stop-shingles, verify is full-set exact. */
+  private def gatedWithPairs(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = gated(s, dir)
+    val sh = docs
+      .select(col("doc_id"),
+        explode(VectorFunctions.wordShingles(lower(trim(col("text"))), 4))
+          .as("s"))
+      .distinct()
+    (docs, DedupQueries.jaccardPairs(sh, 0.5))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> ((s, dir) => {
-      val docs = gated(s, dir)
-      val sh = docs
-        .select(col("doc_id"),
-          explode(VectorFunctions.wordShingles(lower(trim(col("text"))), 4))
-            .as("s"))
-        .distinct()
-      // shared df-capped inverted-index near-dup pairs (DedupQueries):
-      // candidate generation drops stop-shingles, verify is full-set exact
-      val dropped = DedupQueries.jaccardPairs(sh, 0.5)
-        .select(col("db").as("doc_id")).distinct()
+      val (docs, pairs) = gatedWithPairs(s, dir)
+      val dropped = pairs.select(col("db").as("doc_id")).distinct()
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // CC policy: a near-dup component keeps exactly its min doc_id; on a
+    // chain A~B~C greedy keeps {A, C}, CC keeps {A} (B and C transitively
+    // near-dup A). Labels come from distributed min-label propagation —
+    // no all-pairs closure is ever materialized.
+    "pipeline_clean_corpus_cc" -> ((s, dir) => {
+      val (docs, pairs) = gatedWithPairs(s, dir)
+      val (labels, _) = DedupQueries.connectedComponents(
+        pairs.select(col("da"), col("db")))
+      val dropped = labels.filter(col("lbl") =!= col("v"))
+        .select(col("v").as("doc_id"))
       docs.join(dropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy("doc_id")
@@ -89,6 +115,52 @@ object PipelineQueries extends QueryGroup {
         |  JOIN sizes sa ON da = sa.doc_id
         |  JOIN sizes sb ON db = sb.doc_id
         |  WHERE common / (sa.n + sb.n - common) >= 0.5)
+        |SELECT doc_id, lang, n_tokens FROM g2
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_clean_corpus_cc" ->
+      """WITH RECURSIVE gated AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INT)
+        |      AS n_tokens,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|to|in|is|it)\b')) AS n_stop
+        |  FROM documents
+        |  WHERE lang IN ('en','de','es','fr')),
+        |g2 AS (SELECT * FROM gated
+        |  WHERE n_tokens >= 20
+        |    AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.45),
+        |toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM g2),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS sg
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |rare AS (SELECT sg FROM sh GROUP BY sg HAVING COUNT(*) <= 50),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN rare r ON a.sg = r.sg
+        |  JOIN sh b ON b.sg = a.sg AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT c.da, c.db, COUNT(*) AS common
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db AND b.sg = a.sg
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT da, db FROM pairs
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE common / (sa.n + sb.n - common) >= 0.5),
+        |e AS (SELECT da, db FROM jp UNION SELECT db, da FROM jp),
+        |reach(v, r) AS (
+        |  SELECT da AS v, da AS r FROM e
+        |  UNION
+        |  SELECT e.da, reach.r FROM e JOIN reach ON e.db = reach.v),
+        |dropped AS (SELECT v AS doc_id FROM reach
+        |  GROUP BY v HAVING MIN(r) <> v)
         |SELECT doc_id, lang, n_tokens FROM g2
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin)

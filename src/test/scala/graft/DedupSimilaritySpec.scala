@@ -105,6 +105,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(pairs.head.getDouble(2) - 4.0 / 6.0) < 1e-12)
   }
 
+  test("connected components: one Spark action per propagation round") {
+    import spark.implicits._
+    // two chains + a pair: path 20-21-22-23 forces multiple rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("da", "db")
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val listener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = { actions.incrementAndGet(); () }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+    spark.listenerManager.register(listener)
+    try {
+      val (labels, rounds) =
+        operators.DedupQueries.connectedComponents(pairs)
+      // listener delivery is async — wait until the count stabilizes
+      var last = -1
+      var cur = actions.get
+      while (cur != last) { Thread.sleep(500); last = cur; cur = actions.get }
+      assert(rounds >= 3, s"path graph should need several rounds: $rounds")
+      // one count per round, plus at most bookkeeping for the edge-list
+      // checkpoint — the old lazy-probe shape was ≥ 2 per round
+      assert(cur <= rounds + 2, s"$cur actions for $rounds rounds")
+      val comps = labels.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val df = DedupQueries.queries("dedup_embedding")(spark, sfDir)
       .collect()
