@@ -101,13 +101,15 @@ object SimilarityQueries extends QueryGroup {
     }),
 
     // scale path 2: IVF (inverted-file) ANN — coarse-quantize vectors to
-    // k=16 centroids (deterministic seeds + one Lloyd iteration), build
-    // inverted lists, then each query probes only its nprobe=2 nearest
-    // lists. The billion-scale layout: lists are partition-pruned reads,
-    // the full corpus is never scanned per query. Rows-only (k-means
-    // assignment has no SQL-oracle twin); recall contract in
-    // DedupSimilaritySpec.
-    "sim_ann_ivf" -> ((s, dir) => ivfTopK(s, dir, kCentroids = 16, nprobe = 2)),
+    // k=16 centroids (deterministic seeds + three Lloyd re-centering
+    // iterations, enough for the coarse quantizer to settle on clustered
+    // data), build inverted lists, then each query probes only its
+    // nprobe=2 nearest lists. The billion-scale layout: lists are
+    // partition-pruned reads, the full corpus is never scanned per query.
+    // Rows-only (k-means assignment has no SQL-oracle twin); recall
+    // contracts in DedupSimilaritySpec (≥ 0.5 at nprobe=4).
+    "sim_ann_ivf" -> ((s, dir) =>
+      ivfTopK(s, dir, kCentroids = 16, nprobe = 2, lloydIters = 3)),
 
     // label centroid similarity: per-cluster mean vector, then pairwise
     // centroid cosine — the IVF coarse-quantizer building block (exact,

@@ -54,7 +54,7 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recalls = Seq(1, 2, 4).map { np =>
       val hits = SimilarityQueries.ivfTopK(spark, sfDir,
-        kCentroids = 16, nprobe = np)
+        kCentroids = 16, nprobe = np, lloydIters = 3)
         .select("qid", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       np -> hits.intersect(brute).size.toDouble / brute.size
@@ -63,6 +63,10 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recalls.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a })
     assert(recalls.last._2 > recalls.head._2,
       s"wider probe should help on clustered data: $recalls")
+    // deployment-knob floor: a quarter of the lists probed must recover
+    // at least half of the exact top-k on this clustered corpus
+    assert(recalls.last._2 >= 0.5,
+      s"recall at nprobe=4 below floor: ${recalls.last._2}")
   }
 
   test("IVF ANN recall against brute force is usable") {
