@@ -330,6 +330,77 @@ object CdcOps {
     inserts.unionByName(updates).unionByName(replays).unionByName(deletes)
   }
 
+  // ---------------------------------------------------------------------
+  // A3: MongoDB change-stream change log. Mongo envelopes carry the
+  // document as a JSON STRING in before/after (extended JSON), order by
+  // (ts_ms, ord), and a delete's document key lives only in the record
+  // key. The fixture mirrors the Postgres event mix (insert every order,
+  // update %10 to 'X' with the %20 replay, delete %7) so the expected
+  // compacted state — and therefore the oracle SQL — is identical.
+  // ---------------------------------------------------------------------
+
+  private def mongoSource(ord: Column): Column = struct(
+    lit("2.4.0.Final").as("version"),
+    lit("mongodb").as("connector"),
+    lit("mongo-prod").as("name"),
+    epochMs(col("o_orderdate")).as("ts_ms"),
+    lit("production").as("db"),
+    lit("rs0").as("rs"),
+    lit("orders").as("collection"),
+    ord.cast(LongType).as("ord"),
+    lit("false").as("snapshot"))
+
+  /** Mongo value envelope: the document rides as a JSON string — a
+    * StringType field inside to_json serializes as an escaped JSON
+    * string, exactly the double-encoded Mongo wire shape. */
+  private def mongoEnvelope(
+      before: Column, after: Column, op: String, ord: Column): Column =
+    to_json(struct(
+      before.as("before"),
+      after.as("after"),
+      mongoSource(ord).as("source"),
+      lit(op).as("op"),
+      epochMs(col("o_orderdate")).as("ts_ms")))
+
+  /** Kafka-record-shaped Mongo change log for `orders` (see block comment
+    * above). Deletes carry NO document image — only the record key names
+    * the document, as Mongo change streams do without pre-images. */
+  def synthOrdersMongoChangelog(
+      spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "mongo")(buildOrdersMongoChangelog(spark, sfDir))
+
+  private def buildOrdersMongoChangelog(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.scan(spark, sfDir, "orders")
+    val k = col("o_orderkey")
+    val topic = lit("prod.mongo.orders")
+    val keyJson = to_json(struct(col("o_orderkey")))
+    val nullDoc = lit(null).cast(StringType)
+    def doc(status: Column): Column = to_json(ordersRow(status))
+
+    val inserts = o.select(
+      topic.as("topic"), keyJson.as("key"),
+      mongoEnvelope(nullDoc, doc(col("o_orderstatus")), "c", lit(1))
+        .as("value"))
+
+    // same BSON-timestamp second as the insert, later ordinal — ord is
+    // what breaks the tie, the shape (ts_ms, ord) ordering exists for
+    val updates = o.filter(k % 10 === 0).select(
+      topic.as("topic"), keyJson.as("key"),
+      mongoEnvelope(nullDoc, doc(lit("X")), "u", lit(2)).as("value"))
+
+    val replays = o.filter(k % 20 === 0).select(
+      topic.as("topic"), keyJson.as("key"),
+      mongoEnvelope(nullDoc, doc(lit("X")), "u", lit(2)).as("value"))
+
+    // delete: no before/after image at all — key-only
+    val deletes = o.filter(k % 7 === 0).select(
+      topic.as("topic"), keyJson.as("key"),
+      mongoEnvelope(nullDoc, nullDoc, "d", lit(3)).as("value"))
+
+    inserts.unionByName(updates).unionByName(replays).unionByName(deletes)
+  }
+
   /** A5: split the record flow into data events vs schema-change (DDL)
     * events. The reference captures DDL to a side topic
     * (`schema-changes.prod.postgres`, postgresql-connector.yaml:44-46);

@@ -75,6 +75,22 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // A3: MongoDB-connector compaction — change-stream envelope variant
+    // (document as JSON string, delete = key-only event) through the
+    // unified parse seam; ordering key is Mongo's (ts_ms, ord), with ord
+    // riding the integer-position slot (_pos). Same fixture event mix →
+    // same oracle as cdc_compact.
+    "cdc_compact_mongo" -> ((s, dir) => {
+      val un = CdcOps.unwrap(Debezium.parseMongoEnvelope(
+        CdcOps.synthOrdersMongoChangelog(s, dir), Debezium.ordersRowSchema))
+      CdcOps.compactLatest(un,
+        keys = Seq("o_orderkey"),
+        ordering = Seq(col("_ts_ms").desc, col("_pos").desc))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate_us", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // A4: snapshot-then-stream — op='r' bulk snapshot (lsn=0) ∪ WAL tail
     // (updates/deletes only, no base inserts); compaction must let the
     // tail supersede snapshot rows per key. Same expected state as
@@ -149,6 +165,14 @@ object CdcQueries extends QueryGroup {
         |ORDER BY o_orderkey""".stripMargin),
 
     "cdc_compact_mysql" -> (baseCte +
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate_us, o_orderpriority
+        |FROM base WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "cdc_compact_mongo" -> (baseCte +
       """SELECT o_orderkey, o_custkey,
         |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
         |         AS o_orderstatus,

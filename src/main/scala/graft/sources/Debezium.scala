@@ -84,6 +84,81 @@ object Debezium {
       .withColumn("_corrupt",
         col("value").isNotNull && col("env.op").isNull)
 
+  /** Debezium MongoDB `source` block (A3). Mongo provenance differs from
+    * the relational connectors: the position is `(ts_ms, ord)` — change
+    * streams order by BSON timestamp (seconds) + ordinal within the
+    * second — and the namespace is `(db, collection)`, `rs` names the
+    * replica set (reference declares the connector: README.md:8,42;
+    * disabled at values.yaml:60-61). */
+  val mongoSourceSchema: StructType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("connector", StringType),
+    StructField("name", StringType),
+    StructField("ts_ms", LongType),
+    StructField("db", StringType),
+    StructField("rs", StringType),
+    StructField("collection", StringType),
+    StructField("ord", LongType),
+    StructField("snapshot", StringType)))
+
+  /** Mongo change-event envelope: unlike the relational connectors,
+    * `before`/`after` carry the document as a JSON **string** (extended
+    * JSON), not an inline struct. */
+  val mongoEnvelopeSchema: StructType = StructType(Seq(
+    StructField("before", StringType),
+    StructField("after", StringType),
+    StructField("source", mongoSourceSchema),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType)))
+
+  /** A3: parse Mongo change events into the SAME unified `env` shape the
+    * relational [[parseEnvelope]] produces, so `CdcOps.unwrap`,
+    * compaction, and every downstream operator run unchanged — the
+    * envelope-variant seam the schema registry model promises.
+    *
+    * Mapping decisions (documented contract):
+    *   - the doc JSON strings parse with the per-collection row schema
+    *     (second `from_json` — still codegen'd, no UDF);
+    *   - `source.collection` → `source.table`, `source.ord` → `source.pos`
+    *     (Mongo's ordering key is `(ts_ms, ord)`; ts_ms is first-class, so
+    *     `ord` rides the integer-position slot and compaction orders by
+    *     `Seq($"_ts_ms".desc, $"_pos".desc)`); `lsn`/`file`/`txId` are
+    *     null — nothing fabricates a WAL position;
+    *   - a DELETE has `after = null` and no before-image unless pre-images
+    *     are enabled; the document key lives in the Kafka record KEY, so
+    *     the key JSON is parsed as the (partial, PK-only) before row —
+    *     exactly the `{id, __deleted:true}` rewrite Mongo's
+    *     ExtractNewDocumentState SMT emits. */
+  def parseMongoEnvelope(raw: DataFrame, rowSchema: StructType): DataFrame =
+    raw.withColumn("_menv",
+        // same Generate fence as parseEnvelope: one outer parse per record
+        explode(array(from_json(col("value"), mongoEnvelopeSchema))))
+      .withColumn("_tombstone", col("value").isNull)
+      .withColumn("_corrupt",
+        col("value").isNotNull && col("_menv.op").isNull)
+      .withColumn("env", struct(
+        coalesce(
+          from_json(col("_menv.before"), rowSchema),
+          when(col("_menv.op") === "d", from_json(col("key"), rowSchema)))
+          .as("before"),
+        from_json(col("_menv.after"), rowSchema).as("after"),
+        struct(
+          col("_menv.source.version").as("version"),
+          col("_menv.source.connector").as("connector"),
+          col("_menv.source.name").as("name"),
+          col("_menv.source.ts_ms").as("ts_ms"),
+          col("_menv.source.db").as("db"),
+          col("_menv.source.rs").as("schema"),
+          col("_menv.source.collection").as("table"),
+          lit(null).cast(LongType).as("txId"),
+          lit(null).cast(LongType).as("lsn"),
+          lit(null).cast(StringType).as("file"),
+          col("_menv.source.ord").as("pos"),
+          col("_menv.source.snapshot").as("snapshot")).as("source"),
+        col("_menv.op").as("op"),
+        col("_menv.ts_ms").as("ts_ms")))
+      .drop("_menv")
+
   /** Row schema for the synthesized `orders` change-log fixtures, with the
     * configured type modes applied: price decimal-as-string, timestamp as
     * epoch micros (see object doc). */
