@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryGroup
+import graft.multimodal.MediaPipeline
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -41,6 +42,47 @@ object MultimodalQueries extends QueryGroup {
           ceil(octet_length(col("payload")) / lit(64.0)).cast("long")
             .as("n_chunks"))
         .orderBy("doc_id")
+    }),
+
+    // resize through the typed mapPartitions seam (MediaPipeline stub:
+    // deterministic stride-downsample standing in for a codec+scaler).
+    // The stub's arithmetic is simple enough to state in SQL, so the
+    // distributed seam gets a FULL oracle: output length must equal
+    // ceil(len / ratio) with ratio = max(1, ceil(w*h / 1024)), and the
+    // first payload byte survives downsampling (index 0 is kept).
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      MediaPipeline.mediaTable(s, dir)
+        .mapPartitions { it =>
+          // real scaler/codec init would happen once here, per task
+          it.map(m => MediaPipeline.resizeStub(m, 32, 32))
+        }
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          octet_length(col("payload")).as("payload_len"),
+          substring(hex(col("payload")), 1, 2).as("first_byte_hex"))
+        .orderBy("media_id")
+    }),
+
+    // audio feature extraction over the stub seam: per-frame energies
+    // (mean |signed byte| per 32-byte frame — the MFCC/energy extractor
+    // shape). Rows-only: byte-level signed arithmetic has no tractable
+    // DuckDB twin; MediaPipelineSpec pins frame counts + energy values.
+    "mm_audio" -> ((s, dir) => {
+      import s.implicits._
+      MediaPipeline.mediaTable(s, dir)
+        .filter(col("media_kind") === 1) // audio rows only
+        .as[graft.multimodal.MediaRecord]
+        .mapPartitions { it =>
+          it.map { m =>
+            val e = MediaPipeline.audioFeaturesStub(m)
+            (m.media_id, e.length,
+              if (e.isEmpty) 0.0 else e.sum / e.length,
+              if (e.isEmpty) 0.0 else e.max)
+          }
+        }
+        .toDF("media_id", "n_frames", "mean_energy", "peak_energy")
+        .orderBy("media_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -52,5 +94,21 @@ object MultimodalQueries extends QueryGroup {
         |  CAST(octet_length(encode(text)) AS INT) AS payload_len,
         |  substr(hex(encode(text)), 1, 16) AS header_hex,
         |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST(n_chars % 64 + 16 AS INT) AS w0,
+        |    CAST(n_chars % 48 + 16 AS INT) AS h0,
+        |    octet_length(encode(text)) AS len,
+        |    substr(hex(encode(text)), 1, 2) AS fb
+        |  FROM documents),
+        |r AS (SELECT media_id, len, fb,
+        |    GREATEST(1, CAST(ceil(CAST(w0 AS DOUBLE) * h0 / 1024.0) AS INT))
+        |      AS ratio
+        |  FROM m)
+        |SELECT media_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+        |  CAST(ceil(CAST(len AS DOUBLE) / ratio) AS INT) AS payload_len,
+        |  fb AS first_byte_hex
+        |FROM r ORDER BY media_id""".stripMargin)
 }

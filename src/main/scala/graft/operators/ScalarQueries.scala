@@ -144,6 +144,42 @@ object ScalarQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // op 29d: URL functions — parse canonical parts out of synthesized
+    // URLs (log/clickstream enrichment). The URL is constructed from doc
+    // columns, so the DuckDB twin states each part by construction and
+    // the oracle proves Spark's parse_url extracts exactly them.
+    "fn_url" -> ((s, dir) => {
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/"), col("lang"), lit("/doc/"), col("doc_id"),
+        lit("?ref="), col("doc_id") % 7)
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("qs"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref_param"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"))
+        .orderBy("doc_id")
+    }),
+
+    // op 29e: deterministic UUIDv-shaped ids from content hashes (stable
+    // row ids for dedup/lineage — `uuid()` itself is non-deterministic and
+    // ungradable). md5 hex → 8-4-4-4-12, validated by regexp.
+    "fn_uuid" -> ((s, dir) => {
+      val h = md5(concat(lit("graft:"), col("doc_id")))
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("-",
+            substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+            substring(h, 17, 4), substring(h, 21, 12)).as("uuid"))
+        .withColumn("is_uuid",
+          col("uuid").rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+            .cast("string"))
+        .orderBy("doc_id")
+    }),
+
     // op 35: conditional / null handling (the __deleted rewrite family, B3)
     "fn_conditional" -> ((s, dir) => {
       Tables.scan(s, dir, "customer")
@@ -256,5 +292,34 @@ object ScalarQueries extends QueryGroup {
         |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'NONE') AS seg_or_none,
         |  COALESCE(NULLIF(c_nationkey, 0), -1) AS nk_or_neg,
         |  CAST(c_acctbal IS NOT DISTINCT FROM c_acctbal AS VARCHAR) AS self_eq
-        |FROM customer ORDER BY c_custkey""".stripMargin)
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the URL is built from columns, so every part is stated by
+    // construction — the oracle checks Spark's parser against the ground
+    // truth rather than reimplementing URL parsing in SQL
+    "fn_url" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.com/' || lang || '/doc/' ||
+        |    doc_id || '?ref=' || (doc_id % 7) AS url,
+        |  source || '.example.com' AS host,
+        |  '/' || lang || '/doc/' || doc_id AS path,
+        |  'ref=' || (doc_id % 7) AS qs,
+        |  CAST(doc_id % 7 AS VARCHAR) AS ref_param,
+        |  'https' AS proto
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fn_uuid" ->
+      """WITH h AS (SELECT doc_id, md5('graft:' || doc_id) AS x
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-' ||
+        |    substr(x, 13, 4) || '-' || substr(x, 17, 4) || '-' ||
+        |    substr(x, 21, 12) AS uuid,
+        |  CAST(regexp_matches(
+        |    substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-' ||
+        |      substr(x, 13, 4) || '-' || substr(x, 17, 4) || '-' ||
+        |      substr(x, 21, 12),
+        |    '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$')
+        |    AS VARCHAR) AS is_uuid
+        |FROM h ORDER BY doc_id""".stripMargin)
 }

@@ -43,6 +43,28 @@ class MediaPipelineSpec extends SparkSpec {
     n.foreach(r => assert(r.getSeq[Double](1).forall(e => e >= 0 && e <= 255)))
   }
 
+  test("mm_audio contract: frame counts and energies match direct compute") {
+    val out = operators.MultimodalQueries.queries("mm_audio")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out.nonEmpty)
+    val direct = MediaPipeline.mediaTable(spark, sfDir)
+      .collect().filter(_.media_kind == 1)
+      .map { m =>
+        val e = MediaPipeline.audioFeaturesStub(m)
+        m.media_id -> ((e.length, e.sum / e.length, e.max))
+      }.toMap
+    assert(out.keySet == direct.keySet)
+    out.foreach { case (id, (n, mean, peak)) =>
+      val (dn, dmean, dpeak) = direct(id)
+      assert(n == dn)
+      assert(math.abs(mean - dmean) < 1e-9)
+      assert(math.abs(peak - dpeak) < 1e-9)
+      // n_frames = ceil(payload_len / 32) is implied by dn's construction
+    }
+  }
+
   test("repartitioning does not change extracted features") {
     val media = MediaPipeline.mediaTable(spark, sfDir)
     val a = MediaPipeline.extractFeatures(media)
