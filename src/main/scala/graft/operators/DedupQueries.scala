@@ -105,6 +105,35 @@ object DedupQueries extends QueryGroup {
       sh: DataFrame, tau: Double, maxDf: Int = maxShingleDf): DataFrame =
     verifyJaccard(candidatePairs(sh, maxDf), sh, tau)
 
+  /** MinHash+LSH candidate pairs: 32-hash signature per document (codegen'd
+    * kernel — hash each shingle once, derive 32 universal-hash families),
+    * 8 bands × 4 rows, candidates from the band-bucket equi-join —
+    * O(near-dup pairs), not O(n²).
+    *
+    * Cap-IMMUNE, unlike [[candidatePairs]]: signature cost is per-document
+    * and a duplicate cluster of any size lands in shared buckets at linear
+    * cost, so the template-spam clusters the df-cap silently drops are
+    * still found here (DedupSimilaritySpec proves the counterfactual). */
+  private[graft] def lshCandidatePairs(sh: DataFrame): DataFrame = {
+    val sig = sh.groupBy("doc_id")
+      .agg(collect_set(col("s")).as("shs"))
+      .select(col("doc_id"),
+        VectorFunctions.minhashSig(col("shs"), 32).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(7)), b => struct(
+        b.as("band"),
+        xxhash64(
+          element_at(col("sig"), b * 4 + 1),
+          element_at(col("sig"), b * 4 + 2),
+          element_at(col("sig"), b * 4 + 3),
+          element_at(col("sig"), b * 4 + 4)).as("bh")))).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bh"))
+    bands.toDF("da", "band", "bh")
+      .join(bands.toDF("db", "band", "bh"), Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // op 44: exact dedup — group by key, keep deterministic representative
     // (min event_id), report copy count. dropDuplicates would keep an
@@ -121,34 +150,15 @@ object DedupQueries extends QueryGroup {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       jaccardPairs(shingles(s, dir), 0.5).orderBy("da", "db")),
 
-    // op 45b: MinHash+LSH near-dup — 32 hashes, 8 bands × 4 rows; candidates
-    // from band-bucket join, then exact-Jaccard verify on candidates only.
-    // No DuckDB oracle (xxhash64 is Spark-specific); LSH-vs-exact recall is
-    // asserted in DedupSpec instead.
+    // op 45b: MinHash+LSH near-dup — candidates from the band-bucket join
+    // (see [[lshCandidatePairs]]), then exact-Jaccard verify on candidates
+    // only: common-shingle counts via equi-join on (db, s) — work is
+    // O(candidate pairs × shingles/doc). No DuckDB oracle (xxhash64 is
+    // Spark-specific); LSH-vs-exact recall is asserted in
+    // DedupSimilaritySpec instead.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val sh = shingles(s, dir)
-      val sig = sh.groupBy("doc_id")
-        .agg(collect_set(col("s")).as("sh"))
-        .select(col("doc_id"),
-          // codegen'd kernel: hash each shingle once, derive 32 universal-
-          // hash families — vs 32 full interpreted rehashes per shingle
-          VectorFunctions.minhashSig(col("sh"), 32).as("sig"))
-      val bands = sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(7)), b => struct(
-          b.as("band"),
-          xxhash64(
-            element_at(col("sig"), b * 4 + 1),
-            element_at(col("sig"), b * 4 + 2),
-            element_at(col("sig"), b * 4 + 3),
-            element_at(col("sig"), b * 4 + 4)).as("bh")))).as("e"))
-        .select(col("doc_id"), col("e.band"), col("e.bh"))
-      val cand = bands.toDF("da", "band", "bh")
-        .join(bands.toDF("db", "band", "bh"), Seq("band", "bh"))
-        .filter(col("da") < col("db"))
-        .select("da", "db").distinct()
-      // exact-Jaccard verify on candidates only: common-shingle counts via
-      // equi-join on (db, s) — work is O(candidate pairs × shingles/doc)
-      verifyJaccard(cand, sh, 0.5).orderBy("da", "db")
+      verifyJaccard(lshCandidatePairs(sh), sh, 0.5).orderBy("da", "db")
     }),
 
     // op 45c: SimHash — tf-weighted 64-bit signature; pairs at Hamming ≤ 3

@@ -57,8 +57,7 @@ object TimeSeriesQueries extends QueryGroup {
               - col("prev").cast("timestamp").cast("long") >= 1800,
             1).otherwise(0))
         .withColumn("sid", sum(col("new_s")).over(
-          Window.partitionBy("user_id").orderBy("ts", "event_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       sessions
         .groupBy("user_id", "sid")
         .agg(

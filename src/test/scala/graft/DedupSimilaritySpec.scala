@@ -109,6 +109,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(pairs.head.getDouble(2) - 4.0 / 6.0) < 1e-12)
   }
 
+  test("MinHash+LSH finds the dup clusters the df-cap drops") {
+    import spark.implicits._
+    // 60 near-identical copies of one template (6 shared shingles + 1 own
+    // each → pairwise jaccard 6/8 = 0.75). Every shared shingle has
+    // df = 60 > cap, so the capped inverted index yields NO candidates —
+    // the documented recall collapse. LSH signatures are per-document, so
+    // the cluster still buckets together at linear cost.
+    val sh = (1L to 60L).flatMap(d =>
+      (1 to 6).map(i => (d, s"template shingle $i phrase")) :+
+        ((d, s"own $d tail")))
+      .toDF("doc_id", "s")
+    val capped = operators.DedupQueries
+      .candidatePairs(sh, operators.DedupQueries.maxShingleDf)
+    assert(capped.count() == 0, "df-cap should drop the whole cluster")
+    val lsh = operators.DedupQueries.lshCandidatePairs(sh)
+    val verified = operators.DedupQueries.verifyJaccard(lsh, sh, 0.5)
+      .collect()
+    // 8 bands × 4 rows at j=0.75 → P(pair found) ≈ 0.95; demand the bulk
+    // of the C(60,2)=1770 pairs and exact jaccard on every one found
+    assert(verified.length >= 1500,
+      s"LSH recall collapsed on the dup cluster: ${verified.length}/1770")
+    verified.foreach(r => assert(math.abs(r.getDouble(2) - 0.75) < 1e-12))
+  }
+
   test("connected components: one Spark action per propagation round") {
     import spark.implicits._
     // two chains + a pair: path 20-21-22-23 forces multiple rounds
