@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryGroup
 import graft.functions.VectorFunctions
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -72,12 +73,18 @@ object DedupQueries extends QueryGroup {
   private[graft] val maxShingleDf = 50
 
   /** Candidate near-dup pairs from the df-capped inverted index: only
-    * documents sharing at least one sub-cap shingle ever meet. */
+    * documents sharing at least one sub-cap shingle ever meet.
+    *
+    * The df-cap is a count window over the shingle partition rather than
+    * a groupBy+semi-join: ONE shuffle on `s` yields the df filter AND
+    * leaves both sides of the self-join hash-partitioned (and sorted) by
+    * `s`, so the join itself adds no exchange — the groupBy form paid an
+    * extra full-index exchange to join the rare-shingle set back. */
   private[graft] def candidatePairs(sh: DataFrame, maxDf: Int): DataFrame = {
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("s")
-    val idx = sh.join(rare, "s").select(col("doc_id"), col("s"))
+    val idx = sh
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("_df") <= maxDf)
+      .select(col("doc_id"), col("s"))
     idx.toDF("da", "s").join(idx.toDF("db", "s"), Seq("s"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
