@@ -64,6 +64,39 @@ class EndToEndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC lands in the bucketed keyed sink (ES/Redis analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val raw = in.toDF().select(
+      lit("prod.postgres.orders").as("topic"),
+      lit("""{"o_orderkey":0}""").as("key"),
+      col("value"))
+    val unwrapped = CdcOps.unwrap(
+      Debezium.parseEnvelope(raw, Debezium.ordersRowSchema))
+      .filter(!col("_tombstone"))
+      .select("o_orderkey", "_lsn", "o_orderstatus", "__deleted")
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2esink")
+      .toString + "/orders"
+    val q = graft.streaming.Sinks.upsertByKey(
+      unwrapped, dir, "o_orderkey", "_lsn", nBuckets = 8).start()
+    try {
+      in.addData(env(1, 10, "c", "O"), env(2, 20, "c", "O"),
+        env(3, 30, "c", "O"))
+      q.processAllAvailable()
+      in.addData(env(1, 15, "u", "X"), env(2, 25, "d", "O"),
+        env(1, 15, "u", "X")) // replay must stay a no-op
+      q.processAllAvailable()
+      // current state = latest doc per key, deletes carry the rewrite
+      // marker (the ES doc-id upsert contract); consumers filter it
+      val state = graft.streaming.Sinks.readState(spark, dir)
+        .filter(col("__deleted") =!= "true")
+        .select("o_orderkey", "o_orderstatus").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(state == Set((1L, "X"), (3L, "O")))
+    } finally q.stop()
+  }
+
   test("salted aggregation equals direct aggregation on exact types") {
     import spark.implicits._
     // skewed input: key 7 holds 90% of rows
