@@ -159,7 +159,12 @@ object SimilarityQueries extends QueryGroup {
       kCentroids: Int,
       nprobe: Int,
       lloydIters: Int = 1): DataFrame = {
-    val e = embs(s, dir)
+    // cache the normalized vectors: the seed count, every Lloyd assign/
+    // re-center round, the list build, and the query probe all traverse
+    // them — the standard iterative-k-means shape (one materialization,
+    // ~8 consumers; the ContextCleaner drops the blocks when the query
+    // plan is garbage-collected)
+    val e = embs(s, dir).cache()
     val n = e.count()
     val step = math.max(n / kCentroids, 1L)
     def nearest(vecs: DataFrame, cents: DataFrame, out: String) = {
