@@ -66,6 +66,11 @@ object Sinks {
     val spark = batch.sparkSession
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // batches are serial per query, so any stage dir still present was
+    // orphaned by a crash between stage and publish — its batch either
+    // republishes (same batchId after restart) or never happened; drop it
+    val stale = fs.globStatus(new Path(path + ".stage-*"))
+    if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
     val bucketed = batch.withColumn("_bucket", bucketOf(col(key), nBuckets))
     val touched = bucketed.select("_bucket").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
