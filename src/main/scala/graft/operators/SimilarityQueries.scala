@@ -167,16 +167,31 @@ object SimilarityQueries extends QueryGroup {
     val e = embs(s, dir).cache()
     val n = e.count()
     val step = math.max(n / kCentroids, 1L)
-    def nearest(vecs: DataFrame, cents: DataFrame, out: String) = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("d").desc, col("cid"))
-      vecs.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          (VectorFunctions.floatDot(col("v"), col("c"))
-            / (col("nrm") * VectorFunctions.floatNorm(col("c")))).as("d"))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select(col("vec_id"), col("cid").as(out))
+    // Nearest-centroid assignment as a map-side fold: pack the (tiny)
+    // centroid set into ONE broadcast row holding a cid-sorted array of
+    // (cid, centroid, norm) and argmax the cosine inside a higher-order
+    // `aggregate` — no explode, no per-round window shuffle of k×N rows,
+    // and no join of assignments back onto the vectors (the old shape
+    // paid one shuffle + one join per Lloyd round; this pays zero).
+    // cid-sorted array + strict `>` keeps the lowest cid on exact ties —
+    // the same deterministic tie-break the old row_number form had.
+    def withNearest(vecs: DataFrame, cents: DataFrame): DataFrame = {
+      val centArr = cents.agg(
+        array_sort(collect_list(struct(col("cid"), col("c"),
+          VectorFunctions.floatNorm(col("c")).as("cn")))).as("cs"))
+      vecs.crossJoin(broadcast(centArr))
+        .withColumn("cid",
+          aggregate(col("cs"),
+            struct(lit(Double.NegativeInfinity).as("d"),
+              lit(Long.MaxValue).as("cid")),
+            (acc, cx) => {
+              val d = VectorFunctions.floatDot(col("v"), cx.getField("c"))
+                ./(col("nrm") * cx.getField("cn"))
+              when(d > acc.getField("d"),
+                struct(d.as("d"), cx.getField("cid").as("cid")))
+                .otherwise(acc)
+            }).getField("cid"))
+        .drop("cs")
     }
     var cents = e.filter(col("vec_id") % step === 0)
       // orderBy before limit: an unordered limit is not guaranteed to pick
@@ -187,8 +202,7 @@ object SimilarityQueries extends QueryGroup {
     // Lloyd re-centering: assign → fixed-point mean (exact,
     // order-independent) per centroid per dimension
     for (_ <- 1 to lloydIters) {
-      val assign = nearest(e, cents, "cid")
-      cents = e.join(assign, "vec_id")
+      cents = withNearest(e, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg(sum(floor(col("x").cast("double") * 1e6).cast("long")).as("sx"),
@@ -200,7 +214,7 @@ object SimilarityQueries extends QueryGroup {
         .select(col("cid"), transform(col("dc"), p => p.getField("cx"))
           .as("c"))
     }
-    val lists = e.join(nearest(e, cents, "cid"), "vec_id")
+    val lists = withNearest(e, cents)
     val q = e.filter(col("vec_id") < 10)
     val wq = Window.partitionBy("qid").orderBy(col("d").desc, col("cid"))
     val probes = q.crossJoin(broadcast(cents))
