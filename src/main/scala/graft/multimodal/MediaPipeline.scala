@@ -43,6 +43,16 @@ trait MediaDecoder extends Serializable {
   def decode(m: MediaRecord): MediaFeatures
 }
 
+/** Batch form of the codec seam: real decoders and feature extractors are
+  * vectorized (a GPU inference session or SIMD codec wants a fixed-size
+  * batch of payloads per call, amortizing per-call overhead — the same
+  * reason `mapInPandas` hands pandas a record BATCH, not a row). The
+  * contract: `decodeBatch(ms)` returns exactly one features row per input
+  * record, in input order. */
+trait BatchMediaDecoder extends Serializable {
+  def decodeBatch(ms: Seq[MediaRecord]): Seq[MediaFeatures]
+}
+
 object MediaPipeline {
 
   /** Frame stride in bytes for the fake frame-sampler. */
@@ -112,6 +122,31 @@ object MediaPipeline {
     media.mapPartitions { it =>
       // real codec/session initialization would happen here, once per task
       it.map(decoder.decode)
+    }
+  }
+
+  /** STUB batch decoder — delegates to the row stub; a real one would
+    * issue ONE vectorized call over the whole batch. */
+  object StubBatchDecoder extends BatchMediaDecoder {
+    override def decodeBatch(ms: Seq[MediaRecord]): Seq[MediaFeatures] =
+      ms.map(decodeStub)
+  }
+
+  /** Batched partition-parallel feature extraction: the partition iterator
+    * is re-chunked into fixed-size record batches and each batch goes to
+    * the decoder in one call — the Arrow/`mapInPandas` batch shape, in
+    * typed Scala. `grouped` on the iterator stays streaming: at most one
+    * batch of payloads is resident per task, so batch size bounds task
+    * memory no matter how large the partition is. */
+  def extractFeaturesBatched(
+      media: Dataset[MediaRecord],
+      decoder: BatchMediaDecoder = StubBatchDecoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    media.mapPartitions { it =>
+      // a real vectorized session would be constructed here, once per task
+      it.grouped(batchSize).flatMap(decoder.decodeBatch)
     }
   }
 

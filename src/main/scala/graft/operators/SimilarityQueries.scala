@@ -200,7 +200,12 @@ object SimilarityQueries extends QueryGroup {
       .limit(kCentroids)
       .select(col("vec_id").as("cid"), col("v").as("c"))
     // Lloyd re-centering: assign → fixed-point mean (exact,
-    // order-independent) per centroid per dimension
+    // order-independent) per centroid per dimension. Each round's centroid
+    // table (k rows) is cached: round r's plan references round r-1's
+    // output, so WITHOUT the cache every later broadcast re-executes all
+    // earlier rounds through lineage — O(iters²) full-corpus passes
+    // instead of O(iters). The k-row cache entries are reclaimed by the
+    // ContextCleaner when the plans are garbage-collected.
     for (_ <- 1 to lloydIters) {
       cents = withNearest(e, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -213,6 +218,7 @@ object SimilarityQueries extends QueryGroup {
             .cast("float").as("cx")))).as("dc"))
         .select(col("cid"), transform(col("dc"), p => p.getField("cx"))
           .as("c"))
+        .cache()
     }
     val lists = withNearest(e, cents)
     val q = e.filter(col("vec_id") < 10)

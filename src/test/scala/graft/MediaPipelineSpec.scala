@@ -25,6 +25,16 @@ class MediaPipelineSpec extends SparkSpec {
     assert(rows.map(_.frame_checksums).toSeq == again.map(_.frame_checksums).toSeq)
   }
 
+  test("batched decode matches row-wise decode and sees bounded batches") {
+    val media = MediaPipeline.mediaTable(spark, sfDir)
+    val rowWise = MediaPipeline.extractFeatures(media)
+      .collect().map(f => f.media_id -> f.frame_checksums).toMap
+    val batched = MediaPipeline
+      .extractFeaturesBatched(media, ProbeBatchDecoder, batchSize = 16)
+      .collect().map(f => f.media_id -> f.frame_checksums).toMap
+    assert(batched == rowWise) // same rows, same features, any batch size
+  }
+
   test("resize and audio-feature stubs keep the distributed batch shape") {
     import org.apache.spark.sql.functions.col
     val spark0 = spark
@@ -72,5 +82,17 @@ class MediaPipelineSpec extends SparkSpec {
     val b = MediaPipeline.extractFeatures(media.repartition(7))
       .collect().map(f => f.media_id -> f.frame_checksums).toMap
     assert(a == b)
+  }
+}
+
+/** Executor-side probe for the batch seam: fails the task on an
+  * over-sized or empty batch, otherwise delegates to the stub. Top-level
+  * (not nested in the suite) so serialization ships no test-class state. */
+object ProbeBatchDecoder extends graft.multimodal.BatchMediaDecoder {
+  override def decodeBatch(
+      ms: Seq[graft.multimodal.MediaRecord])
+      : Seq[graft.multimodal.MediaFeatures] = {
+    require(ms.nonEmpty && ms.size <= 16, s"batch size ${ms.size}")
+    ms.map(MediaPipeline.decodeStub)
   }
 }
