@@ -262,7 +262,20 @@ object DedupQueries extends QueryGroup {
     * iteration — and the convergence decision — never recompute it
     * through lineage) and delivers the convergence metric as a
     * side-effect. The old shape (lazy `next` + separate probe
-    * join/count) computed every round twice. */
+    * join/count) computed every round twice.
+    *
+    * Rounds beyond the first two ALSO compress labels one hop
+    * (`lbl ← lbl(lbl)`, the pointer-jumping half of star-contraction CC):
+    * labels always point at a vertex of the same component, so the
+    * compressed label stays in component, and min-labels then travel
+    * geometrically instead of one edge per round — rounds ≈ log(diameter),
+    * not diameter. On a 100 TB near-dup graph a single chain-shaped
+    * component of length d would otherwise pin the whole job to d rounds.
+    * The jump is gated to round ≥ 3 because it costs one extra same-size
+    * join per round: near-dup graphs converge in 2-3 rounds for the
+    * typical tight clusters, so the common case never pays, while a deep
+    * chain — the only shape still unconverged by round 3 — gets the
+    * geometric acceleration exactly when it matters. */
   private[graft] def connectedComponents(
       pairs: DataFrame): (DataFrame, Int) = {
     // materialize the symmetrized edge list once — every round would
@@ -275,26 +288,55 @@ object DedupQueries extends QueryGroup {
     var cachedPrev: DataFrame = null
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < 40) {
       val nbrMin = edges
         .join(labels, edges("db") === labels("v"))
         .groupBy(edges("da").as("v2"))
         .agg(min(col("lbl")).as("nbl"))
-      val obs = org.apache.spark.sql.Observation()
-      val next = labels.join(nbrMin, labels("v") === col("v2"), "left")
+      // neighbor-min step (one edge hop) …
+      val hop = labels.join(nbrMin, labels("v") === col("v2"), "left")
         .select(labels("v").as("v"),
           least(labels("lbl"), coalesce(col("nbl"), labels("lbl")))
             .as("lbl"),
           labels("lbl").as("_old"))
-        .observe(obs, sum(when(col("lbl") =!= col("_old"), 1L)
-          .otherwise(0L)).as("changed"))
-        .drop("_old")
-        .cache()
-      next.count() // the round's single action (metric rides along)
-      converged = (obs.get.get("changed") match {
-        case Some(n: Long) => n
-        case _             => 0L // empty vertex set → no metric row
-      }) == 0L
+      // … then, once past the cheap rounds, pointer-jump: adopt the
+      // label OF the label when smaller (see scaladoc)
+      val jumped =
+        if (rounds < 2) hop
+        else {
+          val ptr = labels.select(col("v").as("pv"), col("lbl").as("plbl"))
+          hop.join(ptr, hop("lbl") === col("pv"), "left")
+            .select(hop("v").as("v"),
+              least(hop("lbl"), coalesce(col("plbl"), hop("lbl")))
+                .as("lbl"),
+              col("_old"))
+        }
+      // Each round references the previous round's labels plan 2-3 times,
+      // so the LOGICAL plan grows geometrically across rounds — cache()
+      // does not truncate lineage, and past ~10 rounds plan bookkeeping
+      // alone (explain strings, optimizer passes) blows up. Every 5th
+      // round is therefore a TRUNCATION round: eager localCheckpoint cuts
+      // the plan to a leaf (its materialization is that round's single
+      // action) and convergence is simply re-checked next round.
+      val next =
+        if (rounds % 5 == 4) {
+          val ckpt = jumped.drop("_old").localCheckpoint() // eager: 1 action
+          converged = false
+          ckpt
+        } else {
+          val obs = org.apache.spark.sql.Observation()
+          val n = jumped
+            .observe(obs, sum(when(col("lbl") =!= col("_old"), 1L)
+              .otherwise(0L)).as("changed"))
+            .drop("_old")
+            .cache()
+          n.count() // the round's single action (metric rides along)
+          converged = (obs.get.get("changed") match {
+            case Some(c: Long) => c
+            case _             => 0L // empty vertex set → no metric row
+          }) == 0L
+          n
+        }
       if (cachedPrev != null) cachedPrev.unpersist()
       cachedPrev = next
       labels = next

@@ -64,6 +64,21 @@ object MultimodalQueries extends QueryGroup {
         .orderBy("media_id")
     }),
 
+    // feature extraction through the BATCHED codec seam
+    // (MediaPipeline.extractFeaturesBatched: fixed-size record batches
+    // per decoder call — the vectorized-session shape). The stub's
+    // count-level outputs are SQL-expressible, so the batched plumbing
+    // gets a FULL oracle on (len, frame count); the byte-level features
+    // (mean, checksums) are pinned batched==row-wise in MediaPipelineSpec.
+    "mm_features" -> ((s, dir) => {
+      MediaPipeline
+        .extractFeaturesBatched(MediaPipeline.mediaTable(s, dir))
+        .toDF()
+        .select(col("media_id"), col("media_kind"),
+          col("payload_len"), col("n_frames"))
+        .orderBy("media_id")
+    }),
+
     // audio feature extraction over the stub seam: per-frame energies
     // (mean |signed byte| per 32-byte frame — the MFCC/energy extractor
     // shape). Rows-only: byte-level signed arithmetic has no tractable
@@ -94,6 +109,13 @@ object MultimodalQueries extends QueryGroup {
         |  CAST(octet_length(encode(text)) AS INT) AS payload_len,
         |  substr(hex(encode(text)), 1, 16) AS header_hex,
         |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(n_chars % 3 AS INT) AS media_kind,
+        |  CAST(octet_length(encode(text)) AS INT) AS payload_len,
+        |  CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_resize" ->

@@ -133,6 +133,22 @@ class DedupSimilaritySpec extends SparkSpec {
     verified.foreach(r => assert(math.abs(r.getDouble(2) - 0.75) < 1e-12))
   }
 
+  test("connected components: deep chain converges in O(log d) rounds") {
+    import spark.implicits._
+    // a 200-vertex path — diameter 199. Hop-only min-label propagation
+    // moves the min ONE edge per round, so this would slam into the
+    // 20-round safety cap and return unconverged labels; the round-gated
+    // pointer jump (lbl ← lbl(lbl)) moves it geometrically instead.
+    val n = 200L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("da", "db")
+    val (labels, rounds) =
+      operators.DedupQueries.connectedComponents(pairs)
+    val lbls = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lbls.length == n)
+    assert(lbls.forall(_._2 == 0L), "chain must collapse to one component")
+    assert(rounds <= 15, s"deep chain took $rounds rounds (expected ~log d)")
+  }
+
   test("connected components: one Spark action per propagation round") {
     import spark.implicits._
     // two chains + a pair: path 20-21-22-23 forces multiple rounds
