@@ -136,11 +136,24 @@ object DedupQueries extends QueryGroup {
     * and a duplicate cluster of any size lands in shared buckets at linear
     * cost, so the template-spam clusters the df-cap silently drops are
     * still found here (DedupSimilaritySpec proves the counterfactual). */
-  private[graft] def lshCandidatePairs(sh: DataFrame): DataFrame = {
-    val sig = sh.groupBy("doc_id")
-      .agg(collect_set(col("s")).as("shs"))
+  private[graft] def lshCandidatePairs(sh: DataFrame): DataFrame =
+    lshCandidatePairsFromArrays(
+      sh.groupBy("doc_id").agg(collect_set(col("s")).as("sh_feats")))
+
+  /** LSH candidates from per-document shingle ARRAYS (doc_id, sh_feats).
+    * MinHash is duplicate-invariant — the min over a multiset equals the
+    * min over its set — so signatures come straight off the raw
+    * tokenizer output: the whole signature stage is map-side from the
+    * documents scan, no explode/distinct/collect_set shuffle round-trip.
+    * The first shuffle in the LSH path is the band-bucket join itself. */
+  private[graft] def lshCandidatePairsFromArrays(fa: DataFrame): DataFrame = {
+    // shingle-less docs (under n words) must not reach the signature
+    // stage: every empty array hashes to the same sentinel signature, so
+    // they would all land in ONE bucket — a quadratic candidate blowup
+    // among exactly the documents that cannot be near-dups by shingle
+    val sig = fa.filter(size(col("sh_feats")) > 0)
       .select(col("doc_id"),
-        VectorFunctions.minhashSig(col("shs"), 32).as("sig"))
+        VectorFunctions.minhashSig(col("sh_feats"), 32).as("sig"))
     val bands = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(7)), b => struct(
         b.as("band"),
@@ -178,10 +191,9 @@ object DedupQueries extends QueryGroup {
     // O(candidate pairs × shingles/doc). No DuckDB oracle (xxhash64 is
     // Spark-specific); LSH-vs-exact recall is asserted in
     // DedupSimilaritySpec instead.
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      val sh = shingles(s, dir)
-      verifyJaccard(lshCandidatePairs(sh), sh, 0.5).orderBy("da", "db")
-    }),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      verifyJaccard(lshCandidatePairsFromArrays(shingleArray(s, dir)),
+        shingles(s, dir), 0.5).orderBy("da", "db")),
 
     // op 45c: SimHash — tf-weighted 64-bit signature; pairs at Hamming ≤ 3
     // found via 4×16-bit block pigeonhole join (exact for that radius).

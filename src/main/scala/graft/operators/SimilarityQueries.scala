@@ -153,6 +153,37 @@ object SimilarityQueries extends QueryGroup {
     * build inverted lists, probe each query's `nprobe` nearest lists.
     * Recall grows with nprobe at linear probe cost — the knob a deployment
     * tunes; DedupSimilaritySpec measures the curve. */
+  /** Nearest-centroid assignment as a map-side fold: pack the (tiny)
+    * centroid set `(cid, c)` into ONE broadcast row holding a cid-sorted
+    * array of (cid, centroid, norm) and argmax the cosine inside a
+    * higher-order `aggregate` — no explode, no window shuffle of k×N
+    * rows, and no join of assignments back onto the vectors (the old
+    * shape paid one shuffle + one join per Lloyd round; this pays zero —
+    * SimilarityPlanSpec asserts the executed plan stays shuffle-free).
+    * cid-sorted array + strict `>` keeps the lowest cid on exact ties —
+    * the same deterministic tie-break the old row_number form had.
+    * `vecs` needs columns (v: ARRAY<FLOAT>, nrm: DOUBLE); all its
+    * columns pass through plus the assigned `cid`. */
+  private[graft] def assignNearest(
+      vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents.agg(
+      array_sort(collect_list(struct(col("cid"), col("c"),
+        VectorFunctions.floatNorm(col("c")).as("cn")))).as("cs"))
+    vecs.crossJoin(broadcast(centArr))
+      .withColumn("cid",
+        aggregate(col("cs"),
+          struct(lit(Double.NegativeInfinity).as("d"),
+            lit(Long.MaxValue).as("cid")),
+          (acc, cx) => {
+            val d = VectorFunctions.floatDot(col("v"), cx.getField("c"))
+              ./(col("nrm") * cx.getField("cn"))
+            when(d > acc.getField("d"),
+              struct(d.as("d"), cx.getField("cid").as("cid")))
+              .otherwise(acc)
+          }).getField("cid"))
+      .drop("cs")
+  }
+
   def ivfTopK(
       s: SparkSession,
       dir: String,
@@ -167,32 +198,8 @@ object SimilarityQueries extends QueryGroup {
     val e = embs(s, dir).cache()
     val n = e.count()
     val step = math.max(n / kCentroids, 1L)
-    // Nearest-centroid assignment as a map-side fold: pack the (tiny)
-    // centroid set into ONE broadcast row holding a cid-sorted array of
-    // (cid, centroid, norm) and argmax the cosine inside a higher-order
-    // `aggregate` — no explode, no per-round window shuffle of k×N rows,
-    // and no join of assignments back onto the vectors (the old shape
-    // paid one shuffle + one join per Lloyd round; this pays zero).
-    // cid-sorted array + strict `>` keeps the lowest cid on exact ties —
-    // the same deterministic tie-break the old row_number form had.
-    def withNearest(vecs: DataFrame, cents: DataFrame): DataFrame = {
-      val centArr = cents.agg(
-        array_sort(collect_list(struct(col("cid"), col("c"),
-          VectorFunctions.floatNorm(col("c")).as("cn")))).as("cs"))
-      vecs.crossJoin(broadcast(centArr))
-        .withColumn("cid",
-          aggregate(col("cs"),
-            struct(lit(Double.NegativeInfinity).as("d"),
-              lit(Long.MaxValue).as("cid")),
-            (acc, cx) => {
-              val d = VectorFunctions.floatDot(col("v"), cx.getField("c"))
-                ./(col("nrm") * cx.getField("cn"))
-              when(d > acc.getField("d"),
-                struct(d.as("d"), cx.getField("cid").as("cid")))
-                .otherwise(acc)
-            }).getField("cid"))
-        .drop("cs")
-    }
+    def withNearest(vecs: DataFrame, cents: DataFrame): DataFrame =
+      assignNearest(vecs, cents)
     var cents = e.filter(col("vec_id") % step === 0)
       // orderBy before limit: an unordered limit is not guaranteed to pick
       // the same rows across planner changes — seeds must be deterministic

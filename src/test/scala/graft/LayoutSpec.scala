@@ -55,4 +55,29 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("IVF nearest-centroid assignment is map-side: no shuffle, correct") {
+    import graft.functions.VectorFunctions
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "v")
+      .withColumn("nrm", VectorFunctions.floatNorm(col("v")))
+    val cents = Seq(
+      (10L, Array(1.0f, 0.0f)), (20L, Array(0.0f, 1.0f)))
+      .toDF("cid", "c")
+    val assigned = operators.SimilarityQueries.assignNearest(vecs, cents)
+    // the vector side folds the broadcast centroid array in place — a
+    // hash-partitioned exchange would mean the per-Lloyd-round shuffle
+    // the broadcast-array design exists to delete
+    assert(!Layout.hasShuffleExchange(assigned),
+      "assignment must not shuffle the vector side:\n"
+        + assigned.queryExecution.executedPlan)
+    val got = assigned.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // vec 4 points opposite centroid 10: cosine -1 vs 0 → cid 20 wins
+    assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 10L, 4L -> 20L))
+  }
 }
