@@ -58,16 +58,28 @@ object Bench {
       n -> (if (ok.isEmpty) None else Some(ok.min))
     }.toMap
     val totals = runs.map(_.values.flatten.sum)
+    // the headline minimum considers only COMPLETE reps: a rep where a
+    // query fast-failed did strictly less work, so its (smaller) total
+    // must not become the reported gate number; if every rep had a
+    // failure, report the pessimistic max instead of a best-case lie
+    val completeTotals =
+      runs.filter(_.values.forall(_.isDefined)).map(_.values.flatten.sum)
+    val headline =
+      if (completeTotals.nonEmpty) completeTotals.min else totals.max
+    // explicit Locale.ROOT: the default-locale f"" interpolator writes a
+    // comma decimal separator under e.g. -Duser.language=de — invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // ONE compact JSON line: the driver captures only a bounded tail of
     // stdout, so per-query values are rounded to milliseconds — the
     // round-4 full-precision line (~4.6 KB) overflowed the capture window
     // and the driver recorded "parsed": null.
     val qs = names.map(n =>
-        s"\"" + n + "\":" + minQ(n).map(v => f"$v%.3f").getOrElse("null"))
+        s"\"" + n + "\":" + minQ(n).map(fmt).getOrElse("null"))
       .mkString("{", ",", "}")
     val fs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val ts = totals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f"${totals.min}%.3f"},"unit":"sec","queries":$qs,"failed":$fs,"runs":$ts,"reps":$reps,"sf":"$sfDir"}""")
+    val ts = totals.map(fmt).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","queries":$qs,"failed":$fs,"runs":$ts,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -349,6 +349,9 @@ object DedupQueries extends QueryGroup {
           }) == 0L
           n
         }
+      // frees CACHED rounds; for a checkpointed round the call is a no-op
+      // (no CacheManager entry) and its RDD blocks are instead reclaimed
+      // by the ContextCleaner once later rounds drop the last reference
       if (cachedPrev != null) cachedPrev.unpersist()
       cachedPrev = next
       labels = next

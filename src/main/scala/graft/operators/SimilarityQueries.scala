@@ -158,8 +158,12 @@ object SimilarityQueries extends QueryGroup {
     * array of (cid, centroid, norm) and argmax the cosine inside a
     * higher-order `aggregate` — no explode, no window shuffle of k×N
     * rows, and no join of assignments back onto the vectors (the old
-    * shape paid one shuffle + one join per Lloyd round; this pays zero —
-    * SimilarityPlanSpec asserts the executed plan stays shuffle-free).
+    * shape paid one shuffle + one join per Lloyd round; this pays zero on
+    * the vector side — LayoutSpec asserts the executed plan carries no
+    * hash-partitioned exchange). Scoring (`transform`) and argmax
+    * (`aggregate`) are separate passes so each dot product is computed
+    * exactly once — HOF lambdas get no common-subexpression elimination,
+    * so a compare-then-take fold would pay every improving dot twice.
     * cid-sorted array + strict `>` keeps the lowest cid on exact ties —
     * the same deterministic tie-break the old row_number form had.
     * `vecs` needs columns (v: ARRAY<FLOAT>, nrm: DOUBLE); all its
@@ -171,16 +175,15 @@ object SimilarityQueries extends QueryGroup {
         VectorFunctions.floatNorm(col("c")).as("cn")))).as("cs"))
     vecs.crossJoin(broadcast(centArr))
       .withColumn("cid",
-        aggregate(col("cs"),
+        aggregate(
+          transform(col("cs"), cx => struct(
+            (VectorFunctions.floatDot(col("v"), cx.getField("c"))
+              / (col("nrm") * cx.getField("cn"))).as("d"),
+            cx.getField("cid").as("cid"))),
           struct(lit(Double.NegativeInfinity).as("d"),
             lit(Long.MaxValue).as("cid")),
-          (acc, cx) => {
-            val d = VectorFunctions.floatDot(col("v"), cx.getField("c"))
-              ./(col("nrm") * cx.getField("cn"))
-            when(d > acc.getField("d"),
-              struct(d.as("d"), cx.getField("cid").as("cid")))
-              .otherwise(acc)
-          }).getField("cid"))
+          (acc, sc) => when(sc.getField("d") > acc.getField("d"), sc)
+            .otherwise(acc)).getField("cid"))
       .drop("cs")
   }
 
@@ -198,8 +201,6 @@ object SimilarityQueries extends QueryGroup {
     val e = embs(s, dir).cache()
     val n = e.count()
     val step = math.max(n / kCentroids, 1L)
-    def withNearest(vecs: DataFrame, cents: DataFrame): DataFrame =
-      assignNearest(vecs, cents)
     var cents = e.filter(col("vec_id") % step === 0)
       // orderBy before limit: an unordered limit is not guaranteed to pick
       // the same rows across planner changes — seeds must be deterministic
@@ -207,14 +208,17 @@ object SimilarityQueries extends QueryGroup {
       .limit(kCentroids)
       .select(col("vec_id").as("cid"), col("v").as("c"))
     // Lloyd re-centering: assign → fixed-point mean (exact,
-    // order-independent) per centroid per dimension. Each round's centroid
-    // table (k rows) is cached: round r's plan references round r-1's
-    // output, so WITHOUT the cache every later broadcast re-executes all
-    // earlier rounds through lineage — O(iters²) full-corpus passes
-    // instead of O(iters). The k-row cache entries are reclaimed by the
-    // ContextCleaner when the plans are garbage-collected.
+    // order-independent) per centroid per dimension. Each round's k-row
+    // centroid table is EAGERLY localCheckpointed: round r's plan
+    // references round r-1's output, so without materialization every
+    // later broadcast re-executes all earlier rounds through lineage —
+    // O(iters²) full-corpus passes instead of O(iters). localCheckpoint
+    // (not cache) because CacheManager entries are pinned until an
+    // explicit unpersist — which a lazily-returned result can never
+    // safely issue — while checkpointed RDD blocks are reclaimed by the
+    // ContextCleaner once the returned plan is garbage-collected.
     for (_ <- 1 to lloydIters) {
-      cents = withNearest(e, cents)
+      cents = assignNearest(e, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg(sum(floor(col("x").cast("double") * 1e6).cast("long")).as("sx"),
@@ -225,9 +229,9 @@ object SimilarityQueries extends QueryGroup {
             .cast("float").as("cx")))).as("dc"))
         .select(col("cid"), transform(col("dc"), p => p.getField("cx"))
           .as("c"))
-        .cache()
+        .localCheckpoint()
     }
-    val lists = withNearest(e, cents)
+    val lists = assignNearest(e, cents)
     val q = e.filter(col("vec_id") < 10)
     val wq = Window.partitionBy("qid").orderBy(col("d").desc, col("cid"))
     val probes = q.crossJoin(broadcast(cents))

@@ -24,6 +24,10 @@ class BoundedDfCacheSpec extends SparkSpec {
     assert(a.count() == 10)
   }
 
+  // NOTE: the flood below may evict production entries (bronze parses,
+  // shingle tables) other suites built in the shared session. That is the
+  // contract under test — evicted entries rebuild transparently on next
+  // access, which any suite running after this one exercises for free.
   test("overflow evicts and unpersists the oldest entry") {
     val first = BoundedDfCache.getOrPersist(spark, "spec:evict-0") {
       spark.range(5).toDF()
