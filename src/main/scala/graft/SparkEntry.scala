@@ -22,7 +22,8 @@ object SparkEntry {
     SimilarityQueries,
     TimeSeriesQueries,
     MultimodalQueries,
-    PipelineQueries)
+    PipelineQueries,
+    SamplingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY.md §7.2 end-to-end slice: synthesized Debezium change log

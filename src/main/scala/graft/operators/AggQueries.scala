@@ -168,6 +168,22 @@ object AggQueries extends QueryGroup {
           col("window.start").cast("timestamp_ntz").as("ws"),
           col("total_dec").cast("double").as("total"), col("n"))
         .orderBy("ws")
+    }),
+
+    // skew-hardened aggregation on the graded surface: the two-phase
+    // salted sum/count ([[Skew.saltedSumCount]] — content-derived salt,
+    // partial (key, salt) combine, then final per-key combine) must equal
+    // the plain GROUP BY exactly — which is precisely what the oracle
+    // checks, since the salting is invisible in the result. Decimal
+    // accumulation keeps both phases exact, so the algebraic regroup
+    // cannot drift.
+    "agg_skew_salted" -> ((s, dir) => {
+      Skew.saltedSumCount(
+        Tables.scan(s, dir, "lineitem"),
+        col("l_suppkey"), Dec.d2(col("l_quantity")), salts = 16)
+        .select(col("k").as("l_suppkey"),
+          col("total").cast("double").as("total_qty"), col("n"))
+        .orderBy("l_suppkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -273,5 +289,12 @@ object AggQueries extends QueryGroup {
         |  CROSS JOIN generate_series(0, 5) t(i)
         |  GROUP BY ws)
         |WHERE total_dec > 5000
-        |ORDER BY ws""".stripMargin)
+        |ORDER BY ws""".stripMargin,
+
+    "agg_skew_salted" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
 }

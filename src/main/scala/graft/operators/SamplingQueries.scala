@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.QueryGroup
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Deterministic sampling and split-assignment operators over `documents`
+  * (the north-star training-data-pipeline family: every large corpus build
+  * carves train/val/test splits and draws QA/eval samples, and at 100 TB
+  * both must be reproducible without any RNG state).
+  *
+  * Scale design — all three operators derive membership from a CONTENT
+  * hash (`md5` of the stable record key), never from `rand()` or
+  * `monotonically_increasing_id`:
+  *   - re-running the job, re-ordering the input, or retrying a task
+  *     assigns every record to the same sample/split (rand() under task
+  *     retry is the SPARK-23207 duplicated/lost-rows bug class);
+  *   - `sample_hash` / `sample_split` are pure map-side filters/projections
+  *     — no shuffle at all, the 100 TB shape (the filter prunes before any
+  *     downstream work, and split assignment can be computed inline in any
+  *     later pipeline without materializing an assignment table);
+  *   - `sample_stratified` needs one shuffle on the stratum key (the
+  *     per-stratum top-k is a window over `lang`); at extreme stratum skew
+  *     the same result is computable with a two-phase per-partition
+  *     pre-top-k (each partition keeps its k smallest hashes, then one
+  *     tiny final pass), so no single reducer ever sees a full stratum.
+  *
+  * md5 (not xxhash64) because the oracle must reproduce it: both engines
+  * implement standard MD5 over the decimal-string key and return lowercase
+  * hex, so the DuckDB twin is exact.
+  */
+object SamplingQueries extends QueryGroup {
+
+  /** First hex nibble of md5 of the record key — a uniform, deterministic
+    * 16-bucket content hash (measured spread on the corpus: 24-42 docs per
+    * nibble at sf0.01). */
+  private def h1(key: Column): Column = substring(md5(key.cast("string")), 1, 1)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deterministic Bernoulli sample: keep the 4/16 hash buckets → 25%
+    // expected rate, exact membership reproducible from the key alone
+    "sample_hash" -> ((s, dir) => {
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), h1(col("doc_id")).as("h"))
+        .filter(col("h").isin("0", "1", "2", "3"))
+        .orderBy("doc_id")
+    }),
+
+    // train/val/test split assignment (12/2/2 nibbles ≈ 75/12.5/12.5) —
+    // reported as the per-(lang, split) contingency a corpus build logs
+    "sample_split" -> ((s, dir) => {
+      val h = h1(col("doc_id"))
+      val split = when(h.isin("c", "d"), lit("val"))
+        .when(h.isin("e", "f"), lit("test"))
+        .otherwise(lit("train"))
+      Tables.scan(s, dir, "documents")
+        .select(col("lang"), split.as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    }),
+
+    // stratified fixed-size sample: k docs per language, chosen by hash
+    // order (pseudo-random but fully deterministic; doc_id tie-break makes
+    // the order total even under hash collisions)
+    "sample_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .orderBy("lang", "rk")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "sample_hash" ->
+      """SELECT doc_id, lang,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |  IN ('0', '1', '2', '3')
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_split" ->
+      """WITH a AS (SELECT lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |         IN ('c', 'd') THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |         IN ('e', 'f') THEN 'test'
+        |       ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT lang, split, COUNT(*) AS n
+        |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, rk FROM r
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)
+}

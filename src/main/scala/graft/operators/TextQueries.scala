@@ -136,6 +136,37 @@ object TextQueries extends QueryGroup {
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
         .orderBy(col("tf").desc, col("term"))
         .limit(100)
+    }),
+
+    // tf-idf term weighting: top-5 terms per document by
+    // tf × (N − df + 0.5)/(df + 0.5) — the BM25 idf core, kept RATIONAL
+    // (no ln) so both engines compute bit-identical doubles: tf, N, df
+    // are exact integers, the +0.5 operands are exactly representable,
+    // and the single multiply + single divide are correctly-rounded IEEE
+    // ops. Distributed shape: one shuffle for per-(doc, term) tf, one for
+    // per-term df, a term-keyed join (df is vocabulary-sized — too big to
+    // broadcast at corpus scale), and a per-doc window for the top-k.
+    "text_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      // tf is already one row per (doc, term), so df = plain count
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.scan(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf").cast("double")
+            * (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy("doc_id", "rank")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -217,5 +248,23 @@ object TextQueries extends QueryGroup {
         |FROM (SELECT doc_id,
         |        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
         |      FROM documents)
-        |GROUP BY term ORDER BY tf DESC, term LIMIT 100""".stripMargin)
+        |GROUP BY term ORDER BY tf DESC, term LIMIT 100""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH terms AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM terms GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tf.term AS term, tf, df,
+        |    CAST(tf AS DOUBLE) * (n_docs - df + CAST(0.5 AS DOUBLE))
+        |      / (df + CAST(0.5 AS DOUBLE)) AS score
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)
 }
