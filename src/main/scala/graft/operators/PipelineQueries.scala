@@ -82,6 +82,31 @@ object PipelineQueries extends QueryGroup {
       docs.join(dropped, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: flag training docs that share any 8-word
+    // shingle with a held-out document (the classic n-gram-overlap
+    // contamination rule). The held-out set is the 'test' split of the
+    // hash-based assignment (`sample_split`), so the whole flow —
+    // split, then decontaminate train against test — composes from
+    // catalog operators. Scale shape: the held-out side is a small,
+    // fixed fraction of the corpus, so its shingle table broadcasts and
+    // the train side stays map-side until the per-pair count; no
+    // all-pairs comparison ever forms.
+    "pipeline_contamination" -> ((s, dir) => {
+      val sh = Tables.scan(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("h"),
+          explode(VectorFunctions.wordShingles(lower(trim(col("text"))), 8))
+            .as("s"))
+        .distinct()
+      val test = sh.filter(col("h").isin("e", "f"))
+        .select(col("doc_id").as("db"), col("s"))
+      val train = sh.filter(!col("h").isin("e", "f"))
+        .select(col("doc_id").as("da"), col("s"))
+      train.join(broadcast(test), "s")
+        .groupBy("da", "db").agg(count(lit(1)).as("n_shared"))
+        .orderBy("da", "db")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -169,5 +194,22 @@ object PipelineQueries extends QueryGroup {
         |  GROUP BY v HAVING MIN(r) <> v)
         |SELECT doc_id, lang, n_tokens FROM g2
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_contamination" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+        |    unnest(CASE WHEN len(w) >= 8 THEN
+        |      list_transform(range(1, len(w) - 6),
+        |        i -> array_to_string(w[i:i+7], ' '))
+        |      ELSE [] END) AS s
+        |  FROM toks),
+        |test AS (SELECT doc_id AS db, s FROM sh WHERE h IN ('e', 'f')),
+        |train AS (SELECT doc_id AS da, s FROM sh WHERE h NOT IN ('e', 'f'))
+        |SELECT da, db, COUNT(*) AS n_shared
+        |FROM train JOIN test USING (s)
+        |GROUP BY da, db ORDER BY da, db""".stripMargin)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryGroup
+import graft.functions.VectorFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -167,6 +168,35 @@ object TextQueries extends QueryGroup {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .orderBy("doc_id", "rank")
+    }),
+
+    // repetition signals (the Gopher/C4-style quality gates for generated
+    // or boilerplate text): top-2-gram fraction — share of the document's
+    // word bigrams taken by its single most frequent bigram — and
+    // duplicate-word fraction. Both are per-document partial aggregates
+    // (two narrow shuffles keyed by doc, combine map-side); docs under two
+    // tokens have no bigrams and drop out in both engines alike. Fractions
+    // are one exact-int division each — bit-identical cross-engine.
+    "text_repetition" -> ((s, dir) => {
+      val grams = Tables.scan(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(VectorFunctions.wordShingles(lower(trim(col("text"))), 2))
+            .as("g"))
+      val gs = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_grams"), max("c").as("top_c"))
+      val ws = Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("wd"))
+        .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct"))
+      gs.join(ws, "doc_id")
+        .select(col("doc_id"), col("n_grams"),
+          (col("top_c").cast("double") / col("n_grams"))
+            .as("top_gram_frac"),
+          ((col("n_words") - col("n_distinct")).cast("double")
+            / col("n_words")).as("dup_word_frac"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -266,5 +296,29 @@ object TextQueries extends QueryGroup {
         |    ORDER BY score DESC, term) AS INT) AS rank
         |  FROM scored)
         |SELECT doc_id, term, tf, df, score, rank FROM ranked
-        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |grams AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(w) >= 2 THEN
+        |      list_transform(range(1, len(w)),
+        |        i -> array_to_string(w[i:i+1], ' '))
+        |      ELSE [] END) AS g
+        |  FROM toks),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+        |gs AS (SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS top_c
+        |  FROM gc GROUP BY doc_id),
+        |wc AS (SELECT doc_id, wd, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(w) AS wd FROM toks)
+        |  GROUP BY doc_id, wd),
+        |ws AS (SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct
+        |  FROM wc GROUP BY doc_id)
+        |SELECT gs.doc_id AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(top_c AS DOUBLE) / n_grams AS top_gram_frac,
+        |  CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac
+        |FROM gs JOIN ws ON gs.doc_id = ws.doc_id
+        |ORDER BY doc_id""".stripMargin)
 }
