@@ -52,6 +52,19 @@ object AggQueries extends QueryGroup {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
     }),
 
+    // approx_percentile (mergeable quantile sketch — the distributed way
+    // to get percentiles without a global sort): no DuckDB twin →
+    // rows-only; AggContractsSpec bounds the sketch against the exact
+    // percentile at two scale factors
+    "agg_approx_percentile" -> ((s, dir) => {
+      Tables.scan(s, dir, "lineitem")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+            .as("p99_approx"))
+    }),
+
     // op 19: rollup with subtotal rows (keys coalesced to sentinels so the
     // grouping-null vs data-null ambiguity never reaches the compare)
     "agg_rollup" -> ((s, dir) => {

@@ -38,6 +38,19 @@ object SamplingQueries extends QueryGroup {
     * nibble at sf0.01). */
   private def h1(key: Column): Column = substring(md5(key.cast("string")), 1, 1)
 
+  /** train/val/test assignment (12/2/2 nibbles ≈ 75/12.5/12.5) from the
+    * record key alone. A plain column expression, so it composes onto BATCH
+    * AND STREAMING frames identically — an arriving record's split is
+    * decided statelessly at ingest, which is what makes the assignment
+    * consistent between a backfill job and the live stream of the same
+    * table (SamplingSpec asserts the parity). */
+  def splitOf(key: Column): Column = {
+    val h = h1(key)
+    when(h.isin("c", "d"), lit("val"))
+      .when(h.isin("e", "f"), lit("test"))
+      .otherwise(lit("train"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic Bernoulli sample: keep the 4/16 hash buckets → 25%
     // expected rate, exact membership reproducible from the key alone
@@ -51,12 +64,8 @@ object SamplingQueries extends QueryGroup {
     // train/val/test split assignment (12/2/2 nibbles ≈ 75/12.5/12.5) —
     // reported as the per-(lang, split) contingency a corpus build logs
     "sample_split" -> ((s, dir) => {
-      val h = h1(col("doc_id"))
-      val split = when(h.isin("c", "d"), lit("val"))
-        .when(h.isin("e", "f"), lit("test"))
-        .otherwise(lit("train"))
       Tables.scan(s, dir, "documents")
-        .select(col("lang"), split.as("split"))
+        .select(col("lang"), splitOf(col("doc_id")).as("split"))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")

@@ -26,4 +26,24 @@ class AggContractsSpec extends SparkSpec {
     val e2 = relErr("/root/testdata/sf0.1")
     assert(e2 <= 0.05, s"sf0.1 relative error $e2 exceeds 5%")
   }
+
+  private def pctErr(dir: String): (Double, Double) = {
+    val row = AggQueries.queries("agg_approx_percentile")(spark, dir)
+      .collect().head
+    val (a50, a99) = (row.getDouble(0), row.getDouble(1))
+    val ex = Tables.scan(spark, dir, "lineitem")
+      .selectExpr("percentile(l_extendedprice, 0.5) AS p50",
+        "percentile(l_extendedprice, 0.99) AS p99")
+      .collect().head
+    (math.abs(a50 - ex.getDouble(0)) / ex.getDouble(0),
+      math.abs(a99 - ex.getDouble(1)) / ex.getDouble(1))
+  }
+
+  test("approx_percentile value error ≤ 2% vs exact at sf0.01 and sf0.1") {
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val (e50, e99) = pctErr(dir)
+      assert(e50 <= 0.02 && e99 <= 0.02,
+        s"$dir approx_percentile errors p50=$e50 p99=$e99 exceed 2%")
+    }
+  }
 }

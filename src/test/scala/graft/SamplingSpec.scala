@@ -37,6 +37,29 @@ class SamplingSpec extends SparkSpec {
       s"hash-sample rate $sampled far from the 25% design rate")
   }
 
+  test("split assignment is identical on a stream and a batch of the same keys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark0 = spark
+    implicit val sqlCtx = spark0.sqlContext
+    import spark0.implicits._
+    val keys = (1L to 200L).toSeq
+    val in = MemoryStream[Long]
+    in.addData(keys: _*)
+    val q = in.toDF().toDF("doc_id")
+      .select(col("doc_id"), SamplingQueries.splitOf(col("doc_id")).as("split"))
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("split_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = keys.toDF("doc_id")
+      .select(col("doc_id"), SamplingQueries.splitOf(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the backfill job and the live stream must agree on every record —
+    // the whole point of deriving membership from the key content
+    assert(streamed == batch && streamed.keySet == keys.toSet)
+  }
+
   test("stratified sample caps each stratum at k and is a corpus subset") {
     val docs = Tables.scan(spark, sfDir, "documents")
     val strata = docs.groupBy("lang").count().collect()
