@@ -94,12 +94,17 @@ object PipelineQueries extends QueryGroup {
     // the train side stays map-side until the per-pair count; no
     // all-pairs comparison ever forms.
     "pipeline_contamination" -> ((s, dir) => {
+      // per-document shingle dedup happens MAP-SIDE (array_distinct on the
+      // shingle array before explode), so (doc_id, s) is already unique
+      // and the train side needs no global distinct — the executed plan
+      // keeps the whole training corpus shuffle-free up to the (tiny)
+      // per-pair count; the split predicate is pushed into both scans
       val sh = Tables.scan(s, dir, "documents")
         .select(col("doc_id"),
           substring(md5(col("doc_id").cast("string")), 1, 1).as("h"),
-          explode(VectorFunctions.wordShingles(lower(trim(col("text"))), 8))
+          explode(array_distinct(
+            VectorFunctions.wordShingles(lower(trim(col("text"))), 8)))
             .as("s"))
-        .distinct()
       val test = sh.filter(col("h").isin("e", "f"))
         .select(col("doc_id").as("db"), col("s"))
       val train = sh.filter(!col("h").isin("e", "f"))
