@@ -98,6 +98,25 @@ object MultimodalQueries extends QueryGroup {
         }
         .toDF("media_id", "n_frames", "mean_energy", "peak_energy")
         .orderBy("media_id")
+    }),
+
+    // media dedup by content checksum — the first gate of any multimodal
+    // ingest (identical files arrive via many URLs). The digest is
+    // computed MAP-SIDE over the payload bytes, so the dedup shuffle
+    // carries a 32-hex-char key per record instead of the media payload —
+    // at 100 TB of media that is the difference between shuffling
+    // kilobyte keys and shuffling the corpus. Deterministic keeper
+    // (min id), same policy as `dedup_exact`. (At sf0.1 the corpus
+    // contains real byte-identical payload groups; smaller SFs are all
+    // singletons — both states oracle-checked.)
+    "mm_dedup" -> ((s, dir) => {
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(hex(encode(col("text"), "UTF-8"))).as("checksum"))
+        .groupBy("checksum")
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("keeper_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -132,5 +151,11 @@ object MultimodalQueries extends QueryGroup {
         |SELECT media_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
         |  CAST(ceil(CAST(len AS DOUBLE) / ratio) AS INT) AS payload_len,
         |  fb AS first_byte_hex
-        |FROM r ORDER BY media_id""".stripMargin)
+        |FROM r ORDER BY media_id""".stripMargin,
+
+    "mm_dedup" ->
+      """WITH p AS (SELECT doc_id, md5(hex(encode(text))) AS checksum
+        |  FROM documents)
+        |SELECT checksum, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM p GROUP BY checksum ORDER BY keeper_id""".stripMargin)
 }
