@@ -60,6 +60,41 @@ class SamplingSpec extends SparkSpec {
     assert(streamed == batch && streamed.keySet == keys.toSet)
   }
 
+  test("streaming corpus ingest: gate → checksum dedup → split counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark0 = spark
+    implicit val sqlCtx = spark0.sqlContext
+    import spark0.implicits._
+    // at-least-once document feed: ids 1..60; every 7th doc is a one-token
+    // reject; several records replayed verbatim across micro-batches
+    def text(i: Long): String =
+      if (i % 7 == 0) "tiny" else s"document number $i has enough tokens"
+    val in = MemoryStream[Long]
+    val ingest = in.toDF().toDF("doc_id")
+      .withColumn("text", udf((i: Long) => text(i)).apply(col("doc_id")))
+      .withColumn("checksum", md5(hex(encode(col("text"), "UTF-8"))))
+      .filter(size(split(lower(trim(col("text"))), "\\s+")) >= 3)
+      .dropDuplicates("checksum") // stateful: replays collapse across batches
+      .select(col("doc_id"), SamplingQueries.splitOf(col("doc_id")).as("split"))
+    val q = ingest.writeStream.format("memory").queryName("corpus_ingest")
+      .outputMode("append").start()
+    try {
+      in.addData(1L to 40L: _*)
+      q.processAllAvailable()
+      in.addData(30L to 60L: _*) // 30..40 are replays
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("corpus_ingest").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = (1L to 60L).filter(_ % 7 != 0).toDF("doc_id")
+      .select(SamplingQueries.splitOf(col("doc_id")).as("split"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replays dropped, rejects gated, every survivor split-assigned exactly
+    // as the batch backfill would assign it
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("stratified sample caps each stratum at k and is a corpus subset") {
     val docs = Tables.scan(spark, sfDir, "documents")
     val strata = docs.groupBy("lang").count().collect()
