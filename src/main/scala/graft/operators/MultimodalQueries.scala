@@ -102,13 +102,15 @@ object MultimodalQueries extends QueryGroup {
 
     // media dedup by content checksum — the first gate of any multimodal
     // ingest (identical files arrive via many URLs). The digest is
-    // computed MAP-SIDE over the payload bytes, so the dedup shuffle
-    // carries a 32-hex-char key per record instead of the media payload —
-    // at 100 TB of media that is the difference between shuffling
-    // kilobyte keys and shuffling the corpus. Deterministic keeper
-    // (min id), same policy as `dedup_exact`. (At sf0.1 the corpus
-    // contains real byte-identical payload groups; smaller SFs are all
-    // singletons — both states oracle-checked.)
+    // computed MAP-SIDE, so the dedup shuffle carries a 32-hex-char key
+    // per record instead of the media payload — at 100 TB of media that
+    // is the difference between shuffling kilobyte keys and shuffling the
+    // corpus. Deterministic keeper (min id), same policy as `dedup_exact`.
+    // The digest goes through hex() only because DuckDB's md5 takes
+    // VARCHAR, not BLOB — the oracle-portability cost; a production
+    // deployment digests the BINARY column directly and halves the bytes
+    // hashed. (At sf0.1 the corpus contains real byte-identical payload
+    // groups; smaller SFs are all singletons — both states oracle-checked.)
     "mm_dedup" -> ((s, dir) => {
       Tables.scan(s, dir, "documents")
         .select(col("doc_id"),

@@ -99,15 +99,20 @@ object PipelineQueries extends QueryGroup {
       // and the train side needs no global distinct — the executed plan
       // keeps the whole training corpus shuffle-free up to the (tiny)
       // per-pair count; the split predicate is pushed into both scans
+      // split membership comes from THE split operator (SamplingQueries.
+      // splitOf), not a re-derived hash — the decontamination must stay in
+      // lockstep with whatever buckets the split assignment uses. Only the
+      // 'train' split is checked against 'test': val docs are not training
+      // data, so a val↔test overlap is not contamination.
       val sh = Tables.scan(s, dir, "documents")
         .select(col("doc_id"),
-          substring(md5(col("doc_id").cast("string")), 1, 1).as("h"),
+          SamplingQueries.splitOf(col("doc_id")).as("split"),
           explode(array_distinct(
             VectorFunctions.wordShingles(lower(trim(col("text"))), 8)))
             .as("s"))
-      val test = sh.filter(col("h").isin("e", "f"))
+      val test = sh.filter(col("split") === "test")
         .select(col("doc_id").as("db"), col("s"))
-      val train = sh.filter(!col("h").isin("e", "f"))
+      val train = sh.filter(col("split") === "train")
         .select(col("doc_id").as("da"), col("s"))
       train.join(broadcast(test), "s")
         .groupBy("da", "db").agg(count(lit(1)).as("n_shared"))
@@ -213,7 +218,8 @@ object PipelineQueries extends QueryGroup {
         |      ELSE [] END) AS s
         |  FROM toks),
         |test AS (SELECT doc_id AS db, s FROM sh WHERE h IN ('e', 'f')),
-        |train AS (SELECT doc_id AS da, s FROM sh WHERE h NOT IN ('e', 'f'))
+        |train AS (SELECT doc_id AS da, s FROM sh
+        |  WHERE h NOT IN ('c', 'd', 'e', 'f'))
         |SELECT da, db, COUNT(*) AS n_shared
         |FROM train JOIN test USING (s)
         |GROUP BY da, db ORDER BY da, db""".stripMargin)

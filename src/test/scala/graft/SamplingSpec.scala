@@ -17,9 +17,10 @@ class SamplingSpec extends SparkSpec {
     // the only exchange in the plan may be the presentation sort — a
     // hashpartitioning exchange would mean membership paid a shuffle,
     // which the content-hash design exists to avoid
-    assert(!Layout.hasShuffleExchange(q("sample_hash")),
-      "sample membership must not shuffle:\n"
-        + q("sample_hash").queryExecution.executedPlan)
+    val df = q("sample_hash")
+    if (Layout.hasShuffleExchange(df))
+      fail("sample membership must not shuffle:\n"
+        + df.queryExecution.executedPlan)
   }
 
   test("splits cover the corpus disjointly; assignment is deterministic") {
