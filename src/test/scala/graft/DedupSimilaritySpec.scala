@@ -184,6 +184,48 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("connected components match union-find on random graphs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // driver-side reference: union-by-min — the root of every merge tree
+    // is the component minimum, exactly the label contract of the
+    // distributed min-label propagation
+    def ufLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+    }
+    // random sparse graphs over ≤ 25 vertices: parallel edges, long
+    // chains, stars, and disconnected singetons all occur across seeds
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      es <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 24L)
+        d <- Gen.choose(1L, 5L)
+      } yield (a, a + d))
+    } yield es
+    (1 to 6).foreach { i =>
+      val seed = Seed(0xCC00L + i)
+      edgeGen.apply(Gen.Parameters.default, seed).foreach { es =>
+        val (labels, _) = DedupQueries.connectedComponents(
+          es.toDF("da", "db"))
+        val got = labels.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        withClue(s"seed=${0xCC00L + i} edges=$es: ")(
+          assert(got == ufLabels(es)))
+      }
+    }
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val df = DedupQueries.queries("dedup_embedding")(spark, sfDir)
       .collect()
