@@ -130,6 +130,50 @@ object JoinQueries extends QueryGroup {
         .select(col("event_id"), col("k").as("user_id"),
           col("t").as("ts_us"), col("o_orderkey"))
         .orderBy("event_id")
+    }),
+
+    // as-of join with tolerance: a match staler than the bound is
+    // discarded (NULL) — the bounded-staleness form every time-series
+    // enrichment uses ("join the latest sensor reading unless it is
+    // stale"). Same linear union-merge as `join_asof` — tolerance adds
+    // zero extra shuffles: the matched order's timestamp rides the same
+    // window pass and the staleness check is a per-row projection. The
+    // bound sits at the fixture's MEDIAN event↔order gap (~8400 days —
+    // the synthetic events and TPC-H order dates live ~23 years apart)
+    // so roughly half the matches survive and half null out: both
+    // branches of the staleness predicate are oracle-exercised.
+    "join_asof_tol" -> ((s, dir) => {
+      val tolUs = 8400L * 86400L * 1000000L
+      val e = Tables.scan(s, dir, "events")
+      val o = Tables.scan(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      val events = e.select(
+        col("user_id").as("k"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        lit(1).as("is_event"),
+        col("event_id"),
+        lit(null).cast("long").as("ord_key"))
+      val orders = o.select(
+        col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        lit(0).as("is_event"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("ord_key"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("is_event"), col("ord_key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events.unionByName(orders)
+        .withColumn("mk", last(col("ord_key"), ignoreNulls = true).over(w))
+        // the matched order's own timestamp, off the same window pass
+        .withColumn("mt", last(when(col("is_event") === 0, col("t")),
+          ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+          col("t").as("ts_us"),
+          when(col("t") - col("mt") <= tolUs, col("mk"))
+            .as("o_orderkey"))
+        .orderBy("event_id")
     }))
 
   private val revenueExpr =
@@ -197,5 +241,22 @@ object JoinQueries extends QueryGroup {
         |FROM events e
         |ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "join_asof_tol" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate),
+        |a AS (SELECT e.event_id, e.user_id,
+        |    epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+        |    o.o_orderkey,
+        |    epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS ord_us
+        |  FROM events e
+        |  ASOF LEFT JOIN o
+        |    ON e.user_id = o.o_custkey
+        |    AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN ts_us - ord_us <= 725760000000000 THEN o_orderkey
+        |       ELSE NULL END AS o_orderkey
+        |FROM a ORDER BY event_id""".stripMargin)
 }
