@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+/** One document's membership in one LSH band bucket (the streaming unit of
+  * the MinHash+LSH candidate generation in
+  * [[graft.operators.DedupQueries]]). */
+final case class BandedDoc(band: Int, bh: Long, docId: Long, sig: Array[Long])
+
+/** A member of a band bucket's state: a document and its full signature. */
+final case class BucketMember(docId: Long, sig: Array[Long])
+
+/** Every (docId, sig) seen in one band bucket so far. */
+final case class BucketState(members: List[BucketMember])
+
+/** A near-dup candidate pair with its signature-agreement estimate of
+  * Jaccard similarity. The same pair can surface from several bands —
+  * downstream consumers dedup by (da, db), e.g. via the idempotent
+  * keyed upsert sink ([[Sinks.upsertByKey]]). */
+final case class NearDupPair(da: Long, db: Long, estJaccard: Double)
+
+/** Streaming near-duplicate detection (op 45, unbounded form): MinHash
+  * signatures computed map-side per arriving document, LSH band buckets as
+  * the state key, and an arbitrary stateful op that compares each new
+  * document ONLY against its bucket's members — the streaming twin of the
+  * batch `dedup_minhash_lsh` candidate join.
+  *
+  * Scale design: state is hash-partitioned by (band, bucket-hash) across
+  * executors; a bucket's member list stays near-dup-cluster-sized because
+  * bucketing IS the candidate filter (unrelated documents land in other
+  * buckets), so per-event work is O(cluster size), never O(corpus).
+  * Similarity is estimated from signature agreement (the unbiased MinHash
+  * estimator) — no shingle storage and no joins against historic data;
+  * state per member is one 32-long signature. Replays are no-ops (a
+  * docId already in the bucket is skipped), so at-least-once delivery
+  * cannot self-pair or duplicate-pair a document. For unbounded corpora a
+  * deployment bounds state with a processing-time timeout (the
+  * GroupStateTimeout seam below) — near-dups of records older than the
+  * horizon are then found by the batch backfill instead, the standard
+  * lambda split. */
+object StreamNearDup {
+
+  private val kHashes = 32
+  private val bands = 8
+  private val rowsPerBand = 4
+
+  /** Arriving (doc_id, text) frame → one row per (band, bucket): the
+    * signature stage is fully map-side (no shuffle before groupByKey),
+    * mirroring the batch LSH path. */
+  def bandedStream(docs: DataFrame): Dataset[BandedDoc] = {
+    val sig = docs
+      .select(col("doc_id"),
+        VectorFunctions.wordShingles(lower(trim(col("text"))), 4).as("f"))
+      // shingle-less docs would all share one sentinel bucket (see the
+      // batch path's identical guard)
+      .filter(size(col("f")) > 0)
+      .select(col("doc_id"),
+        VectorFunctions.minhashSig(col("f"), kHashes).as("sig"))
+    sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b => struct(
+        b.as("band"),
+        xxhash64(
+          element_at(col("sig"), b * rowsPerBand + 1),
+          element_at(col("sig"), b * rowsPerBand + 2),
+          element_at(col("sig"), b * rowsPerBand + 3),
+          element_at(col("sig"), b * rowsPerBand + 4)).as("bh")))).as("e"),
+      col("sig"))
+      .select(col("e.band").as("band"), col("e.bh").as("bh"),
+        col("doc_id").as("docId"), col("sig"))
+      .as[BandedDoc](Encoders.product[BandedDoc])
+  }
+
+  private[streaming] def update(tau: Double)(
+      key: (Int, Long),
+      docs: Iterator[BandedDoc],
+      state: GroupState[BucketState]): Iterator[NearDupPair] = {
+    var members = if (state.exists) state.get.members else Nil
+    val out = List.newBuilder[NearDupPair]
+    docs.foreach { d =>
+      if (!members.exists(_.docId == d.docId)) {
+        members.foreach { m =>
+          var eq = 0
+          var i = 0
+          while (i < d.sig.length) {
+            if (d.sig(i) == m.sig(i)) eq += 1
+            i += 1
+          }
+          val est = eq.toDouble / d.sig.length
+          if (est >= tau) {
+            val (a, b) =
+              if (m.docId < d.docId) (m.docId, d.docId)
+              else (d.docId, m.docId)
+            out += NearDupPair(a, b, est)
+          }
+        }
+        members = BucketMember(d.docId, d.sig) :: members
+      }
+    }
+    state.update(BucketState(members))
+    out.result().iterator
+  }
+
+  /** Detect near-dup pairs in a streaming (doc_id, text) frame: emits a
+    * pair the moment the second member of it arrives, across micro-batch
+    * boundaries. */
+  def detect(docs: DataFrame, tau: Double = 0.5): Dataset[NearDupPair] =
+    bandedStream(docs)
+      .groupByKey(d => (d.band, d.bh))(
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update(tau))(
+        Encoders.product[BucketState], Encoders.product[NearDupPair])
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.streaming.StreamNearDup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Contracts for the streaming MinHash/LSH near-dup detector: a pair is
+  * found the moment its second member arrives (across micro-batches),
+  * unrelated documents never pair, and at-least-once replays are no-ops. */
+class StreamNearDupSpec extends SparkSpec {
+
+  private val docA = (1L,
+    "the quick brown fox jumps over the lazy dog near the old river bank")
+  private val docB = (2L,
+    "completely unrelated text about spark catalyst optimizer internals here")
+  // docA plus one trailing word: shingle Jaccard 12/13 ≈ 0.92
+  private val docA2 = (3L,
+    "the quick brown fox jumps over the lazy dog near the old river bank today")
+
+  test("near-dup pair surfaces across micro-batches; replays are no-ops") {
+    val spark0 = spark
+    implicit val sqlCtx = spark0.sqlContext
+    import spark0.implicits._
+    val in = MemoryStream[(Long, String)]
+    val q = StreamNearDup.detect(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("near_dups")
+      .outputMode("append").start()
+    try {
+      in.addData(docA, docB)
+      q.processAllAvailable()
+      assert(spark.table("near_dups").count() == 0,
+        "no near-dups exist yet")
+      in.addData(docA2)
+      q.processAllAvailable()
+      val pairs = spark.table("near_dups")
+        .select("da", "db", "estJaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // the same pair may arrive from several bands — distinct (da, db)
+      assert(pairs.map(p => (p._1, p._2)).distinct.toSeq == Seq((1L, 3L)),
+        s"expected exactly the (1,3) near-dup, got ${pairs.toSeq}")
+      assert(pairs.forall(_._3 >= 0.5))
+      val before = spark.table("near_dups").count()
+      // at-least-once replay of an already-seen document
+      in.addData(docA)
+      q.processAllAvailable()
+      assert(spark.table("near_dups").count() == before,
+        "replay must not emit new pairs")
+    } finally q.stop()
+  }
+}
