@@ -130,6 +130,39 @@ object VecOps {
     }
     ArrayData.toArrayData(mins)
   }
+
+  /** Random-hyperplane LSH buckets for a float vector: per table, project
+    * onto `planes` pseudo-random hyperplanes (weights in [-0.5, 0.5)
+    * derived from XXH64 of (table, plane, dim) — deterministic, no RNG
+    * state to ship) and pack the sign bits into one bucket id. One native
+    * pass over tables × planes × dim; the SQL-HOF form of the same
+    * computation evaluated an interpreted lambda tree PER (plane, dim)
+    * element — the hottest interpreted path left in the ANN family. */
+  def rphBuckets(v: ArrayData, tables: Int, planes: Int): ArrayData = {
+    val out = new Array[Long](tables)
+    val n = v.numElements()
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var proj = 0.0
+        var d = 0
+        while (d < n) {
+          val h = XXH64.hashLong(
+            t.toLong * 1000003L + p.toLong * 8191L + d.toLong, 42L)
+          val m = ((h % 1001L) + 1001L) % 1001L // pmod: keep [-0.5, 0.5)
+          proj += v.getFloat(d).toDouble * (m.toDouble / 1000.0 - 0.5)
+          d += 1
+        }
+        bucket = bucket * 2L + (if (proj > 0) 1L else 0L)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }
 
 /** Codegen'd float-array dot product (the ANN/dedup hot path). The SQL-fold
@@ -218,6 +251,23 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Codegen'd random-hyperplane LSH bucket ids (one per table). */
+case class RphBuckets(child: Expression, tables: Int, planes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rph_buckets"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.rphBuckets(a.asInstanceOf[ArrayData], tables, planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VecOps.rphBuckets($a, $tables, $planes)")
+
+  override protected def withNewChildInternal(c: Expression): RphBuckets =
+    copy(child = c)
+}
+
 /** Column-API wrappers for the custom expressions. */
 object VectorFunctions {
   private def e(c: Column): Expression = Shim.expression(c)
@@ -240,4 +290,7 @@ object VectorFunctions {
 
   def wordShingles(text: Column, n: Int): Column =
     Shim.column(WordShingles(e(text), n))
+
+  def rphBuckets(v: Column, tables: Int, planes: Int): Column =
+    Shim.column(RphBuckets(e(v), tables, planes))
 }

@@ -60,30 +60,19 @@ object SimilarityQueries extends QueryGroup {
     // scans only its own buckets (expected N/256 candidates per table).
     // More tables = higher recall at constant per-table cost: the standard
     // billion-vector ANN layout. Deterministic planes: weight(t, p, d)
-    // derives from xxhash64(t, p, d) — no RNG state to ship to executors.
+    // derives from XXH64(t, p, d) — no RNG state to ship to executors.
+    // The bucket computation is a codegen'd kernel (VecOps.rphBuckets,
+    // one native pass over tables × planes × dim); the pure-SQL HOF form
+    // evaluated an interpreted lambda tree — including an xxhash64
+    // expression — per (plane, dim) element, the hottest interpreted
+    // path left in the ANN family.
     "sim_ann_lsh" -> ((s, dir) => {
       val planes = 8
       val tables = 2
-      // sign pattern of <v, plane_{t,p}>, packed to a bucket id per table
-      def buckets(v: Column): Column =
-        transform(sequence(lit(0), lit(tables - 1)), t => {
-          val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-            val proj = aggregate(
-              zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
-                x.cast("double")
-                  // pmod, not %: signed modulo would shift weights to a
-                  // [-1.5, 0.5) band and collapse the sign-bit buckets
-                  * (pmod(xxhash64(t, p, d), lit(1001L)).cast("double")
-                    / 1000.0 - 0.5)),
-              lit(0.0), (acc, dp) => acc + dp)
-            when(proj > 0, 1L).otherwise(0L)
-          })
-          // pack sign bits with a left fold (no shifts needed)
-          aggregate(bits, lit(0L), (acc, bit) => acc * 2L + bit)
-        })
       val e = embs(s, dir)
         .select(col("vec_id"), col("label"), col("v"), col("nrm"),
-          posexplode(buckets(col("v"))).as(Seq("tbl", "bucket")))
+          posexplode(VectorFunctions.rphBuckets(col("v"), tables, planes))
+            .as(Seq("tbl", "bucket")))
       val q = e.filter(col("vec_id") < 10)
         .toDF("qid", "qlabel", "q", "qn", "tbl", "bucket")
       val w = Window.partitionBy("qid")
