@@ -97,6 +97,24 @@ object AggQueries extends QueryGroup {
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
 
+    // op 19c: explicit GROUPING SETS — the general form rollup/cube are
+    // sugar for: exactly the (status), (priority) marginals in ONE pass
+    // (one shuffle, expand-then-aggregate), where two separate group-bys
+    // would scan and shuffle twice
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.scan(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(Dec.d2(col("o_totalprice"))).cast("double").as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n"), col("revenue"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // pivot — event counts per user bucketed by type as columns (the
     // wide-table reshape; compiles to conditional aggregation, one shuffle)
     "agg_pivot" -> ((s, dir) => {
@@ -303,6 +321,16 @@ object AggQueries extends QueryGroup {
         |  GROUP BY ws)
         |WHERE total_dec > 5000
         |ORDER BY ws""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "agg_skew_salted" ->
       """SELECT l_suppkey,
