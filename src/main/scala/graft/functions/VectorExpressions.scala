@@ -131,28 +131,54 @@ object VecOps {
     ArrayData.toArrayData(mins)
   }
 
+  /** Hyperplane weight tables for [[rphBuckets]], memoized per
+    * (tables, planes, dim): the weights are row-independent constants
+    * (derived from XXH64 of the (table, plane, dim) index — deterministic,
+    * no RNG state to ship), so hashing them once per executor instead of
+    * once per row leaves the kernel a pure multiply-add loop. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]
+
+  private def planeWeights(tables: Int, planes: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((tables, planes, dim), _ => {
+      val w = new Array[Double](tables * planes * dim)
+      var i = 0
+      while (i < w.length) {
+        val h = XXH64.hashLong(i.toLong, 42L)
+        val m = ((h % 1001L) + 1001L) % 1001L // pmod: keep [-0.5, 0.5)
+        w(i) = m.toDouble / 1000.0 - 0.5
+        i += 1
+      }
+      w
+    })
+
   /** Random-hyperplane LSH buckets for a float vector: per table, project
-    * onto `planes` pseudo-random hyperplanes (weights in [-0.5, 0.5)
-    * derived from XXH64 of (table, plane, dim) — deterministic, no RNG
-    * state to ship) and pack the sign bits into one bucket id. One native
-    * pass over tables × planes × dim; the SQL-HOF form of the same
-    * computation evaluated an interpreted lambda tree PER (plane, dim)
-    * element — the hottest interpreted path left in the ANN family. */
+    * onto `planes` pseudo-random hyperplanes and pack the sign bits into
+    * one bucket id. One native multiply-add pass over tables × planes ×
+    * dim with memoized weights; the SQL-HOF form this replaced evaluated
+    * an interpreted lambda tree — including an xxhash64 expression node —
+    * PER (plane, dim) element of every row, the hottest interpreted path
+    * left in the ANN family. NOTE: the weight derivation (XXH64 of the
+    * flat plane index) is a DIFFERENT — equally random, equally
+    * deterministic — hyperplane family than the old SQL form's chained
+    * xxhash64(t, p, d): bucket assignments changed once at the swap, which
+    * is fine for this rows-only operator (recall/true-neighbor contracts
+    * in DedupSimilaritySpec hold; there is no cross-engine oracle to
+    * match). */
   def rphBuckets(v: ArrayData, tables: Int, planes: Int): ArrayData = {
-    val out = new Array[Long](tables)
     val n = v.numElements()
+    val w = planeWeights(tables, planes, n)
+    val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var bucket = 0L
       var p = 0
       while (p < planes) {
         var proj = 0.0
+        val base = (t * planes + p) * n
         var d = 0
         while (d < n) {
-          val h = XXH64.hashLong(
-            t.toLong * 1000003L + p.toLong * 8191L + d.toLong, 42L)
-          val m = ((h % 1001L) + 1001L) % 1001L // pmod: keep [-0.5, 0.5)
-          proj += v.getFloat(d).toDouble * (m.toDouble / 1000.0 - 0.5)
+          proj += v.getFloat(d).toDouble * w(base + d)
           d += 1
         }
         bucket = bucket * 2L + (if (proj > 0) 1L else 0L)

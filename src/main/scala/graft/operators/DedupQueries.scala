@@ -140,6 +140,22 @@ object DedupQueries extends QueryGroup {
     lshCandidatePairsFromArrays(
       sh.groupBy("doc_id").agg(collect_set(col("s")).as("sh_feats")))
 
+  /** MinHash/LSH layout shared by the batch path AND the streaming twin
+    * ([[graft.streaming.StreamNearDup]]): one definition of the signature
+    * width and banding, so stream buckets can never silently desynchronize
+    * from batch buckets. */
+  private[graft] val minhashK = 32
+  private[graft] val lshBands = 8
+  private[graft] val lshRowsPerBand = 4
+
+  /** Exploded (band, bucket-hash) struct column for a `minhashK`-wide
+    * signature column — THE band-bucket definition (batch + streaming). */
+  private[graft] def lshBandStruct(sig: Column): Column =
+    explode(transform(sequence(lit(0), lit(lshBands - 1)), b => struct(
+      b.as("band"),
+      xxhash64((1 to lshRowsPerBand).map(i =>
+        element_at(sig, b * lshRowsPerBand + i)): _*).as("bh"))))
+
   /** LSH candidates from per-document shingle ARRAYS (doc_id, sh_feats).
     * MinHash is duplicate-invariant — the min over a multiset equals the
     * min over its set — so signatures come straight off the raw
@@ -153,15 +169,8 @@ object DedupQueries extends QueryGroup {
     // among exactly the documents that cannot be near-dups by shingle
     val sig = fa.filter(size(col("sh_feats")) > 0)
       .select(col("doc_id"),
-        VectorFunctions.minhashSig(col("sh_feats"), 32).as("sig"))
-    val bands = sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(7)), b => struct(
-        b.as("band"),
-        xxhash64(
-          element_at(col("sig"), b * 4 + 1),
-          element_at(col("sig"), b * 4 + 2),
-          element_at(col("sig"), b * 4 + 3),
-          element_at(col("sig"), b * 4 + 4)).as("bh")))).as("e"))
+        VectorFunctions.minhashSig(col("sh_feats"), minhashK).as("sig"))
+    val bands = sig.select(col("doc_id"), lshBandStruct(col("sig")).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bh"))
     bands.toDF("da", "band", "bh")
       .join(bands.toDF("db", "band", "bh"), Seq("band", "bh"))

@@ -100,81 +100,68 @@ object JoinQueries extends QueryGroup {
     // key, one ordered window pass carrying the last order forward. Linear
     // in input size (a naive range join is quadratic per key) — this is the
     // form that survives 100 TB.
-    "join_asof" -> ((s, dir) => {
-      val e = Tables.scan(s, dir, "events")
-      // dedup orders to one per (custkey, orderdate) so the as-of winner is
-      // well-defined on date ties (max orderkey, matching the oracle)
-      val o = Tables.scan(s, dir, "orders")
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(max(col("o_orderkey")).as("o_orderkey"))
-      val events = e.select(
-        col("user_id").as("k"),
-        unix_micros(col("ts").cast("timestamp")).as("t"),
-        lit(1).as("is_event"),
-        col("event_id"),
-        lit(null).cast("long").as("ord_key"))
-      val orders = o.select(
-        col("o_custkey").as("k"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
-        lit(0).as("is_event"),
-        lit(null).cast("long").as("event_id"),
-        col("o_orderkey").as("ord_key"))
-      // at equal t the order sorts first (is_event asc) so ts >= orderdate
-      // is inclusive, matching DuckDB ASOF semantics
-      val w = Window.partitionBy(col("k"))
-        .orderBy(col("t"), col("is_event"), col("ord_key"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events.unionByName(orders)
-        .withColumn("o_orderkey", last(col("ord_key"), ignoreNulls = true).over(w))
-        .filter(col("is_event") === 1)
+    "join_asof" -> ((s, dir) =>
+      asOfMatched(s, dir)
         .select(col("event_id"), col("k").as("user_id"),
-          col("t").as("ts_us"), col("o_orderkey"))
-        .orderBy("event_id")
-    }),
+          col("t").as("ts_us"), col("mk").as("o_orderkey"))
+        .orderBy("event_id")),
 
     // as-of join with tolerance: a match staler than the bound is
     // discarded (NULL) — the bounded-staleness form every time-series
     // enrichment uses ("join the latest sensor reading unless it is
-    // stale"). Same linear union-merge as `join_asof` — tolerance adds
-    // zero extra shuffles: the matched order's timestamp rides the same
-    // window pass and the staleness check is a per-row projection. The
-    // bound sits at the fixture's MEDIAN event↔order gap (~8400 days —
-    // the synthetic events and TPC-H order dates live ~23 years apart)
-    // so roughly half the matches survive and half null out: both
-    // branches of the staleness predicate are oracle-exercised.
+    // stale"). Same linear union-merge pass as `join_asof`
+    // ([[asOfMatched]]) — tolerance adds zero extra shuffles: the matched
+    // order's timestamp rides the same window pass and the staleness
+    // check is a per-row projection. The bound sits at the fixture's
+    // MEDIAN event↔order gap (~8400 days — the synthetic events and
+    // TPC-H order dates live ~23 years apart) so roughly half the
+    // matches survive and half null out: both branches of the staleness
+    // predicate are oracle-exercised.
     "join_asof_tol" -> ((s, dir) => {
       val tolUs = 8400L * 86400L * 1000000L
-      val e = Tables.scan(s, dir, "events")
-      val o = Tables.scan(s, dir, "orders")
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(max(col("o_orderkey")).as("o_orderkey"))
-      val events = e.select(
-        col("user_id").as("k"),
-        unix_micros(col("ts").cast("timestamp")).as("t"),
-        lit(1).as("is_event"),
-        col("event_id"),
-        lit(null).cast("long").as("ord_key"))
-      val orders = o.select(
-        col("o_custkey").as("k"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
-        lit(0).as("is_event"),
-        lit(null).cast("long").as("event_id"),
-        col("o_orderkey").as("ord_key"))
-      val w = Window.partitionBy(col("k"))
-        .orderBy(col("t"), col("is_event"), col("ord_key"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events.unionByName(orders)
-        .withColumn("mk", last(col("ord_key"), ignoreNulls = true).over(w))
-        // the matched order's own timestamp, off the same window pass
-        .withColumn("mt", last(when(col("is_event") === 0, col("t")),
-          ignoreNulls = true).over(w))
-        .filter(col("is_event") === 1)
+      asOfMatched(s, dir)
         .select(col("event_id"), col("k").as("user_id"),
           col("t").as("ts_us"),
           when(col("t") - col("mt") <= tolUs, col("mk"))
             .as("o_orderkey"))
         .orderBy("event_id")
     }))
+
+  /** The shared as-of union-merge: events and (deduped) orders interleave
+    * on one per-key window pass; each event row carries the latest
+    * order's key (`mk`) AND its timestamp (`mt`, for staleness bounds).
+    * Orders dedup to one per (custkey, orderdate) so the as-of winner is
+    * well-defined on date ties (max orderkey, matching the oracle); at
+    * equal t the order sorts first (is_event asc) so ts >= orderdate is
+    * inclusive, matching DuckDB ASOF semantics. Linear in the union —
+    * never a point-in-time range join. */
+  private def asOfMatched(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.scan(s, dir, "events")
+    val o = Tables.scan(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val events = e.select(
+      col("user_id").as("k"),
+      unix_micros(col("ts").cast("timestamp")).as("t"),
+      lit(1).as("is_event"),
+      col("event_id"),
+      lit(null).cast("long").as("ord_key"))
+    val orders = o.select(
+      col("o_custkey").as("k"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+      lit(0).as("is_event"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey").as("ord_key"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("is_event"), col("ord_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.unionByName(orders)
+      .withColumn("mk", last(col("ord_key"), ignoreNulls = true).over(w))
+      .withColumn("mt", last(when(col("is_event") === 0, col("t")),
+        ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+  }
 
   private val revenueExpr =
     """SUM(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -59,13 +59,15 @@ object SimilarityQueries extends QueryGroup {
     // of 8 sign bits each; a vector lands in one bucket per table, a query
     // scans only its own buckets (expected N/256 candidates per table).
     // More tables = higher recall at constant per-table cost: the standard
-    // billion-vector ANN layout. Deterministic planes: weight(t, p, d)
-    // derives from XXH64(t, p, d) — no RNG state to ship to executors.
-    // The bucket computation is a codegen'd kernel (VecOps.rphBuckets,
-    // one native pass over tables × planes × dim); the pure-SQL HOF form
+    // billion-vector ANN layout. Deterministic planes: weights derive from
+    // XXH64 of the plane index (memoized per executor) — no RNG state to
+    // ship. The bucket computation is a codegen'd kernel
+    // (VecOps.rphBuckets, a pure multiply-add pass); the pure-SQL HOF form
     // evaluated an interpreted lambda tree — including an xxhash64
     // expression — per (plane, dim) element, the hottest interpreted
-    // path left in the ANN family.
+    // path left in the ANN family. (The kernel's hyperplane family is a
+    // different random draw than the old SQL form's — see the kernel
+    // scaladoc; rows-only operator, contracts unaffected.)
     "sim_ann_lsh" -> ((s, dir) => {
       val planes = 8
       val tables = 2

@@ -34,18 +34,20 @@ final case class NearDupPair(da: Long, db: Long, estJaccard: Double)
   * buckets), so per-event work is O(cluster size), never O(corpus).
   * Similarity is estimated from signature agreement (the unbiased MinHash
   * estimator) — no shingle storage and no joins against historic data;
-  * state per member is one 32-long signature. Replays are no-ops (a
-  * docId already in the bucket is skipped), so at-least-once delivery
-  * cannot self-pair or duplicate-pair a document. For unbounded corpora a
-  * deployment bounds state with a processing-time timeout (the
-  * GroupStateTimeout seam below) — near-dups of records older than the
-  * horizon are then found by the batch backfill instead, the standard
-  * lambda split. */
+  * state per member is one `DedupQueries.minhashK`-long signature.
+  * Replays are no-ops (a docId already in the bucket is skipped), so
+  * at-least-once delivery cannot self-pair or duplicate-pair a document.
+  * For unbounded corpora pass `stateTtl`: buckets idle past the horizon
+  * are dropped (timed-out state is removed, not re-armed), and near-dups
+  * of records older than the horizon are found by the batch backfill
+  * instead — the standard lambda split.
+  *
+  * The signature width and banding are THE batch definitions
+  * ([[graft.operators.DedupQueries.lshBandStruct]]) — one source of
+  * truth, so stream buckets cannot desynchronize from batch buckets. */
 object StreamNearDup {
 
-  private val kHashes = 32
-  private val bands = 8
-  private val rowsPerBand = 4
+  import graft.operators.DedupQueries
 
   /** Arriving (doc_id, text) frame → one row per (band, bucket): the
     * signature stage is fully map-side (no shuffle before groupByKey),
@@ -58,25 +60,24 @@ object StreamNearDup {
       // batch path's identical guard)
       .filter(size(col("f")) > 0)
       .select(col("doc_id"),
-        VectorFunctions.minhashSig(col("f"), kHashes).as("sig"))
+        VectorFunctions.minhashSig(col("f"), DedupQueries.minhashK).as("sig"))
     sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b => struct(
-        b.as("band"),
-        xxhash64(
-          element_at(col("sig"), b * rowsPerBand + 1),
-          element_at(col("sig"), b * rowsPerBand + 2),
-          element_at(col("sig"), b * rowsPerBand + 3),
-          element_at(col("sig"), b * rowsPerBand + 4)).as("bh")))).as("e"),
-      col("sig"))
+      DedupQueries.lshBandStruct(col("sig")).as("e"), col("sig"))
       .select(col("e.band").as("band"), col("e.bh").as("bh"),
         col("doc_id").as("docId"), col("sig"))
       .as[BandedDoc](Encoders.product[BandedDoc])
   }
 
-  private[streaming] def update(tau: Double)(
+  private[streaming] def update(tau: Double, ttlMs: Option[Long])(
       key: (Int, Long),
       docs: Iterator[BandedDoc],
       state: GroupState[BucketState]): Iterator[NearDupPair] = {
+    if (state.hasTimedOut) {
+      // idle past the horizon: drop the bucket entirely (do NOT re-arm
+      // or re-persist — that would leak the state this seam bounds)
+      state.remove()
+      return Iterator.empty
+    }
     var members = if (state.exists) state.get.members else Nil
     val out = List.newBuilder[NearDupPair]
     docs.foreach { d =>
@@ -100,17 +101,26 @@ object StreamNearDup {
       }
     }
     state.update(BucketState(members))
+    // the timeout clock re-arms on every batch that touches the bucket,
+    // so "idle for ttl" (not "alive for ttl") is what expires it
+    ttlMs.foreach(state.setTimeoutDuration)
     out.result().iterator
   }
 
   /** Detect near-dup pairs in a streaming (doc_id, text) frame: emits a
     * pair the moment the second member of it arrives, across micro-batch
-    * boundaries. */
-  def detect(docs: DataFrame, tau: Double = 0.5): Dataset[NearDupPair] =
+    * boundaries. `stateTtl` bounds state for unbounded corpora (idle
+    * buckets expire); None keeps state forever (bounded corpora, tests). */
+  def detect(
+      docs: DataFrame,
+      tau: Double = 0.5,
+      stateTtl: Option[Long] = None): Dataset[NearDupPair] =
     bandedStream(docs)
       .groupByKey(d => (d.band, d.bh))(
         Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(update(tau))(
+        OutputMode.Append,
+        if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update(tau, stateTtl))(
         Encoders.product[BucketState], Encoders.product[NearDupPair])
 }

@@ -215,14 +215,17 @@ class DedupSimilaritySpec extends SparkSpec {
     } yield es
     (1 to 6).foreach { i =>
       val seed = Seed(0xCC00L + i)
-      edgeGen.apply(Gen.Parameters.default, seed).foreach { es =>
-        val (labels, _) = DedupQueries.connectedComponents(
-          es.toDF("da", "db"))
-        val got = labels.collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        withClue(s"seed=${0xCC00L + i} edges=$es: ")(
-          assert(got == ufLabels(es)))
-      }
+      val gen = edgeGen.apply(Gen.Parameters.default, seed)
+      // a None here (e.g. a future suchThat on the generator) would
+      // silently skip the seed and leave the property vacuous
+      assert(gen.isDefined, s"generator produced no graph for seed $i")
+      val es = gen.get
+      val (labels, _) = DedupQueries.connectedComponents(
+        es.toDF("da", "db"))
+      val got = labels.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"seed=${0xCC00L + i} edges=$es: ")(
+        assert(got == ufLabels(es)))
     }
   }
 
