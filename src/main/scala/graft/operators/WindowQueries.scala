@@ -59,6 +59,21 @@ object WindowQueries extends QueryGroup {
         .withColumn("price", col("price_dec").cast("double"))
         .drop("price_dec")
         .orderBy("o_custkey", "date_us", "o_orderkey")
+    }),
+
+    // op 21b: distribution functions — percent_rank/cume_dist per key
+    // (quantile position of every order within its customer). Both are
+    // exact integer ratios ((rank-1)/(n-1), rank_hi/n): one division of
+    // exact ints, bit-identical across engines.
+    "window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("price"), col("o_orderkey"))
+      Tables.scan(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Dec.d2(col("o_totalprice")).cast("double").as("price"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy("o_custkey", "pct_rank", "o_orderkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -104,5 +119,16 @@ object WindowQueries extends QueryGroup {
         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         |FROM orders
-        |ORDER BY o_custkey, date_us, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, date_us, o_orderkey""".stripMargin,
+
+    "window_dist" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE),
+        |           o_orderkey)
+        |ORDER BY o_custkey, pct_rank, o_orderkey""".stripMargin)
 }
