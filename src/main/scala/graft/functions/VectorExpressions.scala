@@ -145,8 +145,8 @@ object VecOps {
       var i = 0
       while (i < w.length) {
         val h = XXH64.hashLong(i.toLong, 42L)
-        val m = ((h % 1001L) + 1001L) % 1001L // pmod: keep [-0.5, 0.5)
-        w(i) = m.toDouble / 1000.0 - 0.5
+        val m = ((h % 1001L) + 1001L) % 1001L // pmod → m ∈ [0, 1000]
+        w(i) = m.toDouble / 1000.0 - 0.5 // weights in [-0.5, 0.5], inclusive
         i += 1
       }
       w

@@ -204,8 +204,9 @@ class DedupSimilaritySpec extends SparkSpec {
       edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(v => v -> find(v)).toMap
     }
-    // random sparse graphs over ≤ 25 vertices: parallel edges, long
-    // chains, stars, and disconnected singetons all occur across seeds
+    // random sparse graphs over ≤ 30 vertices (ids 0..29: a ∈ [0,24],
+    // d ∈ [1,5]): parallel edges, long chains, stars, and disconnected
+    // singletons all occur across seeds
     val edgeGen: Gen[List[(Long, Long)]] = for {
       n <- Gen.choose(0, 40)
       es <- Gen.listOfN(n, for {

@@ -13,7 +13,8 @@ class StreamNearDupSpec extends SparkSpec {
     "the quick brown fox jumps over the lazy dog near the old river bank")
   private val docB = (2L,
     "completely unrelated text about spark catalyst optimizer internals here")
-  // docA plus one trailing word: shingle Jaccard 12/13 ≈ 0.92
+  // docA plus one trailing word: 11 vs 12 4-shingles sharing all 11 →
+  // shingle Jaccard 11/12 ≈ 0.92
   private val docA2 = (3L,
     "the quick brown fox jumps over the lazy dog near the old river bank today")
 
