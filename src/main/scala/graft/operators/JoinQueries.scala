@@ -49,6 +49,31 @@ object JoinQueries extends QueryGroup {
         .orderBy("r_name")
     }),
 
+    // op 7b: the classic three-way analytics shape (TPC-H Q3): selective
+    // filters pushed into all three scans, customer⨝orders then ⨝lineitem
+    // shuffling on their keys (Catalyst/AQE pick the join order and
+    // physical strategy), partial-aggregated revenue, top-10. The plan a
+    // 100 TB warehouse lives on: every filter prunes before its join, and
+    // the only full-width shuffle carries pre-aggregated rows.
+    "join_multiway" -> ((s, dir) => {
+      val c = Tables.scan(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.scan(s, dir, "orders")
+        .filter(col("o_orderdate") < Dec.tsn("1998-01-01"))
+      val l = Tables.scan(s, dir, "lineitem")
+        .filter(col("l_shipdate") > Dec.tsn("1998-01-01"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(o("o_orderkey").as("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"),
+          col("o_orderpriority"))
+        .agg(sum(Dec.d2(col("l_extendedprice"))
+          * (lit(1) - Dec.rate(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
     // op 9: left outer join — customers kept even with zero orders
     "join_outer" -> ((s, dir) => {
       val c = Tables.scan(s, dir, "customer")
@@ -175,6 +200,20 @@ object JoinQueries extends QueryGroup {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_totalprice > 400000
         |ORDER BY o_orderkey""".stripMargin,
+
+    "join_multiway" ->
+      s"""SELECT o.o_orderkey,
+         |  epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS date_us,
+         |  o.o_orderpriority,
+         |  CAST($revenueExpr AS DOUBLE) AS revenue
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "join_broadcast" ->
       s"""SELECT r_name, CAST($revenueExpr AS DOUBLE) AS revenue,
