@@ -3,18 +3,23 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // BASELINE.md pins the benchmark config at local[32]; default to the
-    // host's cores rather than a hardcoded 4 so an env-less invocation
-    // still measures the pinned configuration.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
+    // BASELINE.md pins the benchmark config at local[32]; the default is
+    // that pinned constant (NOT the host's core count) so an env-less
+    // invocation on any machine measures the same configuration — the
+    // resolved value ships in the output JSON so cross-host results are
+    // distinguishable either way.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // BASELINE.md protocol: this shared host's timings swing 2-3× run-to-run
     // under co-tenant load (round-4 driver reps: 145/144/54 s for identical
     // work), so a single sample — and even the median when 2 of 3 reps land
     // on a contended window — measures the host, not the engine. Run the
     // whole suite `reps` times and report the MINIMUM (timeit-style: the
     // least-contended complete run is the best estimator of intrinsic cost);
-    // every per-run total still ships in "runs" for transparency.
+    // every per-run total still ships in "runs" for transparency. Each rep
+    // starts from an EMPTY BoundedDfCache (see runOnce), so every rep pays
+    // the full graded work and the minimum compares like-for-like complete
+    // runs — only JVM/JIT/page-cache warmth differs across reps, which is
+    // exactly the host-noise component the min is meant to strip.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,10 +35,15 @@ object Bench {
     var failed = Set.empty[String]
     // a rep where the query throws yields None — a crashing query must not
     // read as a fast query, and its near-zero fast-fail elapsed time must
-    // not be mixed into the median either (median of mixed success/failure
+    // not be mixed into the min either (min of mixed success/failure
     // samples is meaningless)
-    def runOnce(): Map[String, Option[Double]] = SparkEntry.queries.map {
-      case (name, fn) =>
+    def runOnce(): Map[String, Option[Double]] = {
+      // benchmark integrity: drop all session-lifetime materializations so
+      // THIS rep executes every graded operator (fixture + bronze sharing
+      // still happens WITHIN the rep, across its queries — the production
+      // "materialize once, read many" seam being measured)
+      BoundedDfCache.clearAll()
+      SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -43,6 +53,7 @@ object Bench {
             false
           }
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      }
     }
     val runs = (1 to reps).map { i =>
       val r = runOnce()
@@ -70,16 +81,33 @@ object Bench {
     // comma decimal separator under e.g. -Duser.language=de — invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // ONE compact JSON line: the driver captures only a bounded tail of
-    // stdout, so per-query values are rounded to milliseconds — the
-    // round-4 full-precision line (~4.6 KB) overflowed the capture window
-    // and the driver recorded "parsed": null.
     val qs = names.map(n =>
         s"\"" + n + "\":" + minQ(n).map(fmt).getOrElse("null"))
       .mkString("{", ",", "}")
     val fs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ts = totals.map(fmt).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","queries":$qs,"failed":$fs,"runs":$ts,"reps":$reps,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","queries":$qs,"failed":$fs,"runs":$ts,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+    // a SHORT summary line without the ~2 KB per-query map: the driver
+    // captures only a bounded tail of stdout, and in rounds 4 and 5 the
+    // long line's HEAD was clipped (recorded "parsed": null). The short
+    // line carries everything the gate needs and is printed LAST.
+    val short =
+      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","failed":$fs,"runs":$ts,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+    // belt-and-braces: persist both lines to a file (env-overridable path)
+    // so the result is machine-readable even if the stdout tail is clipped
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      val w = new java.io.PrintWriter(outPath)
+      try { w.println(full); w.println(short) } finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    // stop Spark BEFORE printing so executor/session shutdown logging
+    // cannot land between (or after) the result lines on stdout
     spark.stop()
+    System.err.println(short)
+    println(full)
+    println(short)
   }
 }

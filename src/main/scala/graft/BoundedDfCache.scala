@@ -32,4 +32,15 @@ private[graft] object BoundedDfCache {
         build.persist()
       })
     }
+
+  /** Unpersist and evict EVERY entry. The benchmark calls this at the top
+    * of each rep: the cache's production seam is "materialize once per
+    * session", but across benchmark reps that would let reps 2..N read
+    * rep 1's persisted outputs of GRADED operators (bronze parses, shingle
+    * and pair tables) and report a cache read as query time — so each rep
+    * starts from an empty cache and pays the full materialization work. */
+  def clearAll(): Unit = entries.synchronized {
+    entries.valuesIterator.foreach(df => scala.util.Try(df.unpersist()))
+    entries.clear()
+  }
 }

@@ -10,9 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a fixed grid with gap fill, and per-key time-range sliding statistics.
   *
   * Scale design: the minute spine is `sequence()`-generated from two global
-  * scalars (min/max), so gap fill is a broadcast of the tiny spine against
-  * the aggregated (already small) per-minute table — no shuffle of raw
-  * events beyond the one groupBy. Sliding stats use a RANGE window over
+  * scalars (min/max) and immediately redistributed (the 1-row bounds
+  * aggregate would otherwise run the whole explode in one task), so gap
+  * fill joins the spine against the aggregated (already small) per-minute
+  * table — no shuffle of raw events beyond the one groupBy. Sliding stats use a RANGE window over
   * epoch seconds, partitioned by user — one hash shuffle, state bounded by
   * the window span per key.
   *
@@ -35,6 +36,14 @@ object TimeSeriesQueries extends QueryGroup {
       val spine = bounds
         .select(explode(sequence(col("lo"), col("hi"),
           expr("INTERVAL 1 MINUTE"))).as("m"))
+        // the bounds aggregate is one row, so the explode runs in ONE task;
+        // spread the generated minutes across the cluster before the
+        // (×event_type) crossJoin and gap-fill join — for a multi-year
+        // range the spine is millions of rows and must not serialize on a
+        // single task. Hash on m: the gap-fill join below re-clusters on
+        // (event_type, m) anyway, so round-robin vs hash is equivalent
+        // work; hash keeps the stage deterministic.
+        .repartition(col("m"))
         .crossJoin(ev.select("event_type").distinct())
       spine.join(agg, Seq("event_type", "m"), "left")
         .select(col("event_type"), col("m"),

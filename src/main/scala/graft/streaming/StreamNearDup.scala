@@ -42,6 +42,19 @@ final case class NearDupPair(da: Long, db: Long, estJaccard: Double)
   * of records older than the horizon are found by the batch backfill
   * instead — the standard lambda split.
   *
+  * Hot-bucket saturation: a degenerate bucket (template spam — m
+  * near-identical documents) would otherwise store O(m) signatures, scan
+  * O(m) per arrival, and emit O(m²) pairs — the exact blowup the batch
+  * path's shingle df-cap guards against. The streaming twin of that
+  * policy is `maxBucket`: once a bucket holds `maxBucket` members it is
+  * saturated — later arrivals are neither compared nor stored, so state
+  * is ≤ maxBucket signatures per bucket and lifetime emission is
+  * ≤ maxBucket·(maxBucket−1)/2 pairs per bucket. Pairs involving a
+  * post-saturation document can still surface from the document's OTHER
+  * bands (8 independent chances), and the spam cluster itself is already
+  * fully connected through the pairs emitted before saturation — the
+  * downstream connected-components pass reaches the same clusters.
+  *
   * The signature width and banding are THE batch definitions
   * ([[graft.operators.DedupQueries.lshBandStruct]]) — one source of
   * truth, so stream buckets cannot desynchronize from batch buckets. */
@@ -68,7 +81,8 @@ object StreamNearDup {
       .as[BandedDoc](Encoders.product[BandedDoc])
   }
 
-  private[streaming] def update(tau: Double, ttlMs: Option[Long])(
+  private[streaming] def update(
+      tau: Double, ttlMs: Option[Long], maxBucket: Int)(
       key: (Int, Long),
       docs: Iterator[BandedDoc],
       state: GroupState[BucketState]): Iterator[NearDupPair] = {
@@ -79,9 +93,12 @@ object StreamNearDup {
       return Iterator.empty
     }
     var members = if (state.exists) state.get.members else Nil
+    var nMembers = members.size
     val out = List.newBuilder[NearDupPair]
     docs.foreach { d =>
-      if (!members.exists(_.docId == d.docId)) {
+      // saturation is a pure function of stored state (size == cap), so
+      // replayed batches reach the same decision — no extra flag to keep
+      if (nMembers < maxBucket && !members.exists(_.docId == d.docId)) {
         members.foreach { m =>
           var eq = 0
           var i = 0
@@ -98,6 +115,7 @@ object StreamNearDup {
           }
         }
         members = BucketMember(d.docId, d.sig) :: members
+        nMembers += 1
       }
     }
     state.update(BucketState(members))
@@ -107,20 +125,29 @@ object StreamNearDup {
     out.result().iterator
   }
 
+  /** Default bucket-saturation bound: a genuine near-dup cluster of this
+    * size is already fully connected by the ≤ cap·(cap−1)/2 pairs emitted
+    * before saturation, and anything larger is template spam whose extra
+    * members add state and quadratic emission but no new cluster. */
+  val defaultMaxBucket = 64
+
   /** Detect near-dup pairs in a streaming (doc_id, text) frame: emits a
     * pair the moment the second member of it arrives, across micro-batch
     * boundaries. `stateTtl` bounds state for unbounded corpora (idle
-    * buckets expire); None keeps state forever (bounded corpora, tests). */
+    * buckets expire); None keeps state forever (bounded corpora, tests).
+    * `maxBucket` bounds hot-bucket state/emission (see the saturation
+    * note above). */
   def detect(
       docs: DataFrame,
       tau: Double = 0.5,
-      stateTtl: Option[Long] = None): Dataset[NearDupPair] =
+      stateTtl: Option[Long] = None,
+      maxBucket: Int = defaultMaxBucket): Dataset[NearDupPair] =
     bandedStream(docs)
       .groupByKey(d => (d.band, d.bh))(
         Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
       .flatMapGroupsWithState(
         OutputMode.Append,
         if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
-        else GroupStateTimeout.NoTimeout)(update(tau, stateTtl))(
+        else GroupStateTimeout.NoTimeout)(update(tau, stateTtl, maxBucket))(
         Encoders.product[BucketState], Encoders.product[NearDupPair])
 }

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+
+/** The 100×-scale guarantees of the flagship query plans, proven by plan
+  * inspection instead of prose: filters reach the scans, dimension joins
+  * broadcast (the fact side never shuffles for a join), the
+  * decontamination join carries NO forced-broadcast hint of its
+  * fraction-sized side, and the resample spine is distributed.
+  *
+  * AQE is disabled per-assertion so `executedPlan` is the full static
+  * plan — the assertions are about what Catalyst commits to at ANY scale,
+  * not what AQE happens to rewrite at test-fixture sizes.
+  */
+class PlanSpec extends SparkSpec {
+
+  /** Build `SparkEntry.queries(name)` with AQE off and return its static
+    * physical plan (plus the frame for logical-plan checks). */
+  private def staticPlan(name: String): (DataFrame, SparkPlan) = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      (df, df.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("join_broadcast: lineitem never shuffles for a join — all dims broadcast") {
+    val (_, plan) = staticPlan("join_broadcast")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    val shj = plan.collect { case j: ShuffledHashJoinExec => j }
+    assert(bhj.size == 3 && smj.isEmpty && shj.isEmpty,
+      s"dim chain must be 3 broadcast joins, got $plan")
+    // the ONLY hash shuffle is the final aggregate's — the fact table
+    // flows scan → 3 map-side joins → partial agg without an exchange
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashShuffles.size == 1,
+      s"expected exactly the aggregate shuffle, got:\n$plan")
+    // and that shuffle carries PRE-AGGREGATED rows (partial agg below it),
+    // not fact-width rows — the map-side-combine guarantee
+    assert(hashShuffles.head.collectFirst {
+        case a: HashAggregateExec => a
+      }.nonEmpty,
+      s"aggregate shuffle must sit above a partial HashAggregate:\n$plan")
+  }
+
+  test("join_multiway: every filter is pushed into its scan, below the joins") {
+    val (_, plan) = staticPlan("join_multiway")
+    val s = plan.toString
+    // the three selective predicates reach the parquet readers
+    // (PushedFilters in the scan metadata), so at 100 TB each table is
+    // pruned by rowgroup stats before a single join row materializes
+    assert(s.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"customer filter not pushed:\n$s")
+    assert(s.contains("LessThan(o_orderdate"), s"orders filter not pushed:\n$s")
+    assert(s.contains("GreaterThan(l_shipdate"),
+      s"lineitem filter not pushed:\n$s")
+    // no Filter operator evaluates ABOVE a join — filtering after joining
+    // would mean shuffling rows the predicate was going to discard
+    val joins = plan.collect {
+      case j: BroadcastHashJoinExec => j: SparkPlan
+      case j: SortMergeJoinExec => j: SparkPlan
+      case j: ShuffledHashJoinExec => j: SparkPlan
+    }
+    assert(joins.nonEmpty)
+    val filtersAboveJoins = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.collectFirst {
+            case j: BroadcastHashJoinExec => j
+            case j: SortMergeJoinExec => j
+            case j: ShuffledHashJoinExec => j
+          }.nonEmpty => f
+    }
+    assert(filtersAboveJoins.isEmpty,
+      s"filters must stay below the joins:\n$plan")
+  }
+
+  test("pipeline_contamination: no forced broadcast of the fraction-sized split") {
+    // the held-out side is a fixed FRACTION of the corpus — a broadcast
+    // hint would force terabytes through the driver at the design scale.
+    // Assert no join in the optimized plan carries a BROADCAST hint on
+    // either side (a size-based AQE broadcast at toy scale is fine — it
+    // is size-gated, which is exactly the scale-safe behavior).
+    val (df, plan) = staticPlan("pipeline_contamination")
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: Join
+          if j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+            j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) => j
+    }
+    assert(hinted.isEmpty, s"broadcast hint found on the split join:\n" +
+      df.queryExecution.optimizedPlan)
+    // with size-based broadcast disabled the plan must still be viable —
+    // a pure shuffle join on the shingle key (both sides clustered by s)
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("pipeline_contamination")(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty &&
+        p.collect {
+          case j: SortMergeJoinExec => j: SparkPlan
+          case j: ShuffledHashJoinExec => j: SparkPlan
+        }.nonEmpty,
+        s"split join must be a shuffle join when broadcast is off:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("ts_resample: the minute spine is redistributed, not one task") {
+    val (_, plan) = staticPlan("ts_resample")
+    // the spine repartition shows up as a hash exchange on m ALONE (the
+    // gap-fill join's exchange hashes (event_type, m) and starts with
+    // event_type, so the substring is unambiguous)
+    assert(plan.toString.contains("Exchange hashpartitioning(m#"),
+      s"spine must be redistributed after the explode:\n$plan")
+  }
+}

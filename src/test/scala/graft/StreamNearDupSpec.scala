@@ -48,4 +48,43 @@ class StreamNearDupSpec extends SparkSpec {
         "replay must not emit new pairs")
     } finally q.stop()
   }
+
+  test("hot bucket saturates: bounded state growth and bounded emission") {
+    val spark0 = spark
+    implicit val sqlCtx = spark0.sqlContext
+    import spark0.implicits._
+    // template spam: identical text → identical signature → the SAME
+    // bucket in every band; without the cap this emits O(m²) pairs and
+    // stores O(m) signatures per bucket
+    val spam = "buy cheap widgets now best price free shipping limited " +
+      "offer act today only while stocks last"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamNearDup
+      .detect(in.toDF().toDF("doc_id", "text"), maxBucket = 3)
+      .writeStream.format("memory").queryName("spam_dups")
+      .outputMode("append").start()
+    try {
+      // six spam docs across two batches; cap = 3 members per bucket
+      in.addData((1L, spam), (2L, spam), (3L, spam))
+      q.processAllAvailable()
+      in.addData((4L, spam), (5L, spam), (6L, spam))
+      q.processAllAvailable()
+      val pairs = spark.table("spam_dups").select("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct.toSet
+      // only the first cap=3 members pair up — cap·(cap−1)/2 = 3 distinct
+      // pairs, all among docs {1,2,3}; docs 4-6 hit the saturated bucket
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"saturated bucket must stop emitting, got $pairs")
+      val before = spark.table("spam_dups").count()
+      // a straggler after saturation: no comparisons, no new pairs
+      in.addData((7L, spam))
+      q.processAllAvailable()
+      assert(spark.table("spam_dups").count() == before,
+        "post-saturation arrivals must not emit")
+      // the cluster is still connected through the pre-saturation pairs:
+      // CC over the emitted pairs yields ONE component
+      val cc = pairs.flatMap(p => Seq(p._1, p._2))
+      assert(cc == Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
