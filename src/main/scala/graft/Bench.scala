@@ -38,11 +38,15 @@ object Bench {
     // not be mixed into the min either (min of mixed success/failure
     // samples is meaningless)
     def runOnce(): Map[String, Option[Double]] = {
-      // benchmark integrity: drop all session-lifetime materializations so
-      // THIS rep executes every graded operator (fixture + bronze sharing
-      // still happens WITHIN the rep, across its queries — the production
-      // "materialize once, read many" seam being measured)
-      BoundedDfCache.clearAll()
+      // benchmark integrity: drop every GRADED materialization (bronze
+      // parses, shingle/pair/tf tables) so THIS rep executes every graded
+      // operator — within the rep they are still built once and shared
+      // across queries, the production "materialize once, read many" seam
+      // being measured. Only pure test-INPUT synthesis (the fabricated
+      // changelog JSON, which a deployment would read from Kafka/disk
+      // rather than fabricate) survives the rep boundary — the recorded
+      // baseline contract ("only the fixture build is shared").
+      BoundedDfCache.clearGraded()
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =

@@ -33,12 +33,31 @@ private[graft] object BoundedDfCache {
       })
     }
 
-  /** Unpersist and evict EVERY entry. The benchmark calls this at the top
-    * of each rep: the cache's production seam is "materialize once per
-    * session", but across benchmark reps that would let reps 2..N read
-    * rep 1's persisted outputs of GRADED operators (bronze parses, shingle
-    * and pair tables) and report a cache read as query time — so each rep
-    * starts from an empty cache and pays the full materialization work. */
+  /** Tag prefix marking an entry as pure test-INPUT synthesis (e.g. the
+    * fabricated Debezium changelog JSON built from the orders table). A
+    * deployed pipeline reads its input from disk/Kafka — it never pays to
+    * re-fabricate it — so these, and ONLY these, may survive a benchmark
+    * rep boundary (the recorded baseline contract: "only the fixture
+    * build is shared"). Everything else in the cache is the output of a
+    * GRADED operator and must be re-executed every rep. */
+  val FixturePrefix = "fixture:"
+
+  /** Unpersist and evict every GRADED entry (all tags except
+    * [[FixturePrefix]] ones). The benchmark calls this at the top of each
+    * rep: the cache's production seam is "materialize once per session",
+    * but across benchmark reps that would let reps 2..N read rep 1's
+    * persisted outputs of GRADED operators (bronze parses, shingle and
+    * pair tables) and report a cache read as query time — so each rep
+    * drops them and pays the full graded materialization work again. */
+  def clearGraded(): Unit = entries.synchronized {
+    val graded = entries.keys.filterNot(_._2.startsWith(FixturePrefix)).toList
+    graded.foreach { k =>
+      scala.util.Try(entries(k).unpersist())
+      entries.remove(k)
+    }
+  }
+
+  /** Unpersist and evict EVERY entry, fixtures included. */
   def clearAll(): Unit = entries.synchronized {
     entries.valuesIterator.foreach(df => scala.util.Try(df.unpersist()))
     entries.clear()

@@ -139,13 +139,23 @@ object CdcOps {
       lit(op).as("op"),
       epochMs(col("o_orderdate")).as("ts_ms")))
 
-  // The synthesized changelog is pure fixture generation (5 to_json branches
-  // over orders); several catalog queries start from it, so cache the raw
-  // records once per (session, sfDir) — only the fixture build is shared.
+  // Parsed (bronze) stages are GRADED operator output: cached per session
+  // for the production fan-out seam, but evicted between benchmark reps
+  // (BoundedDfCache.clearGraded) so every rep re-executes the parse.
   private def cached(
       spark: SparkSession, sfDir: String, variant: String)(
       build: => DataFrame): DataFrame =
     graft.BoundedDfCache.getOrPersist(spark, s"cdc:$variant:$sfDir")(build)
+
+  // The synthesized changelog is pure fixture generation (5 to_json branches
+  // over orders) — test INPUT, not operator output: a deployment reads its
+  // changelog from Kafka/disk rather than fabricating it, so these entries
+  // carry the fixture tag and survive benchmark rep boundaries.
+  private def cachedFixture(
+      spark: SparkSession, sfDir: String, variant: String)(
+      build: => DataFrame): DataFrame =
+    graft.BoundedDfCache.getOrPersist(
+      spark, s"${graft.BoundedDfCache.FixturePrefix}cdc:$variant:$sfDir")(build)
 
   // -------------------------------------------------------------------
   // Bronze stage: the PARSED typed changelog, materialized once per
@@ -204,7 +214,7 @@ object CdcOps {
   /** The base-insert branch only (`op='c'` for every order), persisted. */
   private def synthOrdersInserts(
       spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "inserts")(buildOrdersChangelog(spark, sfDir)._1)
+    cachedFixture(spark, sfDir, "inserts")(buildOrdersChangelog(spark, sfDir)._1)
 
   /** Returns (insert branch, streaming tail): the tail is the non-insert
     * union, constructed from the branches directly — no JSON re-probe of
@@ -254,7 +264,7 @@ object CdcOps {
     * streaming starts. lsn=0 ranks snapshot rows below every stream event,
     * so compaction lets the tail supersede the snapshot per key. */
   def synthOrdersSnapshot(spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "snapshot")(buildOrdersSnapshot(spark, sfDir))
+    cachedFixture(spark, sfDir, "snapshot")(buildOrdersSnapshot(spark, sfDir))
 
   private def buildOrdersSnapshot(
       spark: SparkSession, sfDir: String): DataFrame = {
@@ -277,7 +287,7 @@ object CdcOps {
     * parser per record — at changelog scale that doubled the fixture cost).
     * Persisted once and shared with [[synthOrdersChangelog]]. */
   def synthOrdersTail(spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "tail")(buildOrdersChangelog(spark, sfDir)._2)
+    cachedFixture(spark, sfDir, "tail")(buildOrdersChangelog(spark, sfDir)._2)
 
   // ---------------------------------------------------------------------
   // A2: MySQL-connector change log. Binlog provenance is a (file, pos)
@@ -322,7 +332,7 @@ object CdcOps {
     * deleted. */
   def synthOrdersMySqlChangelog(
       spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "mysql")(buildOrdersMySqlChangelog(spark, sfDir))
+    cachedFixture(spark, sfDir, "mysql")(buildOrdersMySqlChangelog(spark, sfDir))
 
   private def buildOrdersMySqlChangelog(
       spark: SparkSession, sfDir: String): DataFrame = {
@@ -396,7 +406,7 @@ object CdcOps {
     * the document, as Mongo change streams do without pre-images. */
   def synthOrdersMongoChangelog(
       spark: SparkSession, sfDir: String): DataFrame =
-    cached(spark, sfDir, "mongo")(buildOrdersMongoChangelog(spark, sfDir))
+    cachedFixture(spark, sfDir, "mongo")(buildOrdersMongoChangelog(spark, sfDir))
 
   private def buildOrdersMongoChangelog(
       spark: SparkSession, sfDir: String): DataFrame = {

@@ -60,6 +60,23 @@ object SamplingQueries extends QueryGroup {
     conv(substring(md5(key.cast("string")), 1, 2), 16, 10)
       .cast("int") % k
 
+  /** Deterministic fixed-size sample of k rows per group from ANY frame:
+    * rank inside each group by the content hash of the stable record key
+    * (key itself as tie-break → total order even under hash collisions)
+    * and keep the k smallest. The per-group generalization of
+    * `sample_stratified` — group columns and key are the caller's, so the
+    * same operator draws QA samples per language, per source domain, per
+    * date partition, per topic… One shuffle on the group key; at extreme
+    * group skew the same result is computable with a per-partition
+    * pre-top-k (each partition keeps its k smallest hashes, then one tiny
+    * final pass), so no single reducer ever needs a full group. */
+  def topKPerGroup(
+      df: DataFrame, groupCols: Seq[String], key: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic Bernoulli sample: keep the 4/16 hash buckets → 25%
     // expected rate, exact membership reproducible from the key alone
@@ -94,13 +111,21 @@ object SamplingQueries extends QueryGroup {
     // order (pseudo-random but fully deterministic; doc_id tie-break makes
     // the order total even under hash collisions)
     "sample_stratified" -> ((s, dir) => {
-      val w = Window.partitionBy("lang")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      Tables.scan(s, dir, "documents")
-        .select(col("doc_id"), col("lang"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 20)
+      topKPerGroup(
+        Tables.scan(s, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq("lang"), col("doc_id"), 20)
         .orderBy("lang", "rk")
+    }),
+
+    // the same operator on a DIFFERENT table and grouping — per-priority QA
+    // sample of orders (proves topKPerGroup is table-agnostic, not a
+    // documents/lang special case)
+    "sample_topk_group" -> ((s, dir) => {
+      topKPerGroup(
+        Tables.scan(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        Seq("o_orderpriority"), col("o_orderkey"), 7)
+        .orderBy("o_orderpriority", "rk")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -136,5 +161,14 @@ object SamplingQueries extends QueryGroup {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
         |  FROM documents)
         |SELECT doc_id, lang, rk FROM r
-        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    "sample_topk_group" ->
+      """WITH r AS (SELECT o_orderkey, o_orderpriority,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS INT)
+        |    AS rk
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority, rk FROM r
+        |WHERE rk <= 7 ORDER BY o_orderpriority, rk""".stripMargin)
 }
