@@ -296,12 +296,29 @@ object DedupQueries extends QueryGroup {
     * join per round: near-dup graphs converge in 2-3 rounds for the
     * typical tight clusters, so the common case never pays, while a deep
     * chain — the only shape still unconverged by round 3 — gets the
-    * geometric acceleration exactly when it matters. */
+    * geometric acceleration exactly when it matters. Rounds ≥ 4 jump
+    * TWICE (compose the pointer table with itself through the hop
+    * result): label distance then multiplies ~3× per round instead of
+    * ~2×, cutting round count further on the deep-chain tail.
+    *
+    * Edge contraction (the star-contraction half, à la large-star/
+    * small-star CC): every truncation round also rewrites the edge set
+    * to the label-quotient graph — each edge's endpoints are replaced by
+    * their current labels, self-loops (endpoints already co-labeled)
+    * drop, duplicates collapse. Near-dup graphs are dense tight
+    * clusters, so most edges become self-loops within the first rounds
+    * and the per-round join cost shrinks geometrically instead of
+    * staying O(|E|) for the whole run; vertices whose edges contracted
+    * away still resolve through the jump steps (their labels chase the
+    * representative's label), and the convergence check spans ALL
+    * vertices, so the loop cannot exit while any stale pointer
+    * remains. */
   private[graft] def connectedComponents(
       pairs: DataFrame): (DataFrame, Int) = {
     // materialize the symmetrized edge list once — every round would
     // otherwise recompute the candidate-pair engine through lineage
-    val edges = pairs
+    // (var: truncation rounds re-bind it to the contracted quotient graph)
+    var edges = pairs
       .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
       .localCheckpoint()
     val verts = edges.select(col("da").as("v")).distinct()
@@ -321,16 +338,22 @@ object DedupQueries extends QueryGroup {
             .as("lbl"),
           labels("lbl").as("_old"))
       // … then, once past the cheap rounds, pointer-jump: adopt the
-      // label OF the label when smaller (see scaladoc)
+      // label OF the label when smaller; from round 4 jump a second time
+      // through the same pointer table (see scaladoc)
       val jumped =
         if (rounds < 2) hop
         else {
-          val ptr = labels.select(col("v").as("pv"), col("lbl").as("plbl"))
-          hop.join(ptr, hop("lbl") === col("pv"), "left")
-            .select(hop("v").as("v"),
-              least(hop("lbl"), coalesce(col("plbl"), hop("lbl")))
-                .as("lbl"),
-              col("_old"))
+          val nJumps = if (rounds < 3) 1 else 2
+          var acc = hop
+          for (_ <- 1 to nJumps) {
+            val ptr = labels.select(col("v").as("pv"), col("lbl").as("plbl"))
+            acc = acc.join(ptr, acc("lbl") === col("pv"), "left")
+              .select(acc("v").as("v"),
+                least(acc("lbl"), coalesce(col("plbl"), acc("lbl")))
+                  .as("lbl"),
+                col("_old"))
+          }
+          acc
         }
       // Each round references the previous round's labels plan 2-3 times,
       // so the LOGICAL plan grows geometrically across rounds — cache()
@@ -342,6 +365,24 @@ object DedupQueries extends QueryGroup {
       val next =
         if (rounds % 5 == 4) {
           val ckpt = jumped.drop("_old").localCheckpoint() // eager: 1 action
+          // contraction round: rewrite the edge set as the label-quotient
+          // graph. Endpoints already co-labeled become self-loops and
+          // vanish; parallel quotient edges collapse under distinct. The
+          // surviving graph connects only still-unmerged representatives,
+          // so the remaining rounds join against a geometrically smaller
+          // edge set (the star-contraction half of LS/SS CC). Quotient
+          // labels are vertex ids, so propagation over quotient edges
+          // keeps feeding the same `labels` frame; contracted-away
+          // vertices resolve via the jump steps.
+          val la = ckpt.select(col("v").as("_ca"), col("lbl").as("_la"))
+          val lb = ckpt.select(col("v").as("_cb"), col("lbl").as("_lb"))
+          edges = edges
+            .join(la, edges("da") === col("_ca"))
+            .join(lb, edges("db") === col("_cb"))
+            .select(col("_la").as("da"), col("_lb").as("db"))
+            .filter(col("da") =!= col("db"))
+            .distinct()
+            .localCheckpoint() // eager: the round's 2nd (bounded) action
           converged = false
           ckpt
         } else {

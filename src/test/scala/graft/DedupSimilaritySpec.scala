@@ -146,7 +146,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val lbls = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(lbls.length == n)
     assert(lbls.forall(_._2 == 0L), "chain must collapse to one component")
-    assert(rounds <= 15, s"deep chain took $rounds rounds (expected ~log d)")
+    info(s"200-vertex chain converged in $rounds rounds")
+    // double pointer jumping (round ≥ 4) + quotient-graph contraction at
+    // truncation rounds: distance multiplies ~3× per late round, so the
+    // diameter-199 path stays well under the old ≤15 bound
+    assert(rounds <= 10, s"deep chain took $rounds rounds (expected ~log d)")
   }
 
   test("connected components: one Spark action per propagation round") {
