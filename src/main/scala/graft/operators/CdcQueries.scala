@@ -103,6 +103,30 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // op 18's history-preserving twin: SCD type-2 materialization. Latest-
+    // state compaction keeps one row per key; the warehouse history table
+    // keeps EVERY version with its validity interval — [valid_from,
+    // valid_to) in source LSN order, open (null, is_current) for the live
+    // version, and a delete closes the last interval without opening one.
+    // One hash shuffle (the per-key window); replay-safe WITHOUT a
+    // distinct: an at-least-once duplicate has the same (key, lsn), so it
+    // surfaces as a zero-width interval (valid_from = valid_to) and is
+    // dropped — genuine versions always have distinct LSNs, so no real
+    // interval is ever zero-width.
+    "cdc_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderkey").orderBy("_lsn")
+      CdcOps.ordersUnwrapped(s, dir)
+        .filter(!col("_tombstone"))
+        .withColumn("valid_to", lead(col("_lsn"), 1).over(w))
+        .filter(col("_op") =!= "d"
+          && !(col("valid_to") <=> col("_lsn"))) // replay → zero-width
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("_lsn").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.cast("int").as("is_current"))
+        .orderBy("o_orderkey", "valid_from")
+    }),
+
     // §7.2 flagship slice: change log → compact → join dim → aggregate
     "cdc_revenue_by_segment" -> ((s, dir) => {
       val state = CdcOps.ordersCompacted(s, dir)
@@ -183,6 +207,35 @@ object CdcQueries extends QueryGroup {
         |       o_totalprice, o_orderdate_us, o_orderpriority
         |FROM base WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin),
+
+    // the oracle re-derives the version timeline from the synthesis rules
+    // (insert lsn=10k; update lsn=10k+5 when k%10=0 — the k%20 replay is
+    // NOT generated, mirroring the engine's replay elimination; delete
+    // lsn=10k+8 when k%7=0 closes the last interval)
+    "cdc_scd2" -> (baseCte +
+      """, ev AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         o_orderkey * 10 AS lsn, 'c' AS op
+        |  FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', o_totalprice, o_orderkey * 10 + 5, 'u'
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END,
+        |         o_totalprice, o_orderkey * 10 + 8, 'd'
+        |  FROM base WHERE o_orderkey % 7 = 0),
+        |v AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         lsn AS valid_from,
+        |         LEAD(lsn) OVER (PARTITION BY o_orderkey ORDER BY lsn)
+        |           AS valid_to,
+        |         op
+        |  FROM ev)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from, valid_to,
+        |       CAST(valid_to IS NULL AS INT) AS is_current
+        |FROM v WHERE op <> 'd'
+        |ORDER BY o_orderkey, valid_from""".stripMargin),
 
     "cdc_revenue_by_segment" ->
       """SELECT c_mktsegment,

@@ -107,6 +107,25 @@ object TimeSeriesQueries extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // cohort retention: users grouped by their first-seen day, activity
+    // counted per whole-week offset from it — THE product-analytics
+    // retention table. The cohort date comes from a min-window over the
+    // user partition (one hash shuffle, no self-join back to events), and
+    // the distinct-user rollup is the only other shuffle. Day arithmetic
+    // (not week truncation) so both engines agree without sharing a
+    // week-start convention; the day is emitted as a string so the hash
+    // compare is date-representation-proof.
+    "ts_cohort" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      Tables.scan(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+        .withColumn("cohort", min(col("d")).over(w))
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          floor(datediff(col("d"), col("cohort")) / 7).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    }),
+
     // per-user sliding 5-minute stats (RANGE frame over epoch seconds)
     "ts_sliding" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
@@ -139,6 +158,16 @@ object TimeSeriesQueries extends QueryGroup {
         |FROM spine s LEFT JOIN agg a
         |  ON s.event_type = a.event_type AND s.m = a.m
         |ORDER BY s.event_type, s.m""".stripMargin,
+
+    "ts_cohort" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, d,
+        |    MIN(d) OVER (PARTITION BY user_id) AS cohort FROM e)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(FLOOR(date_diff('day', cohort, d) / 7.0) AS BIGINT)
+        |    AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ts_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
