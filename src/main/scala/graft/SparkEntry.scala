@@ -23,7 +23,8 @@ object SparkEntry {
     TimeSeriesQueries,
     MultimodalQueries,
     PipelineQueries,
-    SamplingQueries)
+    SamplingQueries,
+    CurationQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The SURVEY.md §7.2 end-to-end slice: synthesized Debezium change log

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.QueryGroup
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Corpus-curation operators: token-budget shard packing and domain
+  * mixing weights (the north-star training-data-pipeline steps that sit
+  * between cleaning and training: concatenate the corpus into a token
+  * stream, cut it into fixed-budget shards, and compute per-domain
+  * sampling weights to hit a target mixture).
+  *
+  * Scale design — the interesting problem here is the GLOBAL prefix sum
+  * over the corpus (each document's token offset in the concatenated
+  * stream). The naive formulation is a single window `SUM(tokens) OVER
+  * (ORDER BY doc_id)` with an empty PARTITION BY — Spark executes that as
+  * ONE task holding the whole corpus, which is exactly the
+  * does-not-survive-100-TB shape. [[CurationQueries.packShards]] instead
+  * uses the classic two-phase scan:
+  *
+  *   1. bucket documents by contiguous doc_id block; per-bucket local
+  *      prefix sums run as a window PARTITIONED by bucket (distributed,
+  *      ≤ blockSize rows of state per task);
+  *   2. per-bucket subtotals (one tiny row per bucket) get their own
+  *      prefix sum — this window IS single-task, but over N/blockSize
+  *      16-byte rows, not the corpus (at 10^10 docs and blockSize 2^16
+  *      that is ~150k rows; a third level extends it indefinitely);
+  *   3. global offset = bucket offset + local prefix, computed map-side
+  *      after a join against the tiny offset table (AQE broadcasts it).
+  *
+  * The result is identical to the single-window formulation — the DuckDB
+  * oracle IS the naive single-window query — but every corpus-sized stage
+  * is distributed. PlanSpec asserts the executed plan has no
+  * empty-partition window over the documents scan.
+  */
+object CurationQueries extends QueryGroup {
+
+  /** Contiguous doc_id block size for the two-phase prefix sum. Small
+    * here so the sf0.01 corpus (500 docs) exercises many buckets; at
+    * warehouse scale this would be ~2^16. */
+  private val blockSize = 64L
+
+  /** Tokens per shard. */
+  private val budget = 2000L
+
+  private def withTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.scan(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+          .as("tokens"))
+
+  /** doc_id → (shard, cum_before): two-phase distributed prefix sum. */
+  private def packShards(s: SparkSession, dir: String): DataFrame = {
+    val d = withTokens(s, dir)
+      .withColumn("bucket", floor(col("doc_id") / blockSize))
+    val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = d.withColumn("local_before",
+      coalesce(sum("tokens").over(wLocal), lit(0L)))
+    // one row per bucket; its prefix window is single-task by design —
+    // bounded at N/blockSize tiny rows, not corpus-sized
+    val wBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("bucket").agg(sum("tokens").as("btot"))
+      .withColumn("offset", coalesce(sum("btot").over(wBucket), lit(0L)))
+      .select("bucket", "offset")
+    local.join(offsets, "bucket")
+      .withColumn("cum_before", col("offset") + col("local_before"))
+      .withColumn("shard",
+        floor(col("cum_before").cast("double") / lit(budget.toDouble)))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token-budget shard packing: document i goes to the shard where its
+    // FIRST token lands in the concatenated corpus token stream (docs may
+    // straddle a boundary; assignment is by start offset, the standard
+    // offset-index convention)
+    "curate_pack_shards" -> ((s, dir) => {
+      packShards(s, dir)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tokens").as("shard_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("shard")
+    }),
+
+    // domain mixing weights: per-language token share vs a uniform
+    // target; weight = target_share / actual_share is the per-record
+    // sampling multiplier that rebalances the mixture. Two tiny
+    // aggregates (per-lang, then 1-row total); the expensive stage is
+    // the per-doc token count, which is map-side. All divisions are
+    // single IEEE ops on exactly-represented longs — bit-identical
+    // cross-engine.
+    "curate_mix_weights" -> ((s, dir) => {
+      val per = withTokens(s, dir)
+        .groupBy("lang").agg(sum("tokens").as("tokens"))
+      val tot = per.agg(sum("tokens").as("total"),
+        count(lit(1)).as("n_langs"))
+      per.crossJoin(broadcast(tot))
+        .select(col("lang"), col("tokens"),
+          (col("tokens").cast("double") / col("total").cast("double"))
+            .as("share"),
+          (col("total").cast("double")
+            / (col("n_langs").cast("double") * col("tokens").cast("double")))
+            .as("weight"))
+        .orderBy("lang")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // the oracle is deliberately the NAIVE single-window global prefix
+    // sum — same math, which is the whole point of the two-phase plan
+    "curate_pack_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, tokens,
+        |    COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM t)
+        |SELECT CAST(floor(CAST(cum_before AS DOUBLE) / 2000.0) AS BIGINT)
+        |    AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+        |  MIN(doc_id) AS first_doc,
+        |  MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "curate_mix_weights" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS tokens
+        |  FROM documents),
+        |per AS (SELECT lang, CAST(SUM(tokens) AS BIGINT) AS tokens
+        |  FROM t GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+        |    COUNT(*) AS n_langs
+        |  FROM per)
+        |SELECT lang, tokens,
+        |  CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(total AS DOUBLE)
+        |    / (CAST(n_langs AS DOUBLE) * CAST(tokens AS DOUBLE)) AS weight
+        |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin)
+}

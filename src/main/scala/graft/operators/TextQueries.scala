@@ -209,6 +209,66 @@ object TextQueries extends QueryGroup {
           ((col("n_words") - col("n_distinct")).cast("double")
             / col("n_words")).as("dup_word_frac"))
         .orderBy("doc_id")
+    }),
+
+    // PII redaction — the mandatory scrub pass of any corpus pipeline.
+    // Pure map-side (zero shuffles: detect + replace are per-row regex
+    // ops), which is exactly the 100 TB shape — a scrub that shuffled
+    // would be unusable. The synthetic corpus carries no organic PII, so
+    // the operator derives a contact string from the events row
+    // DETERMINISTICALLY (same construction in the oracle) and then
+    // redacts it; the graded work is the regex detect/replace machinery.
+    // Patterns stay in the RE2-compatible subset (char classes + bounded
+    // repetition, no backrefs/lookahead) so Java regex and DuckDB RE2
+    // match identically.
+    "text_pii" -> ((s, dir) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+1-555-[0-9]{4}"
+      Tables.scan(s, dir, "events")
+        .select(col("event_id"),
+          concat(lit("contact user"), col("user_id").cast("string"),
+            lit(" at user"), col("user_id").cast("string"),
+            lit("@example.com or +1-555-"),
+            lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+            lit(" ref "), col("props")).as("msg"))
+        .select(col("event_id"),
+          regexp_count(col("msg"), lit(email)).cast("int").as("n_emails"),
+          regexp_count(col("msg"), lit(phone)).cast("int").as("n_phones"),
+          regexp_replace(regexp_replace(col("msg"), email, "<EMAIL>"),
+            phone, "<PHONE>").as("redacted"))
+        .orderBy("event_id")
+    }),
+
+    // boilerplate detection (CCNet-style, per-source): a term that appears
+    // in ≥ half of a source's documents is that source's boilerplate
+    // vocabulary (nav text, legal footers, templates); per document,
+    // report how much of it is boilerplate. Distributed shape: reuses the
+    // shared [[tfTable]] (its (doc, term) shuffle is already paid), one
+    // shuffle keyed (source, term) for per-source df, and a (source,
+    // term)-keyed join back — the per-source doc-count side is NOT
+    // broadcast-hinted: sources are web domains at corpus scale (hundreds
+    // of millions), so AQE may pick broadcast while it fits and must be
+    // free to shuffle when it doesn't.
+    "text_boilerplate" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val pres = tfTable(s, dir).join(docs, "doc_id")
+      val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val boiler = pres.groupBy("source", "term")
+        .agg(count(lit(1)).as("df"))
+        .join(nDocs, "source")
+        .filter(col("df") * 2 >= col("n_docs"))
+        .select(col("source"), col("term"))
+      val tot = pres.groupBy("doc_id")
+        .agg(sum("tf").as("n_tokens"))
+      val boilTok = pres.join(boiler, Seq("source", "term"))
+        .groupBy("doc_id").agg(sum("tf").as("n_boiler"))
+      tot.join(boilTok, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          (coalesce(col("n_boiler"), lit(0L)).cast("double")
+            / col("n_tokens").cast("double")).as("boiler_frac"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -332,5 +392,50 @@ object TextQueries extends QueryGroup {
         |  CAST(top_c AS DOUBLE) / n_grams AS top_gram_frac,
         |  CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac
         |FROM gs JOIN ws ON gs.doc_id = ws.doc_id
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_pii" ->
+      """WITH m AS (SELECT event_id,
+        |    concat('contact user', CAST(user_id AS VARCHAR),
+        |      ' at user', CAST(user_id AS VARCHAR),
+        |      '@example.com or +1-555-',
+        |      lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0'),
+        |      ' ref ', props) AS msg
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(len(regexp_extract_all(msg,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(msg,
+        |    '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(msg,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH terms AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM terms GROUP BY doc_id, term),
+        |pres AS (SELECT tf.doc_id, tf.term, tf.tf, d.source
+        |  FROM tf JOIN documents d USING (doc_id)),
+        |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents
+        |  GROUP BY source),
+        |boiler AS (SELECT f.source, f.term
+        |  FROM (SELECT source, term, COUNT(*) AS df FROM pres
+        |        GROUP BY source, term) f
+        |  JOIN nd USING (source) WHERE f.df * 2 >= nd.n_docs),
+        |tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens
+        |  FROM pres GROUP BY doc_id),
+        |bt AS (SELECT p.doc_id, CAST(SUM(p.tf) AS BIGINT) AS n_boiler
+        |  FROM pres p JOIN boiler b
+        |    ON p.source = b.source AND p.term = b.term
+        |  GROUP BY p.doc_id)
+        |SELECT t.doc_id, t.n_tokens,
+        |  COALESCE(bt.n_boiler, 0) AS n_boiler,
+        |  CAST(COALESCE(bt.n_boiler, 0) AS DOUBLE)
+        |    / CAST(t.n_tokens AS DOUBLE) AS boiler_frac
+        |FROM tot t LEFT JOIN bt USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin)
 }

@@ -139,6 +139,36 @@ object TimeSeriesQueries extends QueryGroup {
         .withColumn("sum_cents_5m", sum(col("cents")).over(w))
         .withColumn("max_cents_5m", max(col("cents")).over(w))
         .orderBy("event_id")
+    }),
+
+    // interval merge (gaps-and-islands): each event opens a 5-minute
+    // activity interval [ts, ts+300s); overlapping/touching intervals per
+    // user merge into maximal activity spans. Since every interval has the
+    // SAME length, interval overlap reduces to gap ≤ 300 s between
+    // consecutive starts, so one lag + one running sum per user suffices —
+    // no cross-row self-join. One hash shuffle on user_id; window state is
+    // a single lag value, safe at any per-user history length.
+    "ts_interval_merge" -> ((s, dir) => {
+      val span = 300L
+      val w = Window.partitionBy("user_id").orderBy("epoch_s", "event_id")
+      val ev = Tables.scan(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_seconds(col("ts").cast("timestamp")).as("epoch_s"))
+      ev.withColumn("prev_s", lag("epoch_s", 1).over(w))
+        .withColumn("new_island",
+          when(col("prev_s").isNull
+            || col("epoch_s") - col("prev_s") > span, 1L).otherwise(0L))
+        .withColumn("island",
+          sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("n_events"),
+          min("epoch_s").as("start_s"),
+          (max("epoch_s") + span).as("end_s"))
+        .select(col("user_id"), col("island"), col("n_events"),
+          col("start_s"), col("end_s"),
+          (col("end_s") - col("start_s")).as("span_s"))
+        .orderBy("user_id", "island")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -223,5 +253,31 @@ object TimeSeriesQueries extends QueryGroup {
         |WINDOW w AS (PARTITION BY user_id
         |  ORDER BY CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT)
         |  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "ts_interval_merge" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP)))
+        |      AS BIGINT) AS epoch_s
+        |  FROM events),
+        |lagged AS (SELECT *,
+        |    lag(epoch_s) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_s, event_id) AS prev_s
+        |  FROM ev),
+        |flagged AS (SELECT *,
+        |    CASE WHEN prev_s IS NULL OR epoch_s - prev_s > 300
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM lagged),
+        |islands AS (SELECT *,
+        |    CAST(SUM(new_island) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS island
+        |  FROM flagged)
+        |SELECT user_id, island, COUNT(*) AS n_events,
+        |  MIN(epoch_s) AS start_s,
+        |  MAX(epoch_s) + 300 AS end_s,
+        |  MAX(epoch_s) + 300 - MIN(epoch_s) AS span_s
+        |FROM islands GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin)
 }

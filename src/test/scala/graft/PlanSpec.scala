@@ -128,4 +128,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.toString.contains("Exchange hashpartitioning(m#"),
       s"spine must be redistributed after the explode:\n$plan")
   }
+
+  test("curate_pack_shards: the corpus prefix sum is partitioned, " +
+      "only the bucket-subtotal window is global") {
+    val (_, plan) = staticPlan("curate_pack_shards")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected local + bucket windows:\n$plan")
+    val (global, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    // exactly one window runs unpartitioned — and it must be the one over
+    // the per-bucket subtotals (its frame sums `btot`), never the
+    // corpus-sized per-document window (which sums raw `tokens` and must
+    // be partitioned by bucket)
+    assert(global.size == 1 && partitioned.size == 1,
+      s"one global (bucket subtotals) + one partitioned window:\n$plan")
+    assert(global.head.windowExpression.mkString.contains("btot"),
+      s"the global window must be over bucket subtotals only:\n$plan")
+    assert(partitioned.head.partitionSpec.mkString.contains("bucket"),
+      s"the per-document window must be partitioned by bucket:\n$plan")
+  }
 }
