@@ -127,6 +127,29 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey", "valid_from")
     }),
 
+    // incremental view maintenance: the parsed change log applied in
+    // three sequential micro-batches (inserts, then updates incl. the
+    // at-least-once replay, then deletes + tombstones) through
+    // [[graft.streaming.IncrementalView]]'s additive delta merge into
+    // versioned snapshots; the returned frame is the final committed
+    // view. The oracle states the same result declaratively over the
+    // base table — IVM's whole claim is that the incrementally
+    // maintained view equals the from-scratch recompute, and that claim
+    // is exactly what the hash gate checks.
+    "cdc_ivm_view" -> ((s, dir) => {
+      import graft.streaming.IncrementalView
+      val parsed = CdcOps.parsedOrders(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ivm-").toString
+      IncrementalView.applyBatch(
+        parsed.filter(col("env.op").isin("c", "r")), 0L, tmp)
+      IncrementalView.applyBatch(
+        parsed.filter(col("env.op") === "u"), 1L, tmp)
+      IncrementalView.applyBatch(
+        parsed.filter(col("env.op") === "d" || col("_tombstone")), 2L, tmp)
+      IncrementalView.readView(s, tmp).get.orderBy("o_orderstatus")
+    }),
+
     // §7.2 flagship slice: change log → compact → join dim → aggregate
     "cdc_revenue_by_segment" -> ((s, dir) => {
       val state = CdcOps.ordersCompacted(s, dir)
@@ -236,6 +259,19 @@ object CdcQueries extends QueryGroup {
         |       CAST(valid_to IS NULL AS INT) AS is_current
         |FROM v WHERE op <> 'd'
         |ORDER BY o_orderkey, valid_from""".stripMargin),
+
+    "cdc_ivm_view" ->
+      """WITH fin AS (SELECT
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |      AS DECIMAL(12,2)) AS price
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderstatus,
+        |  CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  COUNT(*) AS n_orders
+        |FROM fin GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "cdc_revenue_by_segment" ->
       """SELECT c_mktsegment,
