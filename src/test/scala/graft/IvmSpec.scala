@@ -79,6 +79,47 @@ class IvmSpec extends SparkSpec {
     assert(view(path) == before)
   }
 
+  test("maintain(): the foreachBatch sink keeps the view correct " +
+      "across streamed micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def env(key: Long, lsn: Long, op: String,
+        beforeStatus: String, afterStatus: String): String = {
+      def row(status: String) =
+        s"""{"o_orderkey":$key,"o_custkey":1,"o_orderstatus":"$status",
+           |"o_totalprice":"10.00","o_orderdate_us":0,
+           |"o_orderpriority":"1-URGENT"}"""
+          .stripMargin.replaceAll("\n", "")
+      val before = if (op == "c") "null" else row(beforeStatus)
+      val after = if (op == "d") "null" else row(afterStatus)
+      s"""{"before":$before,"after":$after,
+         |"source":{"version":"2.4.0.Final","connector":"postgresql",
+         |"name":"postgres-prod","ts_ms":0,"db":"production",
+         |"schema":"public","table":"orders","txId":${lsn / 2},"lsn":$lsn,
+         |"snapshot":"false"},"op":"$op","ts_ms":0}"""
+        .stripMargin.replaceAll("\n", "")
+    }
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val raw = in.toDF().select(
+      lit("prod.postgres.orders").as("topic"),
+      lit("""{"o_orderkey":0}""").as("key"),
+      col("value"))
+    val parsed = graft.sources.Debezium.parseEnvelope(
+      raw, graft.sources.Debezium.ordersRowSchema)
+    val path = tmpDir()
+    val q = IncrementalView.maintain(parsed, path).start()
+    try {
+      in.addData(env(1, 10, "c", "", "O"), env(2, 20, "c", "", "O"))
+      q.processAllAvailable()
+      assert(view(path).toSet == Set(("O", 2000L, 2L)))
+      // update moves key 1 across groups; delete removes key 2 entirely
+      in.addData(env(1, 15, "u", "O", "X"), env(2, 25, "d", "O", ""))
+      q.processAllAvailable()
+      assert(view(path).toSet == Set(("X", 1000L, 1L)))
+    } finally q.stop()
+  }
+
   test("duplicate deliveries within a batch fold once") {
     val path = tmpDir()
     // the fixture's update phase contains the %20 replay rows twice;
