@@ -123,6 +123,43 @@ object PipelineQueries extends QueryGroup {
       train.join(test, "s")
         .groupBy("da", "db").agg(count(lit(1)).as("n_shared"))
         .orderBy("da", "db")
+    }),
+
+    // right-to-be-forgotten propagation (the GDPR/CCPA delete flow a CDC
+    // platform must serve): a deletion request set cascades through the
+    // FK chain customer → orders → lineitem, and the pipeline reports
+    // per-table impact. The request set is BOUNDED BY CONSTRUCTION
+    // (`limit(k)` — legal request queues are row-bounded, not a corpus
+    // fraction), so broadcasting it is the CORRECT plan at any corpus
+    // size — the deliberate contrast with `pipeline_contamination`'s
+    // fraction-sized split, and PlanSpec asserts both directions. The
+    // one-hop expansion (order keys of forgotten customers) stays
+    // request-bounded too, so the lineitem semi-join also broadcasts;
+    // the big tables are only ever scanned map-side.
+    "pipeline_forget" -> ((s, dir) => {
+      val k = 10
+      val cust = Tables.scan(s, dir, "customer")
+      val orders = Tables.scan(s, dir, "orders")
+      val lineitem = Tables.scan(s, dir, "lineitem")
+      // deterministic stand-in for the request queue: the k customers
+      // with the smallest content hash
+      val forget = cust
+        .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+        .limit(k).select("c_custkey")
+      val removedOrders = orders.join(broadcast(forget),
+        orders("o_custkey") === forget("c_custkey"), "left_semi")
+        .select("o_orderkey")
+      val removedLines = lineitem.join(broadcast(removedOrders),
+        lineitem("l_orderkey") === removedOrders("o_orderkey"), "left_semi")
+      def stat(name: String, total: DataFrame, removed: DataFrame) =
+        total.agg(count(lit(1)).as("rows_before"))
+          .crossJoin(removed.agg(count(lit(1)).as("rows_removed")))
+          .select(lit(name).as("tbl"), col("rows_before"),
+            col("rows_removed"))
+      stat("customer", cust, forget)
+        .unionByName(stat("orders", orders, removedOrders))
+        .unionByName(stat("lineitem", lineitem, removedLines))
+        .orderBy("tbl")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +265,21 @@ object PipelineQueries extends QueryGroup {
         |  WHERE h NOT IN ('c', 'd', 'e', 'f'))
         |SELECT da, db, COUNT(*) AS n_shared
         |FROM train JOIN test USING (s)
-        |GROUP BY da, db ORDER BY da, db""".stripMargin)
+        |GROUP BY da, db ORDER BY da, db""".stripMargin,
+
+    "pipeline_forget" ->
+      """WITH f AS (SELECT c_custkey FROM customer
+        |  ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey LIMIT 10),
+        |ro AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM f)),
+        |rl AS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM ro))
+        |SELECT 'customer' AS tbl,
+        |  (SELECT COUNT(*) FROM customer) AS rows_before,
+        |  (SELECT COUNT(*) FROM f) AS rows_removed
+        |UNION ALL SELECT 'lineitem',
+        |  (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM rl)
+        |UNION ALL SELECT 'orders',
+        |  (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM ro)
+        |ORDER BY tbl""".stripMargin)
 }

@@ -129,6 +129,21 @@ class PlanSpec extends SparkSpec {
       s"spine must be redistributed after the explode:\n$plan")
   }
 
+  test("pipeline_forget: the request-bounded deletion set broadcasts " +
+      "through the whole FK cascade") {
+    // the mirror image of the contamination assertion: a limit(k) request
+    // set is bounded by construction, so BOTH semi-joins must be
+    // broadcast joins — the fact tables never shuffle for the cascade
+    val (_, plan) = staticPlan("pipeline_forget")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    val shuffled = plan.collect {
+      case j: SortMergeJoinExec => j: SparkPlan
+      case j: ShuffledHashJoinExec => j: SparkPlan
+    }
+    assert(bhj.size >= 2 && shuffled.isEmpty,
+      s"forget cascade must be broadcast semi-joins only:\n$plan")
+  }
+
   test("curate_pack_shards: the corpus prefix sum is partitioned, " +
       "only the bucket-subtotal window is global") {
     val (_, plan) = staticPlan("curate_pack_shards")
