@@ -215,6 +215,53 @@ object AggQueries extends QueryGroup {
         .select(col("k").as("l_suppkey"),
           col("total").cast("double").as("total_qty"), col("n"))
         .orderBy("l_suppkey")
+    }),
+
+    // mode (most frequent value per group, smallest value wins ties) —
+    // the classic two-stage distributed shape: count per (group, value),
+    // then a per-group top-1 window; no value list is ever collected
+    "agg_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      Tables.scan(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Pearson correlation computed DETERMINISTICALLY: built-in `corr`
+    // streams doubles in partition order (not hash-stable), so the five
+    // moments are accumulated as EXACT integers/decimals (quantity is
+    // integral; price in cents; the y² sum exceeds Long range, so it
+    // rides DECIMAL(38,0)) and the textbook formula is then one fixed
+    // tree of IEEE ops on exactly-agreed operands — bit-identical
+    // cross-engine, map-side combinable, one shuffle
+    "agg_corr" -> ((s, dir) => {
+      val x = col("l_quantity").cast("long")
+      val y = (Dec.d2(col("l_extendedprice")) * 100).cast("long")
+      Tables.scan(s, dir, "lineitem")
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y").cast("decimal(18,0)") * col("y")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -337,5 +384,37 @@ object AggQueries extends QueryGroup {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
         |    AS total_qty,
         |  COUNT(*) AS n
-        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority,
+        |    COUNT(*) AS cnt FROM orders
+        |  GROUP BY o_orderstatus, o_orderpriority),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_corr" ->
+      """WITH t AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS y
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    SUM(CAST(y AS DECIMAL(18,0)) * y) AS syy
+        |  FROM t GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin)
 }
