@@ -74,6 +74,25 @@ object WindowQueries extends QueryGroup {
         .withColumn("pct_rank", percent_rank().over(w))
         .withColumn("cume", cume_dist().over(w))
         .orderBy("o_custkey", "pct_rank", "o_orderkey")
+    }),
+
+    // op 21c: ntile bucketing + positional nth_value — the remaining
+    // window-function family: quartile assignment per customer and each
+    // row's view of its partition's cheapest/2nd-cheapest order. Same
+    // single hash-exchange shape as every per-customer window.
+    "window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("price"), col("o_orderkey"))
+      val full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.scan(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          Dec.d2(col("o_totalprice")).cast("double").as("price"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("cheapest", first(col("price")).over(full))
+        .withColumn("second_cheapest",
+          nth_value(col("price"), 2).over(full))
+        .orderBy("o_custkey", "price", "o_orderkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -130,5 +149,18 @@ object WindowQueries extends QueryGroup {
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE),
         |           o_orderkey)
-        |ORDER BY o_custkey, pct_rank, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, pct_rank, o_orderkey""".stripMargin,
+
+    "window_ntile" ->
+      """SELECT o_orderkey, o_custkey, price,
+        |  NTILE(4) OVER w AS quartile,
+        |  FIRST_VALUE(price) OVER wf AS cheapest,
+        |  NTH_VALUE(price, 2) OVER wf AS second_cheapest
+        |FROM (SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |  FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY price, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY price, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, price, o_orderkey""".stripMargin)
 }

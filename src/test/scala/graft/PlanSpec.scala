@@ -144,6 +144,28 @@ class PlanSpec extends SparkSpec {
       s"forget cascade must be broadcast semi-joins only:\n$plan")
   }
 
+  test("text_pii: the scrub pass is map-side — no hash exchange at all") {
+    val (_, plan) = staticPlan("text_pii")
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    // the only exchange is the harness ORDER BY's range partition
+    assert(hashShuffles.isEmpty,
+      s"PII redaction must not shuffle:\n$plan")
+  }
+
+  test("ts_interval_merge: lag, running sum, and the interval rollup " +
+      "share one user_id exchange") {
+    val (_, plan) = staticPlan("ts_interval_merge")
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashShuffles.size == 1,
+      s"expected a single user_id exchange:\n$plan")
+  }
+
   test("curate_pack_shards: the corpus prefix sum is partitioned, " +
       "only the bucket-subtotal window is global") {
     val (_, plan) = staticPlan("curate_pack_shards")
