@@ -107,6 +107,22 @@ object CurationQueries extends QueryGroup {
             / (col("n_langs").cast("double") * col("tokens").cast("double")))
             .as("weight"))
         .orderBy("lang")
+    }),
+
+    // Z-order (Morton) clustering key — the Delta/Iceberg-style layout
+    // key for two-dimensional pruning, as a pure bitwise column
+    // expression ([[Layout.zValue]]; writeZOrdered sorts by it so each
+    // output file covers a small (x, y) tile — LayoutSpec proves the
+    // fewer-files-touched property). Graded here as the key computation
+    // itself: the oracle re-derives the interleave with DuckDB's bit
+    // operators, so the hash compare verifies bit-exactness
+    "curate_zorder" -> ((s, dir) => {
+      Tables.scan(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          dayofyear(col("o_orderdate")).as("doy"))
+        .withColumn("zval",
+          Layout.zValue(col("o_custkey"), col("doy"), 16))
+        .orderBy("zval", "o_orderkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -144,5 +160,20 @@ object CurationQueries extends QueryGroup {
         |  CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
         |  CAST(total AS DOUBLE)
         |    / (CAST(n_langs AS DOUBLE) * CAST(tokens AS DOUBLE)) AS weight
-        |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin)
+        |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin,
+
+    // same 16-bit interleave, unrolled with DuckDB's bit operators
+    "curate_zorder" -> {
+      val terms = (0 until 16).flatMap { i =>
+        Seq(s"(((x >> $i) & 1) << ${2 * i})",
+          s"(((y >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      s"""WITH t AS (SELECT o_orderkey,
+         |    CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(date_part('doy', o_orderdate) AS BIGINT) AS y
+         |  FROM orders)
+         |SELECT o_orderkey, x AS o_custkey, CAST(y AS INT) AS doy,
+         |  CAST($terms AS BIGINT) AS zval
+         |FROM t ORDER BY zval, o_orderkey""".stripMargin
+    })
 }

@@ -42,6 +42,47 @@ object Layout {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Morton (Z-order) value: interleaves the low `bits` bits of two
+    * non-negative integer columns (x even positions, y odd). Rows close
+    * in BOTH dimensions get close z-values, so sorting by z clusters the
+    * data for two-dimensional predicates — the layout trick behind
+    * Delta/Iceberg Z-ordering, here as a plain codegen-friendly bitwise
+    * column expression (2·bits shift/and/or terms, no UDF). */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val xs = (0 until bits).map(i =>
+      shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(lit(1L)),
+        2 * i))
+    val ys = (0 until bits).map(i =>
+      shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(lit(1L)),
+        2 * i + 1))
+    (xs ++ ys).reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` Z-ordered on (x, y): global sort by the interleaved
+    * z-value (a RANGE partition — each task, and so each output file,
+    * covers a contiguous z-range, i.e. a small tile in (x, y) space),
+    * split into bounded files. A query constraining both dimensions then
+    * touches the few files whose tiles intersect its box, instead of
+    * every file a single-column sort order would force it to read —
+    * file/row-group min-max stats do the pruning, no index needed. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      x: String,
+      y: String,
+      bits: Int = 16,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("_z", zValue(col(x), col(y), bits))
+      .orderBy("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
   /** True if the executed plan of `df` contains a shuffle exchange. */
   def hasShuffleExchange(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")

@@ -56,6 +56,47 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("Z-ordered layout clusters a two-dimensional box into fewer files " +
+      "than a single-column sort") {
+    val base = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val orders = Tables.scan(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        dayofyear(col("o_orderdate")).as("doy"))
+    // linear layout: the classic single-column sort order
+    orders.orderBy("o_custkey")
+      .write.option("maxRecordsPerFile", 50).parquet(s"$base/linear")
+    Layout.writeZOrdered(orders, s"$base/zorder",
+      "o_custkey", "doy", bits = 16, maxRecordsPerFile = 50)
+
+    // a box constraining BOTH dimensions — the workload z-ordering exists
+    // for; the custkey quarter alone would be handled by either layout
+    val (xLo, xHi) = (0, 400)
+    val (yLo, yHi) = (1, 92)
+    def touchedFiles(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("o_custkey").between(xLo, xHi)
+          && col("doy").between(yLo, yHi))
+        .select(input_file_name()).distinct().count()
+    val zFiles = touchedFiles(s"$base/zorder")
+    val linFiles = touchedFiles(s"$base/linear")
+    // the z tiles intersecting the box are a strict subset of the x-range
+    // stripes the linear sort must visit (which contain every day-of-year
+    // for their custkeys)
+    assert(zFiles < linFiles,
+      s"z-order should touch fewer files: z=$zFiles linear=$linFiles")
+    // and the layouts hold the same data
+    assert(
+      spark.read.parquet(s"$base/zorder").count() ==
+        spark.read.parquet(s"$base/linear").count())
+    // z-value sanity: interleave of (1,0)=1, (0,1)=2, (3,3)=15
+    val z = Seq((1, 0), (0, 1), (3, 3)).map { case (x, y) =>
+      spark.range(1).select(
+        Layout.zValue(lit(x), lit(y), 4).as("z"))
+        .collect()(0).getLong(0)
+    }
+    assert(z == Seq(1L, 2L, 15L), s"morton encode wrong: $z")
+  }
+
   test("IVF nearest-centroid assignment is map-side: no shuffle, correct") {
     import graft.functions.VectorFunctions
     val spark0 = spark
