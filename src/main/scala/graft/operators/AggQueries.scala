@@ -237,10 +237,14 @@ object AggQueries extends QueryGroup {
     // Pearson correlation computed DETERMINISTICALLY: built-in `corr`
     // streams doubles in partition order (not hash-stable), so the five
     // moments are accumulated as EXACT integers/decimals (quantity is
-    // integral; price in cents; the y² sum exceeds Long range, so it
-    // rides DECIMAL(38,0)) and the textbook formula is then one fixed
-    // tree of IEEE ops on exactly-agreed operands — bit-identical
-    // cross-engine, map-side combinable, one shuffle
+    // integral; price in cents). Per-ROW products fit Long comfortably
+    // (x·y ≤ ~5e8, y² ≤ ~1e14), but the SUMS of everything touching y
+    // ride DECIMAL so no group total can wrap Long at any corpus size
+    // (at ~3e11 rows/group Σy ≈ 6e18 already grazes Long.MaxValue and
+    // Σ(x·y)/Σy² exceed it); Spark widens decimal sums to (38,0).
+    // The textbook formula is then one fixed tree of IEEE ops on
+    // exactly-agreed operands — bit-identical cross-engine, map-side
+    // combinable, one shuffle
     "agg_corr" -> ((s, dir) => {
       val x = col("l_quantity").cast("long")
       val y = (Dec.d2(col("l_extendedprice")) * 100).cast("long")
@@ -249,9 +253,9 @@ object AggQueries extends QueryGroup {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"),
+          sum(col("y").cast("decimal(18,0)")).as("sy"),
           sum(col("x") * col("x")).as("sxx"),
-          sum(col("x") * col("y")).as("sxy"),
+          sum((col("x") * col("y")).cast("decimal(18,0)")).as("sxy"),
           sum(col("y").cast("decimal(18,0)") * col("y")).as("syy"))
         .select(col("l_returnflag"), col("n"),
           ((col("n").cast("double") * col("sxy").cast("double")
@@ -403,9 +407,9 @@ object AggQueries extends QueryGroup {
         |  FROM lineitem),
         |m AS (SELECT l_returnflag, COUNT(*) AS n,
         |    CAST(SUM(x) AS BIGINT) AS sx,
-        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(y AS DECIMAL(18,0))) AS sy,
         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    SUM(CAST(x * y AS DECIMAL(18,0))) AS sxy,
         |    SUM(CAST(y AS DECIMAL(18,0)) * y) AS syy
         |  FROM t GROUP BY l_returnflag)
         |SELECT l_returnflag, n,

@@ -139,8 +139,16 @@ object CdcQueries extends QueryGroup {
     "cdc_ivm_view" -> ((s, dir) => {
       import graft.streaming.IncrementalView
       val parsed = CdcOps.parsedOrders(s, dir)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-ivm-").toString
+      // fixed per-corpus path, wiped up front: a fresh createTempDirectory
+      // per invocation would leak snapshot parquet on every Verify/Bench
+      // rep; the wipe also keeps applyBatch's stale-batchId guard happy
+      // (each invocation restarts the id sequence from an empty view)
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft-ivm-view-${Integer.toHexString(dir.hashCode)}").toString
+      val root = new org.apache.hadoop.fs.Path(tmp)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(root)) fs.delete(root, true)
       IncrementalView.applyBatch(
         parsed.filter(col("env.op").isin("c", "r")), 0L, tmp)
       IncrementalView.applyBatch(

@@ -45,11 +45,20 @@ object CurationQueries extends QueryGroup {
   /** Tokens per shard. */
   private val budget = 2000L
 
+  /** (doc_id, lang, tokens) — materialized once per (session, corpus):
+    * both pack_shards branches (local window + bucket subtotals) and
+    * both mix_weights branches (per-lang + total) read it, and without
+    * the persist each branch re-runs the corpus scan + tokenize (no
+    * cross-branch common-subplan reuse in Catalyst). Tokenizer is THE
+    * shared one ([[TextQueries.toks]]), so curate token counts stay in
+    * lockstep with the text_* family. Graded cache entry: cleared
+    * between bench reps. */
   private def withTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.scan(s, dir, "documents")
-      .select(col("doc_id"), col("lang"),
-        size(split(lower(trim(col("text"))), "\\s+")).cast("long")
-          .as("tokens"))
+    graft.BoundedDfCache.getOrPersist(s, s"curate:tokens:$dir") {
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextQueries.toks(col("text"))).cast("long").as("tokens"))
+    }
 
   /** doc_id → (shard, cum_before): two-phase distributed prefix sum. */
   private def packShards(s: SparkSession, dir: String): DataFrame = {

@@ -75,9 +75,13 @@ object Layout {
       bits: Int = 16,
       maxRecordsPerFile: Long = 1000000L): Unit = {
     import org.apache.spark.sql.functions.col
-    df.withColumn("_z", zValue(col(x), col(y), bits))
-      .orderBy("_z")
-      .drop("_z")
+    // collision-proof sort-key name: withColumn would silently REPLACE a
+    // caller's column of the same name and drop() would then delete it
+    val zc = Iterator.from(0).map(i => s"_graft_z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zc, zValue(col(x), col(y), bits))
+      .orderBy(zc)
+      .drop(zc)
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)

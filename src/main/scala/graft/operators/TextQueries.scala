@@ -23,8 +23,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object TextQueries extends QueryGroup {
 
-  /** Whitespace tokens of lower-cased trimmed text. */
-  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+  /** Whitespace tokens of lower-cased trimmed text — THE corpus
+    * tokenizer; shared with [[CurationQueries]] so token counts can
+    * never desynchronize between the text_* and curate_* families. */
+  private[operators] def toks(c: Column): Column =
+    split(lower(trim(c)), "\\s+")
 
   /** BPE-ish word/number/punct splitter (the classic pre-tokenizer shape:
     * letter runs | digit runs | single non-alnum). */

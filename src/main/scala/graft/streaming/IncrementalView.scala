@@ -54,12 +54,18 @@ object IncrementalView {
     val events = parsed
       .filter(!col("_corrupt") && !col("_tombstone"))
       .select(col("env.op").as("op"), col("env.before").as("b"),
-        col("env.after").as("a"), col("env.source.lsn").as("lsn"))
+        col("env.after").as("a"),
+        // the full source-position tuple, not just lsn: MySQL logs carry
+        // (file, pos) and Mongo (ts_ms, ord→pos) with lsn NULL, and
+        // dropDuplicates treats NULLs as equal — keying on lsn alone
+        // would collapse DISTINCT same-key events from those sources
+        col("env.source.lsn").as("lsn"), col("env.source.file").as("file"),
+        col("env.source.pos").as("pos"), col("env.source.ts_ms").as("ts"))
       // batch-local at-least-once dedup: a duplicated delivery has an
       // identical (key, position, op) triple
       .withColumn("k", coalesce(col("a").getField("o_orderkey"),
         col("b").getField("o_orderkey")))
-      .dropDuplicates("k", "op", "lsn")
+      .dropDuplicates("k", "op", "lsn", "file", "pos", "ts")
     def cents(row: org.apache.spark.sql.Column) =
       (row.getField("o_totalprice").cast(DecimalType(12, 2)) * 100)
         .cast(LongType)
@@ -79,10 +85,21 @@ object IncrementalView {
     * but the latest two committed versions. */
   def applyBatch(parsed: DataFrame, batchId: Long, path: String): Unit = {
     val spark = parsed.sparkSession
+    val snaps = committed(spark, path)
+    // a batchId BELOW the highest committed snapshot means the stream
+    // restarted against this view path with a fresh/missing checkpoint
+    // (foreachBatch ids restart at 0) — continuing would write a
+    // snapshot that prune() immediately deletes while readers keep
+    // serving stale data, a silent-data-loss mode; fail loudly instead
+    require(snaps.isEmpty || batchId >= snaps.last._1,
+      s"batchId $batchId is behind committed snapshot ${snaps.last._1} " +
+        s"at $path — the streaming checkpoint does not match this view " +
+        "path; resume with the original checkpointLocation or start a " +
+        "new view path")
     // merge from the latest snapshot STRICTLY BELOW this batchId — on a
     // replay the batch's own earlier snapshot is the highest committed
     // version, and merging on top of it would double-apply the delta
-    val prev = committed(spark, path).filter(_._1 < batchId).lastOption
+    val prev = snaps.filter(_._1 < batchId).lastOption
       .map { case (_, p) => readSnapshot(spark, p) }
     val d = delta(parsed)
     val merged = prev match {
@@ -106,13 +123,20 @@ object IncrementalView {
     prune(spark, path, keep = 2)
   }
 
-  /** Versioned-snapshot maintenance as a streaming sink. */
-  def maintain(parsedStream: DataFrame, path: String): DataStreamWriter[Row] =
-    parsedStream.writeStream
+  /** Versioned-snapshot maintenance as a streaming sink. Production
+    * callers MUST pass a durable `checkpoint`: the batchId sequence is
+    * the exactly-once watermark, and a lost checkpoint restarts ids at 0
+    * (which [[applyBatch]] rejects against a non-empty view rather than
+    * silently dropping data). */
+  def maintain(parsedStream: DataFrame, path: String,
+      checkpoint: Option[String] = None): DataStreamWriter[Row] = {
+    val w = parsedStream.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, path)
       }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+  }
 
   /** Committed snapshot ids, ascending ( `_SUCCESS` present). */
   private def committed(spark: SparkSession, path: String): Seq[(Long, Path)] = {
