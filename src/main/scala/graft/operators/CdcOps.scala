@@ -289,6 +289,23 @@ object CdcOps {
   def synthOrdersTail(spark: SparkSession, sfDir: String): DataFrame =
     cachedFixture(spark, sfDir, "tail")(buildOrdersChangelog(spark, sfDir)._2)
 
+  /** Deterministic MALFORMED minority: every `o_orderkey % 97 == 0` order
+    * also emits a truncated copy of its insert envelope (first 40 chars —
+    * the producer-crash / partial-flush corruption shape). Drives the
+    * dead-letter path: these must surface as `_corrupt`, never as live
+    * all-null rows. */
+  def synthOrdersCorruptTail(spark: SparkSession, sfDir: String): DataFrame =
+    cachedFixture(spark, sfDir, "corrupt") {
+      Tables.scan(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(
+          lit("prod.postgres.orders").as("topic"),
+          to_json(struct(col("o_orderkey"))).as("key"),
+          substring(
+            envelopeJson(nullRow, ordersRow(col("o_orderstatus")), "c",
+              col("o_orderkey") * 10), 1, 40).as("value"))
+    }
+
   // ---------------------------------------------------------------------
   // A2: MySQL-connector change log. Binlog provenance is a (file, pos)
   // pair — `pos` RESETS when the log rotates, so the compaction ordering

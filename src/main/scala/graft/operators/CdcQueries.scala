@@ -127,6 +127,27 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey", "valid_from")
     }),
 
+    // dead-letter routing: the corrupt-record path every at-least-once
+    // pipeline needs. A changelog with a deterministic malformed minority
+    // flows through the SAME parse as everything else; records the parser
+    // flags `_corrupt` (non-null value, unparseable envelope) are routed
+    // to the DLQ projection — key recovered from the (intact) record key,
+    // payload length for triage — instead of flowing into unwrap as
+    // all-null live rows. Map-side end to end: parse, flag, filter,
+    // project; no shuffle before the harness ORDER BY.
+    "cdc_dead_letter" -> ((s, dir) => {
+      val bad = graft.sources.Debezium.parseEnvelope(
+        CdcOps.synthOrdersCorruptTail(s, dir),
+        graft.sources.Debezium.ordersRowSchema)
+      CdcOps.parsedOrders(s, dir).unionByName(bad)
+        .filter(col("_corrupt"))
+        .select(
+          get_json_object(col("key"), "$.o_orderkey").cast("long")
+            .as("o_orderkey"),
+          length(col("value")).as("payload_chars"))
+        .orderBy("o_orderkey")
+    }),
+
     // incremental view maintenance: the parsed change log applied in
     // three sequential micro-batches (inserts, then updates incl. the
     // at-least-once replay, then deletes + tombstones) through
@@ -267,6 +288,11 @@ object CdcQueries extends QueryGroup {
         |       CAST(valid_to IS NULL AS INT) AS is_current
         |FROM v WHERE op <> 'd'
         |ORDER BY o_orderkey, valid_from""".stripMargin),
+
+    "cdc_dead_letter" ->
+      """SELECT o_orderkey, 40 AS payload_chars
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "cdc_ivm_view" ->
       """WITH fin AS (SELECT
