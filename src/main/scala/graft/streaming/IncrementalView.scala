@@ -114,8 +114,13 @@ object IncrementalView {
         d.select(col("o_orderstatus"), col("d_cents").as("revenue_cents"),
           col("d_rows").as("n_orders"))
     }
-    // groups whose measures cancel to zero leave the view entirely
-    merged.filter(col("n_orders") =!= 0L)
+    // groups where EVERY measure cancels to zero leave the view entirely.
+    // Row count alone is not enough: with out-of-order cross-batch
+    // delivery an intermediate snapshot can legitimately hold a group at
+    // 0 rows but nonzero cents (two keys passing through a status with
+    // different prices), and dropping it would silently lose the cents
+    // from every later merge (the IVM property test caught exactly this)
+    merged.filter(col("n_orders") =!= 0L || col("revenue_cents") =!= 0L)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
     // keep = 2 covers the replay window: Structured Streaming re-delivers
     // at most the last in-flight batch after a restart, which merges from

@@ -120,6 +120,88 @@ class IvmSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IVM equals a driver-side fold on random change logs, even with " +
+      "events scattered across batches out of order") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def envJson(key: Long, lsn: Long, op: String,
+        before: Option[(String, Int)], after: Option[(String, Int)]): String = {
+      def row(s: (String, Int)) =
+        s"""{"o_orderkey":$key,"o_custkey":1,"o_orderstatus":"${s._1}",
+           |"o_totalprice":"${s._2}.00","o_orderdate_us":0,
+           |"o_orderpriority":"1-URGENT"}"""
+          .stripMargin.replaceAll("\n", "")
+      s"""{"before":${before.map(row).getOrElse("null")},
+         |"after":${after.map(row).getOrElse("null")},
+         |"source":{"version":"2.4.0.Final","connector":"postgresql",
+         |"name":"postgres-prod","ts_ms":0,"db":"production",
+         |"schema":"public","table":"orders","txId":${lsn / 2},"lsn":$lsn,
+         |"snapshot":"false"},"op":"$op","ts_ms":0}"""
+        .stripMargin.replaceAll("\n", "")
+    }
+    val statuses = Seq("O", "F", "P", "X")
+    // per key: insert, 0..3 updates (status/price change), optional
+    // delete; every event is independently assigned to one of 3 batches,
+    // so deletes can arrive in an EARLIER batch than their insert —
+    // additive deltas must commute across any batch partition
+    val historyGen: Gen[Seq[(Long, Long, String,
+        Option[(String, Int)], Option[(String, Int)], Int)]] = for {
+      nKeys <- Gen.choose(1, 10)
+      hists <- Gen.sequence[Seq[Seq[(Long, Long, String, Option[(String, Int)],
+          Option[(String, Int)], Int)]], Seq[(Long, Long, String,
+          Option[(String, Int)], Option[(String, Int)], Int)]](
+        (0 until nKeys).map { k =>
+          for {
+            nUpd <- Gen.choose(0, 3)
+            vs <- Gen.listOfN(nUpd + 1, for {
+              st <- Gen.oneOf(statuses)
+              pr <- Gen.choose(1, 50)
+            } yield (st, pr))
+            del <- Gen.oneOf(true, false)
+            batches <- Gen.listOfN(nUpd + 2, Gen.choose(0, 2))
+          } yield {
+            val key = k.toLong
+            val ins = (key, key * 100, "c",
+              None: Option[(String, Int)], Some(vs.head), batches.head)
+            val upds = (1 to nUpd).map(i => (key, key * 100 + i, "u",
+              Some(vs(i - 1)), Some(vs(i)), batches(i)))
+            val dels = if (del)
+              Seq((key, key * 100 + 50, "d", Some(vs.last),
+                None: Option[(String, Int)], batches(nUpd + 1)))
+            else Seq.empty
+            Seq(ins) ++ upds ++ dels
+          }
+        })
+    } yield hists.flatten
+    (1 to 5).foreach { i =>
+      val seed = Seed(0x117L + i)
+      val events = historyGen.apply(Gen.Parameters.default, seed)
+        .getOrElse(fail(s"generator produced nothing for seed $i"))
+      // driver-side ground truth: surviving keys contribute their LAST
+      // version to its status group
+      val expected = events.groupBy(_._1).values.flatMap { h =>
+        val sorted = h.sortBy(_._2)
+        if (sorted.last._3 == "d") None
+        else sorted.last._5.map { case (st, pr) => (st, pr * 100L) }
+      }.groupBy(_._1).map { case (st, xs) =>
+        (st, xs.map(_._2).sum, xs.size.toLong)
+      }.toSet
+      val path = tmpDir()
+      (0 to 2).foreach { b =>
+        val batch = events.filter(_._6 == b)
+          .map(e => envJson(e._1, e._2, e._3, e._4, e._5))
+        val raw = batch.toDF("value").select(
+          lit("prod.postgres.orders").as("topic"),
+          lit("""{"o_orderkey":0}""").as("key"), col("value"))
+        IncrementalView.applyBatch(graft.sources.Debezium.parseEnvelope(
+          raw, graft.sources.Debezium.ordersRowSchema), b.toLong, path)
+      }
+      withClue(s"seed=${0x117L + i} events=$events: ")(
+        assert(view(path).toSet == expected))
+    }
+  }
+
   test("duplicate deliveries within a batch fold once") {
     val path = tmpDir()
     // the fixture's update phase contains the %20 replay rows twice;
