@@ -131,6 +131,31 @@ object JoinQueries extends QueryGroup {
           col("t").as("ts_us"), col("mk").as("o_orderkey"))
         .orderBy("event_id")),
 
+    // op 13 again, as a WHOLE-OPERATOR Catalyst extension: the same
+    // as-of semantics through [[graft.plans.AsOfJoin]] — custom
+    // LogicalPlan → custom SparkStrategy → custom SparkPlan (one hash
+    // exchange + sort per side, one O(1)-state merge pass per
+    // partition; no union/window materialization). Same DuckDB oracle
+    // as `join_asof`; AsOfJoinSpec additionally proves the two
+    // implementations row-identical and plan-asserts the exchanges.
+    "join_asof_exec" -> ((s, dir) => {
+      val e = Tables.scan(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val o = Tables.scan(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .select(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ot_us"),
+          col("o_orderkey"))
+      graft.plans.AsOfJoin.asof(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts_us", rightTime = "ot_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("o_orderkey"))
+        .orderBy("event_id")
+    }),
+
     // as-of join with tolerance: a match staler than the bound is
     // discarded (NULL) — the bounded-staleness form every time-series
     // enrichment uses ("join the latest sensor reading unless it is
@@ -259,6 +284,17 @@ object JoinQueries extends QueryGroup {
         |ORDER BY b.lo""".stripMargin,
 
     "join_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id,
+        |  epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us, o.o_orderkey
+        |FROM events e
+        |ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "join_asof_exec" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
         |  FROM orders GROUP BY o_custkey, o_orderdate)
