@@ -146,12 +146,45 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Custom optimizer rule — the third extension type (alongside the
+  * custom Expressions in `functions/` and the Strategy/SparkPlan above):
+  * Catalyst's own PushDownPredicates cannot see through an unknown
+  * logical node, so without this rule a `filter` applied above
+  * [[AsOfJoinPlan]] evaluates AFTER the join — both sides get shuffled,
+  * sorted, and merged for rows the predicate was going to discard, and
+  * nothing reaches the parquet scan. The rule splits a conjunctive
+  * filter and pushes the left-only conjuncts below the join (as-of is
+  * left-outer-shaped: each left row produces exactly one output row
+  * whose left columns are unchanged, so a left-only predicate commutes
+  * with the join; right-side conjuncts must stay above — they see
+  * NULL-extended columns). Catalyst then carries the pushed filter all
+  * the way into the scan's PushedFilters. */
+object AsOfJoinPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoinPlan) =>
+      val (leftOnly, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic
+          && p.references.subsetOf(aj.left.outputSet))
+      if (leftOnly.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(leftOnly.reduce(And), aj.left))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** `spark.sql.extensions` entry point: lets a session opt in at build
   * time (`.config("spark.sql.extensions", "graft.plans.GraftExtensions")`).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfJoinPushdown)
+  }
 }
 
 /** Library-level API: build the logical node directly and make sure the
@@ -159,10 +192,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   * no session-construction ceremony. */
 object AsOfJoin {
 
-  private def registered(spark: SparkSession): Unit =
+  private def registered(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         AsOfJoinStrategy +: spark.experimental.extraStrategies
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPushdown))
+      spark.experimental.extraOptimizations =
+        AsOfJoinPushdown +: spark.experimental.extraOptimizations
+  }
 
   /** `left ASOF JOIN right ON leftKey = rightKey AND rightTime <=
     * leftTime` (newest match wins; unmatched → NULL right). Column

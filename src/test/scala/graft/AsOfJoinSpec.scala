@@ -51,6 +51,35 @@ class AsOfJoinSpec extends SparkSpec {
       "e5" -> None))
   }
 
+  test("optimizer rule: a left-only predicate above the as-of join " +
+      "reaches the parquet scan; right-side conjuncts stay above") {
+    val e = graft.sources.Tables.scan(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val o = graft.sources.Tables.scan(spark, sfDir, "orders")
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ot_us"),
+        col("o_orderkey"))
+    val joined = AsOfJoin.asof(e, o, "user_id", "o_custkey", "ts_us", "ot_us")
+    val filtered = joined.filter(
+      col("event_id") < 100 && col("o_orderkey").isNotNull)
+    val planStr = filtered.queryExecution.executedPlan.toString
+    // the left-only conjunct crossed the custom node and reached the scan
+    assert(planStr.contains("LessThan(event_id,100)"),
+      s"left predicate must reach PushedFilters:\n$planStr")
+    // the right-side conjunct did NOT get pushed into the orders scan —
+    // PushedFilters prints CamelCase, a residual FilterExec prints
+    // lowercase, so the two spellings separate the cases cleanly
+    assert(!planStr.contains("IsNotNull(o_orderkey)"),
+      s"right predicate must not reach a scan:\n$planStr")
+    assert(planStr.contains("isnotnull(o_orderkey"),
+      s"right predicate must still evaluate above the join:\n$planStr")
+    // and semantics are unchanged vs evaluating everything above
+    val expected = joined.select(col("event_id"), col("o_orderkey"))
+      .collect().count(r => r.getLong(0) < 100 && !r.isNullAt(1))
+    assert(filtered.count() == expected)
+  }
+
   test("physical plan: the custom exec node with one hash exchange per side") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
