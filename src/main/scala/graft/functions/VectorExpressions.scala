@@ -189,6 +189,22 @@ object VecOps {
     }
     ArrayData.toArrayData(out)
   }
+
+  /** zlib DEFLATE length of the string's UTF-8 bytes, fixed level 6 and
+    * an explicit fresh Deflater per call (no shared state — task threads
+    * call this concurrently from generated code). */
+  def deflateLen(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(6, /* nowrap = */ true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
 }
 
 /** Codegen'd float-array dot product (the ANN/dedup hot path). The SQL-fold
@@ -294,6 +310,28 @@ case class RphBuckets(child: Expression, tables: Int, planes: Int)
     copy(child = c)
 }
 
+/** Compressed size of a string's UTF-8 bytes (zlib DEFLATE, fixed
+  * level) — the Gopher-style compression-ratio quality gate: templated/
+  * repetitive text compresses far better than natural prose, and random
+  * noise barely compresses at all. Deterministic for a given JDK zlib,
+  * but NOT cross-engine (DuckDB has no deflate), so consumers are
+  * rows-only with spec contracts. Codegen'd like the other kernels so
+  * the scan → score pipeline stays in one whole-stage span. */
+case class DeflateLen(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "deflate_len"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.deflateLen(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.deflateLen($a)")
+
+  override protected def withNewChildInternal(c: Expression): DeflateLen =
+    copy(child = c)
+}
+
 /** Column-API wrappers for the custom expressions. */
 object VectorFunctions {
   private def e(c: Column): Expression = Shim.expression(c)
@@ -319,4 +357,7 @@ object VectorFunctions {
 
   def rphBuckets(v: Column, tables: Int, planes: Int): Column =
     Shim.column(RphBuckets(e(v), tables, planes))
+
+  def deflateLen(text: Column): Column =
+    Shim.column(DeflateLen(e(text)))
 }

@@ -234,6 +234,29 @@ object AggQueries extends QueryGroup {
         .orderBy("o_orderstatus")
     }),
 
+    // approximate heavy hitters via count-min sketch — the mergeable-
+    // sketch answer to "top keys at 100 TB without a full groupBy
+    // materialization": the sketch is built distributed (map-side
+    // partials merge associatively inside the agg), only the fixed-size
+    // sketch crosses to the driver, and candidate keys probe it. Seeded
+    // → deterministic. ROWS-ONLY (DuckDB has no CMS); the contract spec
+    // pins est ≥ exact (one-sided error) and est ≤ exact + εN.
+    "agg_heavy_hitters_cms" -> ((s, dir) => {
+      val li = Tables.scan(s, dir, "lineitem")
+      val skRow = li.agg(
+        expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("sk"))
+        .head() // ONE fixed-size sketch row — bounded driver transfer
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
+      val top = li.groupBy("l_suppkey").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("l_suppkey")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      import s.implicits._
+      top.map { case (k, exact) => (k, exact, cms.estimateCount(k)) }
+        .toSeq.toDF("l_suppkey", "exact_cnt", "est_cnt")
+        .orderBy("l_suppkey")
+    }),
+
     // Pearson correlation computed DETERMINISTICALLY: built-in `corr`
     // streams doubles in partition order (not hash-stable), so the five
     // moments are accumulated as EXACT integers/decimals (quantity is

@@ -242,6 +242,22 @@ object TextQueries extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // compression-ratio quality signal (the Gopher gate the repetition
+    // fractions approximate lexically): deflate_len/n_chars via the
+    // codegen'd [[VectorFunctions.deflateLen]] kernel — templated text
+    // compresses far below prose, noise barely compresses. Map-side,
+    // single codegen span. ROWS-ONLY: zlib output is JDK-deterministic
+    // but not reproducible in DuckDB; the contract spec pins the ratio
+    // range and the repetitive≪prose≪noise ordering instead.
+    "text_compress" -> ((s, dir) => {
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          VectorFunctions.deflateLen(col("text")).as("deflate_len"))
+        .withColumn("compress_ratio",
+          col("deflate_len").cast("double") / col("n_chars").cast("double"))
+        .orderBy("doc_id")
+    }),
+
     // boilerplate detection (CCNet-style, per-source): a term that appears
     // in ≥ half of a source's documents is that source's boilerplate
     // vocabulary (nav text, legal footers, templates); per document,

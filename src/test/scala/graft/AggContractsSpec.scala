@@ -46,4 +46,51 @@ class AggContractsSpec extends SparkSpec {
         s"$dir approx_percentile errors p50=$e50 p99=$e99 exceed 2%")
     }
   }
+
+  test("count-min heavy hitters: one-sided error within eps*N") {
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val n = Tables.scan(spark, dir, "lineitem").count()
+      val rows = AggQueries.queries("agg_heavy_hitters_cms")(spark, dir)
+        .collect()
+      assert(rows.length == 10)
+      rows.foreach { r =>
+        val (exact, est) = (r.getLong(1), r.getLong(2))
+        // CMS never underestimates, and overestimates by at most eps*N
+        // with the registered confidence (eps = 0.001)
+        assert(est >= exact, s"$dir key ${r.getLong(0)}: est $est < $exact")
+        assert(est <= exact + (0.001 * n).toLong + 1,
+          s"$dir key ${r.getLong(0)}: est $est too far above $exact (N=$n)")
+      }
+    }
+  }
+
+  test("compression ratio: repetitive << prose << noise, ratios sane") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions.VectorFunctions
+    val probes = Seq(
+      ("rep", Seq.fill(200)("the same line again").mkString(" ")),
+      ("noise", {
+        val rnd = new scala.util.Random(42) // seeded → deterministic
+        Seq.fill(800)((rnd.nextInt(94) + 33).toChar).mkString
+      }))
+      .toDF("tag", "text")
+      .select(col("tag"), (VectorFunctions.deflateLen(col("text"))
+        .cast("double") / length(col("text"))).as("ratio"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(probes("rep") < 0.1, s"repetitive should crush: $probes")
+    assert(probes("noise") > 0.5, s"noise should resist: $probes")
+    // corpus-wide: every ratio positive and bounded (deflate adds only
+    // small framing overhead even on incompressible text)
+    val corpus = AggQueries // keep import shape
+    val ratios = graft.operators.TextQueries
+      .queries("text_compress")(spark, "/root/testdata/sf0.01")
+      .select("compress_ratio").collect().map(_.getDouble(0))
+    assert(ratios.nonEmpty
+      && ratios.forall(r => r > 0.0 && r < 1.2), "corpus ratios out of range")
+    // and the synthetic word-salad corpus sits between the two probes
+    val mean = ratios.sum / ratios.length
+    assert(mean > probes("rep") && mean < probes("noise"),
+      s"corpus mean $mean outside (${probes("rep")}, ${probes("noise")})")
+  }
 }
