@@ -234,6 +234,79 @@ object AggQueries extends QueryGroup {
         .orderBy("o_orderstatus")
     }),
 
+    // EXACT median at scale — the order-statistic design the built-ins
+    // lack: `percentile()` buffers every group value in the agg buffer
+    // (OOM at 1e10-row groups) and `approx_percentile` is approximate.
+    // Two bounded passes instead:
+    //   1. histogram per (group, 65536-cent bucket) — one shuffle, output
+    //      ≤ groups × ~160 rows;
+    //   2. the driver walks each group's cumulative histogram to find the
+    //      bucket(s) holding the two middle order statistics (bounded
+    //      driver data, O(groups × buckets)); a second aggregation counts
+    //      EXACT values only inside those buckets — per-group output
+    //      bounded by the bucket width (≤ 65536 distinct cents), never by
+    //      group size.
+    // Median = avg of the two middle values (exact ints → the final
+    // divide is one IEEE op, bit-identical to DuckDB's median()).
+    "agg_median_exact" -> ((s, dir) => {
+      import s.implicits._
+      val bucketW = 65536L
+      val cents = Tables.scan(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          (Dec.d2(col("l_extendedprice")) * 100).cast("long").as("y"))
+      val hist = cents
+        .groupBy(col("l_returnflag"), (col("y") / bucketW).cast("long")
+          .as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // per group: which order statistics do we need, and which buckets
+      // hold them (cumulative walk over the bounded histogram)
+      val targets = hist.groupBy(_._1).map { case (g, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val n = sorted.map(_._3).sum
+        val ks = if (n % 2 == 1) Seq((n + 1) / 2) else Seq(n / 2, n / 2 + 1)
+        var cum = 0L
+        val withCum = sorted.map { case (_, b, c) =>
+          val below = cum; cum += c; (b, below, c)
+        }
+        val need = ks.map { k =>
+          val (b, below, _) =
+            withCum.find { case (_, below, c) => below < k && k <= below + c }.get
+          (b, k, below)
+        }
+        g -> need
+      }
+      val wanted = targets.toSeq.flatMap { case (g, need) =>
+        need.map(_._1).distinct.map(b => (g, b))
+      }.toDF("l_returnflag", "b")
+      // pass 2: exact per-value counts INSIDE the straddling buckets only
+      val inBucket = cents
+        .join(broadcast(wanted),
+          cents("l_returnflag") === wanted("l_returnflag")
+            && (cents("y") / bucketW).cast("long") === wanted("b"), "leftsemi")
+        .groupBy(col("l_returnflag"), col("y"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      val medians = targets.toSeq.map { case (g, need) =>
+        val vals = inBucket(g).sortBy(_._2)
+        val picked = need.map { case (b, k, below) =>
+          // resume the cumulative walk at the bucket's start and step
+          // through its exact value counts until the k-th is covered
+          var cum = below
+          var ans = Option.empty[Long]
+          for ((_, y, c) <- vals if y / bucketW == b && ans.isEmpty) {
+            if (cum < k && k <= cum + c) ans = Some(y)
+            cum += c
+          }
+          ans.getOrElse(sys.error(s"order statistic $k not found in $g/$b"))
+        }
+        (g, picked.sum.toDouble / picked.size)
+      }
+      medians.toDF("l_returnflag", "median_cents")
+        .orderBy("l_returnflag")
+    }),
+
     // approximate heavy hitters via count-min sketch — the mergeable-
     // sketch answer to "top keys at 100 TB without a full groupBy
     // materialization": the sketch is built distributed (map-side
@@ -421,6 +494,13 @@ object AggQueries extends QueryGroup {
         |    ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
         |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
         |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_median_exact" ->
+      """SELECT l_returnflag,
+        |  CAST(median(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS DOUBLE) AS median_cents
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "agg_corr" ->
       """WITH t AS (SELECT l_returnflag,
