@@ -258,6 +258,32 @@ object CdcOps {
     (inserts, tail)
   }
 
+  /** Kafka-archive files for the `orders` changelog: the fixture written
+    * once per (tmpdir, sfDir) as newline-delimited JSON records —
+    * `{"topic":…,"key":…,"value":"<envelope>"}`, tombstones with `value`
+    * omitted — the exact shape [[graft.sources.DebeziumJsonSource]] reads.
+    * Fixture IO (test INPUT, like the cachedFixture branches): written if
+    * the `_SUCCESS` marker is absent, reused across Verify/Bench reps.
+    * Returns the archive directory path. */
+  def ordersChangelogArchive(spark: SparkSession, sfDir: String): String = {
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-dbz-archive-${Integer.toHexString(sfDir.hashCode)}").toString
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val done = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    if (!fs.exists(done)) {
+      if (fs.exists(root)) fs.delete(root, true)
+      synthOrdersChangelog(spark, sfDir)
+        // one JSON record per line; null `value` (tombstone) serializes as
+        // an absent field under the default ignoreNullFields
+        .select(to_json(struct(col("topic"), col("key"), col("value"))))
+        .repartition(8) // several files so the DSv2 scan plans in parallel
+        .write.mode("overwrite").text(tmp)
+    }
+    tmp
+  }
+
   /** A4: initial-snapshot events — `snapshot.mode=initial`
     * (postgresql-connector.yaml:47) bulk-reads each captured table once and
     * emits every row as `op='r'` with `source.snapshot="true"` before WAL

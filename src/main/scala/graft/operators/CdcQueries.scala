@@ -179,6 +179,33 @@ object CdcQueries extends QueryGroup {
       IncrementalView.readView(s, tmp).get.orderBy("o_orderstatus")
     }),
 
+    // the DataSourceV2 connector path (§2.A source surface): the same
+    // changelog, archived to Kafka-archive-shaped JSON-line files and read
+    // back through spark.read.format("debezium-json") — a real
+    // TableProvider with in-reader filter pushdown (op IS NOT NULL kills
+    // tombstones before they become rows), column pruning, and
+    // block-aligned file splits — then compacted to current state through
+    // the SAME compactLatest operator. Same expected state as cdc_compact,
+    // reached via the archive-replay capture path (the bootstrap story a
+    // 100 TB deployment actually uses: object-store archive → backfill).
+    "cdc_dsv2_compact" -> ((s, dir) => {
+      val raw = s.read.format("debezium-json")
+        .load(CdcOps.ordersChangelogArchive(s, dir))
+      val live = raw.filter(col("op").isNotNull)
+        .withColumn("row", from_json(
+          coalesce(col("after"), col("before")),
+          graft.sources.Debezium.ordersRowSchema))
+        .withColumn("__deleted",
+          when(col("op") === "d", "true").otherwise("false"))
+        .select(col("row.*") +: Seq(col("__deleted"),
+          col("lsn").as("_lsn"), col("_tombstone")): _*)
+      CdcOps.compactLatest(live,
+        keys = Seq("o_orderkey"), ordering = Seq(col("_lsn").desc))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate_us", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // §7.2 flagship slice: change log → compact → join dim → aggregate
     "cdc_revenue_by_segment" -> ((s, dir) => {
       val state = CdcOps.ordersCompacted(s, dir)
@@ -288,6 +315,14 @@ object CdcQueries extends QueryGroup {
         |       CAST(valid_to IS NULL AS INT) AS is_current
         |FROM v WHERE op <> 'd'
         |ORDER BY o_orderkey, valid_from""".stripMargin),
+
+    "cdc_dsv2_compact" -> (baseCte +
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate_us, o_orderpriority
+        |FROM base WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin),
 
     "cdc_dead_letter" ->
       """SELECT o_orderkey, 40 AS payload_chars

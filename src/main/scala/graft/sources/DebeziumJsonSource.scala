@@ -1,0 +1,389 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.hadoop.mapred.{FileSplit, JobConf, LineRecordReader}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("debezium-json")` — a DataSourceV2 [[TableProvider]]
+  * over Kafka-archive-shaped Debezium change-record files: newline-delimited
+  * JSON, one record per line, `{"topic":…,"key":…,"value":"<envelope>"}`
+  * with the envelope itself a JSON string (exactly what a Kafka→object-store
+  * archiver emits for the reference's schemaless-JSON topics — reference:
+  * k8s-manifests/environments/prod/prod-resources.yaml:10-13). A tombstone
+  * archives with `value` null/absent.
+  *
+  * The table exposes a TYPED projection of the envelope — `op`, `ts_ms`,
+  * `lsn`, `tbl`, plus the raw `before`/`after` document strings for the
+  * schema-aware `from_json` downstream — so the 100 TB access paths cost
+  * what they should:
+  *
+  *   - **Column pruning** ([[SupportsPushDownRequiredColumns]]): the
+  *     per-line envelope decode is skipped ENTIRELY when neither the
+  *     required columns nor the pushed filters touch an envelope-derived
+  *     field — an archive audit over `topic`/`key` never pays the decode.
+  *   - **Filter pushdown** ([[SupportsPushDownFilters]]): predicates on
+  *     `topic`/`op`/`tbl`/`lsn`/`ts_ms` are evaluated inside the reader so
+  *     non-matching lines never become Spark rows (a WAL-position resume —
+  *     `lsn > X` — reads and drops in place rather than materializing the
+  *     whole archive). Pushdown here is best-effort/advisory: every pushed
+  *     filter is also returned as a post-scan residual, so Spark re-checks
+  *     and correctness never depends on the reader's evaluator.
+  *   - **Block-aligned splits**: files split at `maxSplitBytes` (option,
+  *     default 128 MiB) and Hadoop's [[LineRecordReader]] resolves lines
+  *     straddling split boundaries — a 1 GiB archive file becomes 8
+  *     parallel partitions, not one task. Compressed files (by codec
+  *     suffix) stay unsplit.
+  *   - **Statistics** ([[SupportsReportStatistics]]): total file bytes,
+  *     scaled by the projection's share of the full row width, feed AQE's
+  *     broadcast decisions when the archive joins a dimension.
+  *
+  * Corrupt lines (unparseable outer record or envelope) surface as
+  * `_corrupt = true` with the raw line preserved in `value` — the same
+  * dead-letter contract as [[Debezium.parseEnvelope]], never a crash and
+  * never a silent drop.
+  */
+class DebeziumJsonSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "debezium-json"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DebeziumJsonTable.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new DebeziumJsonTable(properties.asScala.toMap)
+}
+
+object DebeziumJsonTable {
+  /** Fixed table schema. `before`/`after` stay raw JSON strings — the row
+    * schema is per-table knowledge the consumer applies via `from_json`
+    * (same split of responsibilities as [[Debezium.envelopeSchema]]). */
+  val schema: StructType = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("key", StringType),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType),
+    StructField("lsn", LongType),
+    StructField("tbl", StringType),
+    StructField("before", StringType),
+    StructField("after", StringType),
+    StructField("value", StringType),
+    StructField("_tombstone", BooleanType),
+    StructField("_corrupt", BooleanType)))
+
+  /** Columns whose value requires decoding the envelope JSON. */
+  val envelopeFields: Set[String] =
+    Set("op", "ts_ms", "lsn", "tbl", "before", "after", "_corrupt")
+}
+
+class DebeziumJsonTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+
+  private val path = properties.getOrElse("path",
+    throw new IllegalArgumentException(
+      "debezium-json requires a path: spark.read.format(\"debezium-json\").load(dir)"))
+
+  override def name(): String = s"debezium-json:$path"
+  override def schema(): StructType = DebeziumJsonTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxSplit = Option(options.get("maxSplitBytes"))
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    new DebeziumScanBuilder(path, maxSplit)
+  }
+}
+
+class DebeziumScanBuilder(path: String, maxSplitBytes: Long)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = DebeziumJsonTable.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept filters our reader can evaluate; return ALL filters as
+    * post-scan residuals (advisory pushdown — see class doc). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(DebeziumFilterEval.supports)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // driver-side metadata ops (count over the archive) prune to zero
+    // columns; the reader still iterates lines and emits empty rows
+    required = requiredSchema
+
+  override def build(): Scan =
+    new DebeziumScan(path, required, pushed, maxSplitBytes)
+}
+
+class DebeziumScan(
+    path: String,
+    required: StructType,
+    pushed: Array[Filter],
+    maxSplitBytes: Long)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"DebeziumJsonScan path=$path " +
+      s"ReadSchema=[${required.fieldNames.mkString(",")}] " +
+      s"PushedFilters=[${pushed.mkString(", ")}]"
+
+  // resolved on the driver at planning time; shipped as a plain Map so the
+  // readers need no Hadoop Configuration serialization support
+  private def hadoopConf: Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  private def listFiles(): Seq[(String, Long)] = {
+    val conf = hadoopConf
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    def expand(p: Path): Seq[(String, Long)] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq
+          .filterNot(s => {
+            val n = s.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          })
+          .flatMap(s => expand(s.getPath))
+      else Seq((st.getPath.toString, st.getLen))
+    }
+    expand(root)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val codecs = new CompressionCodecFactory(hadoopConf)
+    listFiles().flatMap { case (file, len) =>
+      val splittable = codecs.getCodec(new Path(file)) == null
+      if (!splittable || len <= maxSplitBytes) {
+        Seq(DebeziumInputPartition(file, 0, len))
+      } else {
+        // LineRecordReader skips the partial first line of a non-zero
+        // offset and reads through the end of the line straddling the
+        // split end, so fixed-size offsets are safe cut points
+        (0L until len by maxSplitBytes).map(off =>
+          DebeziumInputPartition(file, off, math.min(maxSplitBytes, len - off)))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confMap = hadoopConf.asScala
+      .map(e => (e.getKey, e.getValue)).toMap
+    DebeziumReaderFactory(confMap, required.fieldNames, pushed)
+  }
+
+  override def estimateStatistics(): Statistics = {
+    val totalBytes = listFiles().map(_._2).sum
+    // prorate by projected share of the row width so a pruned scan
+    // advertises a proportionally smaller size to the join planner
+    val frac = math.max(1, required.size).toDouble /
+      DebeziumJsonTable.schema.size
+    new Statistics {
+      override def sizeInBytes() =
+        util.OptionalLong.of((totalBytes * frac).toLong max 1L)
+      override def numRows() = util.OptionalLong.empty()
+    }
+  }
+}
+
+case class DebeziumInputPartition(file: String, start: Long, length: Long)
+    extends InputPartition
+
+case class DebeziumReaderFactory(
+    confMap: Map[String, String],
+    requiredFields: Array[String],
+    pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val dp = p.asInstanceOf[DebeziumInputPartition]
+    new DebeziumPartitionReader(dp, confMap, requiredFields, pushed)
+  }
+}
+
+/** Streams one split: Hadoop [[LineRecordReader]] for line framing,
+  * Jackson for the record/envelope JSON. Constant memory — one line and
+  * one output row live at a time. */
+class DebeziumPartitionReader(
+    part: DebeziumInputPartition,
+    confMap: Map[String, String],
+    requiredFields: Array[String],
+    pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val conf = {
+    val c = new JobConf(false)
+    confMap.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val reader = new LineRecordReader(conf,
+    new FileSplit(new Path(part.file), part.start, part.length,
+      Array.empty[String]))
+  private val lineKey = reader.createKey()
+  private val lineVal = reader.createValue()
+  private val mapper = new ObjectMapper()
+
+  // decode the envelope only if a required column or a pushed filter needs
+  // it — the pruning contract that makes topic/key-only scans cheap
+  private val needEnvelope: Boolean =
+    (requiredFields.toSet ++ pushed.flatMap(_.references))
+      .exists(DebeziumJsonTable.envelopeFields)
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (reader.next(lineKey, lineVal)) {
+      val row = decode(lineVal.toString)
+      if (row != null && pushed.forall(DebeziumFilterEval.eval(_, row))) {
+        current = project(row)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+
+  /** Full typed record as a field-name map (null = SQL NULL). Blank lines
+    * yield null (skipped); corrupt lines yield a `_corrupt` row. */
+  private def decode(line: String): Map[String, Any] = {
+    if (line.trim.isEmpty) return null
+    val outer =
+      try mapper.readTree(line)
+      catch { case _: Exception => null }
+    if (outer == null || !outer.isObject)
+      return corruptRow(topic = null, key = null, raw = line)
+
+    def str(n: JsonNode): String =
+      if (n == null || n.isNull) null
+      else if (n.isTextual) n.asText()
+      else n.toString
+    val topic = str(outer.get("topic"))
+    val key = str(outer.get("key"))
+    val value = str(outer.get("value"))
+
+    if (value == null)
+      return Map("topic" -> topic, "key" -> key, "op" -> null,
+        "ts_ms" -> null, "lsn" -> null, "tbl" -> null, "before" -> null,
+        "after" -> null, "value" -> null,
+        "_tombstone" -> true, "_corrupt" -> false)
+    if (!needEnvelope)
+      return Map("topic" -> topic, "key" -> key, "op" -> null,
+        "ts_ms" -> null, "lsn" -> null, "tbl" -> null, "before" -> null,
+        "after" -> null, "value" -> value,
+        "_tombstone" -> false, "_corrupt" -> false)
+
+    val env =
+      try mapper.readTree(value)
+      catch { case _: Exception => null }
+    // same corruption contract as Debezium.parseEnvelope: a non-null
+    // value whose envelope lacks the mandatory `op` is corrupt
+    if (env == null || !env.isObject || str(env.get("op")) == null)
+      return corruptRow(topic, key, value)
+
+    def lng(n: JsonNode): Any =
+      if (n == null || n.isNull || !n.isNumber) null else n.asLong()
+    val source = env.get("source")
+    Map(
+      "topic" -> topic,
+      "key" -> key,
+      "op" -> str(env.get("op")),
+      "ts_ms" -> lng(env.get("ts_ms")),
+      "lsn" -> (if (source == null) null else lng(source.get("lsn"))),
+      "tbl" -> (if (source == null) null else str(source.get("table"))),
+      "before" -> str(env.get("before")),
+      "after" -> str(env.get("after")),
+      "value" -> value,
+      "_tombstone" -> false,
+      "_corrupt" -> false)
+  }
+
+  private def corruptRow(
+      topic: String, key: String, raw: String): Map[String, Any] =
+    Map("topic" -> topic, "key" -> key, "op" -> null, "ts_ms" -> null,
+      "lsn" -> null, "tbl" -> null, "before" -> null, "after" -> null,
+      "value" -> raw, "_tombstone" -> false, "_corrupt" -> true)
+
+  private def project(row: Map[String, Any]): InternalRow = {
+    val out = new GenericInternalRow(requiredFields.length)
+    var i = 0
+    while (i < requiredFields.length) {
+      out.update(i, row(requiredFields(i)) match {
+        case null => null
+        case s: String => UTF8String.fromString(s)
+        case other => other // Long / Boolean box as-is
+      })
+      i += 1
+    }
+    out
+  }
+}
+
+/** Reader-side evaluator for the pushed [[Filter]] subset. Mirrors SQL
+  * ternary logic on NULLs: a comparison against NULL never matches. */
+object DebeziumFilterEval {
+  def supports(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => known(a)
+    case GreaterThan(a, _) => known(a)
+    case GreaterThanOrEqual(a, _) => known(a)
+    case LessThan(a, _) => known(a)
+    case LessThanOrEqual(a, _) => known(a)
+    case In(a, _) => known(a)
+    case IsNull(a) => known(a)
+    case IsNotNull(a) => known(a)
+    case StringStartsWith(a, _) => known(a)
+    case And(l, r) => supports(l) && supports(r)
+    case _ => false
+  }
+  private def known(a: String): Boolean =
+    DebeziumJsonTable.schema.fieldNames.contains(a)
+
+  def eval(f: Filter, row: Map[String, Any]): Boolean = f match {
+    case EqualTo(a, v) => nn(row(a), v)(cmp(_, _) == 0)
+    case GreaterThan(a, v) => nn(row(a), v)(cmp(_, _) > 0)
+    case GreaterThanOrEqual(a, v) => nn(row(a), v)(cmp(_, _) >= 0)
+    case LessThan(a, v) => nn(row(a), v)(cmp(_, _) < 0)
+    case LessThanOrEqual(a, v) => nn(row(a), v)(cmp(_, _) <= 0)
+    case In(a, vs) => row(a) != null && vs.exists(v => cmp(row(a), v) == 0)
+    case IsNull(a) => row(a) == null
+    case IsNotNull(a) => row(a) != null
+    case StringStartsWith(a, p) =>
+      row(a) != null && row(a).toString.startsWith(p)
+    case And(l, r) => eval(l, row) && eval(r, row)
+    case _ => true // unsupported never pushed; Spark's residual decides
+  }
+  private def nn(x: Any, v: Any)(p: (Any, Any) => Boolean): Boolean =
+    x != null && v != null && p(x, v)
+  private def cmp(x: Any, v: Any): Int = (x, v) match {
+    case (a: java.lang.Number, b: java.lang.Number) =>
+      java.lang.Long.compare(a.longValue(), b.longValue())
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => a.compareTo(b)
+    case (a, b) => a.toString.compareTo(b.toString)
+  }
+}

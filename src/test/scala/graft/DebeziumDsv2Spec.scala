@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.operators.CdcOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The `debezium-json` DataSourceV2 connector (sources/DebeziumJsonSource):
+  * scan correctness, in-reader filter pushdown, column pruning, split
+  * handling, and the corrupt-line dead-letter contract. */
+class DebeziumDsv2Spec extends SparkSpec {
+
+  private lazy val archive = CdcOps.ordersChangelogArchive(spark, sfDir)
+  private def read(opts: (String, String)*): DataFrame = {
+    val r = spark.read.format("debezium-json")
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load(archive)
+  }
+  private def scanDesc(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("archive round-trip: record counts and tombstones survive") {
+    val df = read()
+    val total = CdcOps.synthOrdersChangelog(spark, sfDir).count()
+    assert(df.count() === total)
+    // tombstones: null value lines → _tombstone, op null, no corruption
+    val tomb = df.filter(col("_tombstone")).count()
+    val deletes = df.filter(col("op") === "d").count()
+    assert(tomb === deletes && tomb > 0)
+    assert(df.filter(col("_corrupt")).count() === 0)
+  }
+
+  test("filter pushdown reaches the scan and the reader agrees with Spark") {
+    val upd = read().filter(col("op") === "u")
+    // the pushed filter must be visible in the DSv2 scan description
+    assert(scanDesc(upd).contains("EqualTo(op,u)"),
+      s"pushdown missing from plan:\n${scanDesc(upd)}")
+    // residual re-check means the count is trustworthy either way; the
+    // fixture has one update per key%10 plus one replay per key%20
+    val o = graft.sources.Tables.scan(spark, sfDir, "orders")
+    val expected =
+      o.filter(col("o_orderkey") % 10 === 0).count() +
+        o.filter(col("o_orderkey") % 20 === 0).count()
+    assert(upd.count() === expected)
+
+    // WAL-position resume: lsn > X composes with op pushdown
+    val mid = read().agg(max("lsn")).head.getLong(0) / 2
+    val resumed = read().filter(col("op").isNotNull && col("lsn") > mid)
+    assert(scanDesc(resumed).contains(s"GreaterThan(lsn,$mid)"))
+    val full = read().filter(col("op").isNotNull)
+      .filter(col("lsn") > mid).count()
+    assert(resumed.count() === full)
+  }
+
+  test("column pruning reaches the scan") {
+    val slim = read().select("topic", "key")
+    assert(scanDesc(slim).contains("ReadSchema=[topic,key]"),
+      s"pruning missing from plan:\n${scanDesc(slim)}")
+    assert(slim.distinct().count() > 0)
+  }
+
+  test("splits: small maxSplitBytes multiplies partitions, not rows") {
+    val whole = read()
+    val sliced = read("maxSplitBytes" -> "4096")
+    assert(sliced.rdd.getNumPartitions > whole.rdd.getNumPartitions)
+    assert(sliced.count() === whole.count())
+    // straddling lines land exactly once: keys of live events match
+    val k = (df: DataFrame) => df.filter(col("op").isNotNull)
+      .select("key").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted.toSeq
+    assert(k(sliced) === k(whole))
+  }
+
+  test("corrupt lines become _corrupt rows, never crashes or silent drops") {
+    val dir = Files.createTempDirectory("graft-dbz-corrupt")
+    val lines = Seq(
+      """{"topic":"t.s.orders","key":"{\"o_orderkey\":1}","value":"{\"op\":\"c\",\"ts_ms\":5,\"source\":{\"lsn\":10,\"table\":\"orders\"},\"after\":{\"o_orderkey\":1}}"}""",
+      """{"topic":"t.s.orders","key":"{\"o_orderkey\":2}"}""", // tombstone
+      """{"topic":"t.s.orders","key":"{\"o_orderkey\":3}","value":"{\"before\":null,\"after\""}""", // truncated envelope
+      """not json at all""")
+    Files.write(Paths.get(dir.toString, "part-00000.json"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val df = spark.read.format("debezium-json").load(dir.toString)
+    assert(df.count() === 4)
+    assert(df.filter(col("_corrupt")).count() === 2)
+    assert(df.filter(col("_tombstone")).count() === 1)
+    val live = df.filter(col("op").isNotNull)
+    assert(live.count() === 1)
+    assert(live.select("lsn").head.getLong(0) === 10L)
+    assert(live.select("tbl").head.getString(0) === "orders")
+    // the corrupt raw payload is preserved for the DLQ
+    assert(df.filter(col("_corrupt")).select("value")
+      .collect().forall(!_.isNullAt(0)))
+  }
+
+  test("differential: archive-replay compaction equals in-memory compaction") {
+    val viaArchive = SparkEntry.queries("cdc_dsv2_compact")(spark, sfDir)
+    val inMemory = SparkEntry.queries("cdc_compact")(spark, sfDir)
+    assert(viaArchive.collect().toSeq === inMemory.collect().toSeq)
+  }
+}
