@@ -45,6 +45,11 @@ object CurationQueries extends QueryGroup {
   /** Tokens per shard. */
   private val budget = 2000L
 
+  /** Chunking geometry: window size and stride in tokens (stride < size
+    * gives `chunkSize - chunkStride` tokens of overlap per boundary). */
+  private val chunkSize = 128L
+  private val chunkStride = 96L
+
   /** (doc_id, lang, tokens) — materialized once per (session, corpus):
     * both pack_shards branches (local window + bucket subtotals) and
     * both mix_weights branches (per-lang + total) read it, and without
@@ -118,6 +123,32 @@ object CurationQueries extends QueryGroup {
         .orderBy("lang")
     }),
 
+    // fixed-size overlapping token chunking: every document becomes
+    // chunks of `chunkSize` tokens starting every `chunkStride` tokens
+    // (stride < size → overlap, the context-continuity convention for
+    // training windows). Entirely map-side — tokenize, explode the start
+    // offsets, slice — no shuffle until the harness ORDER BY, so it
+    // scales as a pure scan transform. Chunk content is verified by md5
+    // (identical hex in both engines) so the graded rows stay slim while
+    // still pinning every token of every chunk. Tokenizer is THE shared
+    // one (TextQueries.toks) — chunk boundaries stay in lockstep with
+    // the token counts the packing/mixing operators use.
+    "curate_chunk" -> ((s, dir) => {
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), TextQueries.toks(col("text")).as("w"))
+        .withColumn("n_doc", size(col("w")).cast("long"))
+        .withColumn("start", explode(sequence(
+          lit(0L), greatest(col("n_doc") - 1, lit(0L)), lit(chunkStride))))
+        .select(col("doc_id"),
+          (col("start") / chunkStride).cast("long").as("chunk_id"),
+          col("start").as("start_tok"),
+          least(lit(chunkSize), col("n_doc") - col("start")).as("n_tok"),
+          md5(array_join(
+            slice(col("w"), (col("start") + 1).cast("int"), lit(chunkSize)),
+            " ").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Z-order (Morton) clustering key — the Delta/Iceberg-style layout
     // key for two-dimensional pruning, as a pure bitwise column
     // expression ([[Layout.zValue]]; writeZOrdered sorts by it so each
@@ -170,6 +201,23 @@ object CurationQueries extends QueryGroup {
         |  CAST(total AS DOUBLE)
         |    / (CAST(n_langs AS DOUBLE) * CAST(tokens AS DOUBLE)) AS weight
         |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin,
+
+    "curate_chunk" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |st AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+        |    unnest(generate_series(0,
+        |      CAST(greatest(len(w) - 1, 0) AS BIGINT), 96)) AS start
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(start // 96 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(least(128, n - start) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(
+        |    w[CAST(start + 1 AS INT):CAST(start + 128 AS INT)], ' '))
+        |    AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
     // same 16-bit interleave, unrolled with DuckDB's bit operators
     "curate_zorder" -> {

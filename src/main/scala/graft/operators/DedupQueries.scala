@@ -194,6 +194,47 @@ object DedupQueries extends QueryGroup {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       sharedPairs(s, dir).orderBy("da", "db")),
 
+    // op 45a': exact SUBSTRING-SPAN dedup — the position-aware variant:
+    // for every candidate pair, the longest run of consecutive words the
+    // two documents share verbatim. Set-based Jaccard cannot see this
+    // (a doc quoting one long paragraph of another has low Jaccard but a
+    // huge shared span — exactly the "memorizable duplicated span" shape
+    // training-data dedup cuts at ~50 tokens). Mechanics: POSITIONAL
+    // 4-word shingles (posexplode of the same codegen'd shingle array),
+    // occurrence-df cap (window over s — one shuffle that also
+    // co-partitions the self-join, as in [[candidatePairs]]), then
+    // matched position pairs grouped by alignment DIAGONAL (pa - pb):
+    // consecutive matches on a diagonal are one shared span, found with
+    // the standard islands trick (pa - row_number constant within a
+    // run). A run of r consecutive shingle matches covers r+3 words.
+    // Work is O(matched positions), never all-pairs; a hot shingle
+    // inside a span splits the run — spans are conservative, never
+    // inflated. Reported pairs: longest shared span ≥ 12 words.
+    "dedup_substring" -> ((s, dir) => {
+      val ps = shingleArray(s, dir)
+        .select(col("doc_id"), posexplode(col("sh_feats")).as(Seq("pos", "s")))
+      val capped = ps
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("_df") <= maxShingleDf)
+        .select("doc_id", "pos", "s")
+      val matches = capped.toDF("da", "pa", "s")
+        .join(capped.toDF("db", "pb", "s"), Seq("s"))
+        .filter(col("da") < col("db"))
+        .withColumn("diag", col("pa") - col("pb"))
+      val runs = matches
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("da", "db", "diag").orderBy("pa")))
+        // same-prefix grouping keys: the groupBy reuses the window's
+        // (da, db, diag) hash partitioning — no extra exchange
+        .groupBy(col("da"), col("db"), col("diag"),
+          (col("pa") - col("rn")).as("grp"))
+        .agg(count(lit(1)).as("run"))
+      runs.groupBy("da", "db")
+        .agg((max(col("run")) + 3).cast("long").as("span_words"))
+        .filter(col("span_words") >= 12)
+        .orderBy("da", "db")
+    }),
+
     // op 45b: MinHash+LSH near-dup — candidates from the band-bucket join
     // (see [[lshCandidatePairs]]), then exact-Jaccard verify on candidates
     // only: common-shingle counts via equi-join on (db, s) — work is
@@ -442,6 +483,33 @@ object DedupQueries extends QueryGroup {
         |JOIN sizes sa ON da = sa.doc_id
         |JOIN sizes sb ON db = sb.doc_id
         |WHERE common / (sa.n + sb.n - common) >= 0.5
+        |ORDER BY da, db""".stripMargin,
+
+    // same positional shingling, cap, diagonal islands — stated in SQL
+    "dedup_substring" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |ish AS (SELECT doc_id, unnest(range(1, len(w) - 2)) AS i, w
+        |  FROM toks WHERE len(w) >= 4),
+        |psh AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(w[i:i+3], ' ') AS s
+        |  FROM ish),
+        |capped AS (SELECT doc_id, pos, s FROM (
+        |    SELECT doc_id, pos, s, COUNT(*) OVER (PARTITION BY s) AS df
+        |    FROM psh) t
+        |  WHERE df <= 50),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        |  FROM capped a JOIN capped b
+        |    ON a.s = b.s AND a.doc_id < b.doc_id),
+        |runs AS (SELECT da, db, pa - pb AS diag, pa,
+        |    ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS rn
+        |  FROM m),
+        |r2 AS (SELECT da, db, COUNT(*) AS run
+        |  FROM runs GROUP BY da, db, diag, pa - rn)
+        |SELECT da, db, CAST(MAX(run) + 3 AS BIGINT) AS span_words
+        |FROM r2 GROUP BY da, db
+        |HAVING MAX(run) + 3 >= 12
         |ORDER BY da, db""".stripMargin,
 
     "dedup_clusters" ->

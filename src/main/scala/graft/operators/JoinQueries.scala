@@ -175,6 +175,25 @@ object JoinQueries extends QueryGroup {
           when(col("t") - col("mt") <= tolUs, col("mk"))
             .as("o_orderkey"))
         .orderBy("event_id")
+    }),
+
+    // explicitly salted fact⋈dim join ([[Skew.saltedJoin]]): the hot-key
+    // escape hatch for plans AQE's skew split cannot reach (streaming
+    // foreachBatch joins, shuffled-hash joins, AQE-off deployments) when
+    // the dim is too big to broadcast. Salting must be invisible in the
+    // result — the oracle is the PLAIN join — and PlanSpec asserts the
+    // fact-side exchange actually partitions on (key, salt).
+    "join_skew_salted" -> ((s, dir) => {
+      val li = Tables.scan(s, dir, "lineitem")
+      val sup = Tables.scan(s, dir, "supplier")
+      Skew.saltedJoin(li, sup,
+          factKey = "l_suppkey", dimKey = "s_suppkey",
+          saltFrom = Seq(col("l_orderkey"), col("l_linenumber")))
+        .groupBy(col("s_name"))
+        .agg(
+          sum(Dec.d2(col("l_extendedprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_name")
     }))
 
   /** The shared as-of union-merge: events and (deduped) orders interleave
@@ -320,5 +339,15 @@ object JoinQueries extends QueryGroup {
         |SELECT event_id, user_id, ts_us,
         |  CASE WHEN ts_us - ord_us <= 725760000000000 THEN o_orderkey
         |       ELSE NULL END AS o_orderkey
-        |FROM a ORDER BY event_id""".stripMargin)
+        |FROM a ORDER BY event_id""".stripMargin,
+
+    // the plain join — salting must not change the result
+    "join_skew_salted" ->
+      """SELECT s_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin)
 }

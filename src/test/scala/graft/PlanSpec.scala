@@ -120,6 +120,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("join_skew_salted: the join actually distributes on (key, salt)") {
+    // the operator's whole claim: a hot l_suppkey's rows spread across
+    // `salts` shuffle partitions. With broadcast off (the regime salting
+    // exists for — a dim too big to broadcast) the shuffle join's
+    // exchanges must hash on BOTH the key and the salt column.
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("join_skew_salted")(spark, sfDir)
+        .queryExecution.executedPlan
+      val saltedParts = plan.collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning
+      }.collect {
+        case hp: HashPartitioning
+            if hp.expressions.exists(_.references.exists(_.name.endsWith("suppkey")))
+              && hp.expressions.exists(_.references.exists(_.name == "_salt")) => hp
+      }
+      // both join sides repartition on (suppkey, _salt)
+      assert(saltedParts.size == 2,
+        s"expected 2 (key, salt) exchanges, got ${saltedParts.size}:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("ts_resample: the minute spine is redistributed, not one task") {
     val (_, plan) = staticPlan("ts_resample")
     // the spine repartition shows up as a hash exchange on m ALONE (the
