@@ -123,6 +123,34 @@ object CurationQueries extends QueryGroup {
         .orderBy("lang")
     }),
 
+    // deterministic global corpus shuffle: every document gets a stable
+    // pseudo-random position (rank of its content-derived md5) — the
+    // shuffle-before-sharding step of a training pipeline. Seedless and
+    // content-derived, so retries/re-runs produce the identical
+    // permutation (an RNG-backed orderBy(rand()) would not). Same
+    // two-phase global-rank shape as packShards: positions within a hash
+    // bucket come from a PARTITIONED window; only the ≤256-row bucket
+    // offset table pays a global window. Because the bucket is the md5's
+    // first two hex chars, (bucket, h) order IS h order — the oracle is
+    // the naive single-window ROW_NUMBER over the whole corpus.
+    "curate_shuffle" -> ((s, dir) => {
+      val d = Tables.scan(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .withColumn("bucket", substring(col("h"), 1, 2))
+      val wLocal = Window.partitionBy("bucket").orderBy("h", "doc_id")
+      val local = d.withColumn("local_rn", row_number().over(wLocal))
+      val wBucket = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = d.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .withColumn("offset", coalesce(sum("n").over(wBucket), lit(0L)))
+        .select("bucket", "offset")
+      local.join(offsets, "bucket")
+        .select(col("doc_id"),
+          (col("offset") + col("local_rn") - 1).cast("long").as("pos"))
+        .orderBy("pos")
+    }),
+
     // fixed-size overlapping token chunking: every document becomes
     // chunks of `chunkSize` tokens starting every `chunkStride` tokens
     // (stride < size → overlap, the context-continuity convention for
@@ -201,6 +229,14 @@ object CurationQueries extends QueryGroup {
         |  CAST(total AS DOUBLE)
         |    / (CAST(n_langs AS DOUBLE) * CAST(tokens AS DOUBLE)) AS weight
         |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin,
+
+    // the naive single-window rank — same math the two-phase plan computes
+    "curate_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+        |    AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
 
     "curate_chunk" ->
       """WITH toks AS (SELECT doc_id,

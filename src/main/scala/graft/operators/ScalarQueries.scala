@@ -48,6 +48,28 @@ object ScalarQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // op 30 continued: calendar ARITHMETIC (fn_datetime covers extracts).
+    // The cross-engine trap here is month addition at month ends: modern
+    // Spark (proleptic Gregorian, LocalDate.plusMonths) clamps only on
+    // overflow (Jan 31 + 1mo = Feb 28) and does NOT snap last-day to
+    // last-day — the same rule DuckDB's INTERVAL addition uses, which is
+    // what makes this oracle-able. Every output is a DATE or exact
+    // integer; no fractional month arithmetic (months_between semantics
+    // differ between engines and stays off the graded surface).
+    "fn_calendar" -> ((s, dir) => {
+      Tables.scan(s, dir, "orders")
+        .select(col("o_orderkey"),
+          add_months(col("o_orderdate"), 3).as("plus3mo"),
+          last_day(col("o_orderdate")).as("month_end"),
+          date_trunc("quarter", col("o_orderdate")).cast("date")
+            .as("qtr_start"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          datediff(to_date(lit("1998-12-31")), col("o_orderdate"))
+            .cast("long").as("days_to_ref"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"))
+        .orderBy("o_orderkey")
+    }),
+
     // op 31: math / decimal-as-string casts
     "fn_math" -> ((s, dir) => {
       Tables.scan(s, dir, "lineitem")
@@ -217,6 +239,17 @@ object ScalarQueries extends QueryGroup {
         |  o_orderdate + INTERVAL 7 DAY AS plus7,
         |  epoch_ms(o_orderdate) AS epoch_ms,
         |  CAST(o_orderdate AS DATE) AS as_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_calendar" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+        |    AS BIGINT) AS days_to_ref,
+        |  CAST(date_part('dow', o_orderdate) + 1 AS BIGINT) AS dow
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "fn_math" ->

@@ -213,4 +213,22 @@ class PlanSpec extends SparkSpec {
     assert(partitioned.head.partitionSpec.mkString.contains("bucket"),
       s"the per-document window must be partitioned by bucket:\n$plan")
   }
+
+  test("curate_shuffle: the corpus rank is partitioned, " +
+      "only the bucket-offset window is global") {
+    // same two-phase contract as pack_shards: the per-document row_number
+    // runs partitioned by hash bucket; the single global window is over
+    // the ≤256-row bucket-count table (sums `n`), never the corpus
+    val (_, plan) = staticPlan("curate_shuffle")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val (global, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    assert(global.size == 1 && partitioned.size == 1,
+      s"one global (bucket offsets) + one partitioned window:\n$plan")
+    assert(global.head.windowExpression.mkString.contains("n#"),
+      s"the global window must be over bucket counts only:\n$plan")
+    assert(partitioned.head.partitionSpec.mkString.contains("bucket"),
+      s"the per-document rank must be partitioned by bucket:\n$plan")
+  }
 }
