@@ -52,6 +52,24 @@ object AggQueries extends QueryGroup {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
     }),
 
+    // MERGEABLE distinct-count sketches — the warehouse pattern the
+    // single-shot approx_count_distinct can't express: store one compact
+    // HLL sketch per shard (here per day), then answer "distinct users
+    // over any day range" by UNIONING stored sketches — no rescan of the
+    // raw events, and sketch union is lossless (same lgK), so the merged
+    // estimate is bit-identical to the sketch built over the whole table
+    // in one pass (AggContractsSpec asserts exactly that, plus a ≤5%
+    // error contract vs the exact count). Rows-only: Spark's DataSketches
+    // HLL has no DuckDB twin.
+    "agg_hll_merge" -> ((s, dir) => {
+      val daily = Tables.scan(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("users_est"),
+        count(lit(1)).as("n_shards"))
+    }),
+
     // approx_percentile (mergeable quantile sketch — the distributed way
     // to get percentiles without a global sort): no DuckDB twin →
     // rows-only; AggContractsSpec bounds the sketch against the exact

@@ -116,10 +116,12 @@ class DebeziumJsonTable(properties: Map[String, String])
 class DebeziumScanBuilder(path: String, maxSplitBytes: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = DebeziumJsonTable.schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
 
   /** Accept filters our reader can evaluate; return ALL filters as
     * post-scan residuals (advisory pushdown — see class doc). */
@@ -134,14 +136,23 @@ class DebeziumScanBuilder(path: String, maxSplitBytes: Long)
     // columns; the reader still iterates lines and emits empty rows
     required = requiredSchema
 
+  /** LIMIT pushdown: each partition reader stops after `n` emitted rows
+    * (post-filter), so `df.limit(5)` over a terabyte archive reads a few
+    * lines per split instead of the whole file set. Partial by
+    * construction — the cap is per PARTITION — so Spark keeps its global
+    * limit above the scan. */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed: Boolean = true
+
   override def build(): Scan =
-    new DebeziumScan(path, required, pushed, maxSplitBytes)
+    new DebeziumScan(path, required, pushed, limit, maxSplitBytes)
 }
 
 class DebeziumScan(
     path: String,
     required: StructType,
     pushed: Array[Filter],
+    limit: Int,
     maxSplitBytes: Long)
     extends Scan with Batch with SupportsReportStatistics {
 
@@ -151,7 +162,8 @@ class DebeziumScan(
   override def description(): String =
     s"DebeziumJsonScan path=$path " +
       s"ReadSchema=[${required.fieldNames.mkString(",")}] " +
-      s"PushedFilters=[${pushed.mkString(", ")}]"
+      s"PushedFilters=[${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s" PushedLimit=$limit" else "")
 
   // resolved on the driver at planning time; shipped as a plain Map so the
   // readers need no Hadoop Configuration serialization support
@@ -195,7 +207,7 @@ class DebeziumScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val confMap = hadoopConf.asScala
       .map(e => (e.getKey, e.getValue)).toMap
-    DebeziumReaderFactory(confMap, required.fieldNames, pushed)
+    DebeziumReaderFactory(confMap, required.fieldNames, pushed, limit)
   }
 
   override def estimateStatistics(): Statistics = {
@@ -218,11 +230,12 @@ case class DebeziumInputPartition(file: String, start: Long, length: Long)
 case class DebeziumReaderFactory(
     confMap: Map[String, String],
     requiredFields: Array[String],
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    limit: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val dp = p.asInstanceOf[DebeziumInputPartition]
-    new DebeziumPartitionReader(dp, confMap, requiredFields, pushed)
+    new DebeziumPartitionReader(dp, confMap, requiredFields, pushed, limit)
   }
 }
 
@@ -233,7 +246,8 @@ class DebeziumPartitionReader(
     part: DebeziumInputPartition,
     confMap: Map[String, String],
     requiredFields: Array[String],
-    pushed: Array[Filter])
+    pushed: Array[Filter],
+    limit: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private val conf = {
@@ -255,12 +269,15 @@ class DebeziumPartitionReader(
       .exists(DebeziumJsonTable.envelopeFields)
 
   private var current: InternalRow = _
+  private var emitted = 0
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false // pushed per-partition cap
     while (reader.next(lineKey, lineVal)) {
       val row = decode(lineVal.toString)
       if (row != null && pushed.forall(DebeziumFilterEval.eval(_, row))) {
         current = project(row)
+        emitted += 1
         return true
       }
     }

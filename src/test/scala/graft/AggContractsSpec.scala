@@ -20,6 +20,26 @@ class AggContractsSpec extends SparkSpec {
     math.abs(approx - exact).toDouble / exact
   }
 
+  test("hll sketch merge: lossless union + ≤5% error contract") {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate}
+    val dir = "/root/testdata/sf0.01"
+    val merged = AggQueries.queries("agg_hll_merge")(spark, dir)
+      .collect().head.getLong(0)
+    // merging per-day sketches must equal the one-pass global sketch
+    // EXACTLY — HLL union at the same lgK is lossless, that is the whole
+    // point of storing shard sketches
+    val global = Tables.scan(spark, dir, "events")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().head.getLong(0)
+    assert(merged === global,
+      s"sketch union ($merged) must equal the one-pass sketch ($global)")
+    val exact = Tables.scan(spark, dir, "events")
+      .select(countDistinct(col("user_id")).as("n"))
+      .collect().head.getLong(0)
+    val err = math.abs(merged - exact).toDouble / exact
+    assert(err <= 0.05, s"sketch estimate $merged vs exact $exact: $err > 5%")
+  }
+
   test("approx_count_distinct relative error ≤ 5% at sf0.01 and sf0.1") {
     val e1 = relErr("/root/testdata/sf0.01")
     assert(e1 <= 0.05, s"sf0.01 relative error $e1 exceeds 5%")

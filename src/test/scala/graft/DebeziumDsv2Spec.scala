@@ -73,6 +73,17 @@ class DebeziumDsv2Spec extends SparkSpec {
     assert(k(sliced) === k(whole))
   }
 
+  test("limit pushdown caps each partition reader") {
+    val lim = read().limit(5)
+    assert(scanDesc(lim).contains("PushedLimit=5"),
+      s"pushed limit missing from plan:\n${scanDesc(lim)}")
+    assert(lim.count() === 5)
+    // a limit above a residual filter cannot (and must not) push through
+    // it, but the composed query still answers correctly
+    val limF = read().filter(col("op") === "u").limit(3).collect()
+    assert(limF.length === 3 && limF.forall(_.getAs[String]("op") == "u"))
+  }
+
   test("corrupt lines become _corrupt rows, never crashes or silent drops") {
     val dir = Files.createTempDirectory("graft-dbz-corrupt")
     val lines = Seq(
