@@ -214,6 +214,22 @@ class PlanSpec extends SparkSpec {
       s"the per-document window must be partitioned by bucket:\n$plan")
   }
 
+  test("dedup_substring: the islands window's partitioning is reused " +
+      "by the run aggregate") {
+    // the run-length groupBy keys (da, db, diag, grp) are a SUPERSET of
+    // the islands window's partition keys (da, db, diag), so Catalyst
+    // must NOT insert another corpus-scale exchange between them — no
+    // hash exchange in the plan partitions on the derived `grp` column
+    val (_, plan) = staticPlan("dedup_substring")
+    val hashParts = plan.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning
+    }.collect { case h: HashPartitioning => h.expressions.mkString(",") }
+    assert(hashParts.exists(_.contains("diag")),
+      s"expected the islands window exchange on (da, db, diag):\n$plan")
+    assert(!hashParts.exists(_.contains("grp")),
+      s"the run aggregate must reuse the window's partitioning:\n$plan")
+  }
+
   test("curate_shuffle: the corpus rank is partitioned, " +
       "only the bucket-offset window is global") {
     // same two-phase contract as pack_shards: the per-document row_number
