@@ -102,6 +102,25 @@ object SimilarityQueries extends QueryGroup {
     "sim_ann_ivf" -> ((s, dir) =>
       ivfTopK(s, dir, kCentroids = 16, nprobe = 2, lloydIters = 3)),
 
+    // the PERSISTED form of the same index: build → write (centroids +
+    // cid-partitioned inverted lists) → probe via partition-pruned read.
+    // Rebuilt from scratch every invocation (the build is graded work —
+    // reusing a disk artifact across bench reps would hide it; a
+    // deployment builds once and probes many). Same parameters as
+    // sim_ann_ivf; IvfIndexSpec proves the saved-index probe
+    // row-identical to the in-memory form and asserts the pruning.
+    "sim_ann_ivf_saved" -> ((s, dir) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft-ivf-index-${Integer.toHexString(dir.hashCode)}").toString
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(root)) fs.delete(root, true)
+      saveIvfIndex(s, dir, path, kCentroids = 16, lloydIters = 3)
+      probeIvfIndex(s, path, embs(s, dir).filter(col("vec_id") < 10),
+        nprobe = 2)
+    }),
+
     // label centroid similarity: per-cluster mean vector, then pairwise
     // centroid cosine — the IVF coarse-quantizer building block (exact,
     // oracle-verified; centroid averaging uses the same fold order in both
@@ -178,18 +197,18 @@ object SimilarityQueries extends QueryGroup {
       .drop("cs")
   }
 
-  def ivfTopK(
-      s: SparkSession,
-      dir: String,
-      kCentroids: Int,
-      nprobe: Int,
-      lloydIters: Int = 1): DataFrame = {
-    // cache the normalized vectors: the seed count, every Lloyd assign/
-    // re-center round, the list build, and the query probe all traverse
-    // them — the standard iterative-k-means shape (one materialization,
-    // ~8 consumers; the ContextCleaner drops the blocks when the query
-    // plan is garbage-collected)
-    val e = embs(s, dir).cache()
+  /** Deterministic spread seeds + `lloydIters` re-centering rounds → the
+    * k-row centroid table. Each round's centroid table is EAGERLY
+    * localCheckpointed: round r's plan references round r-1's output, so
+    * without materialization every later broadcast re-executes all
+    * earlier rounds through lineage — O(iters²) full-corpus passes
+    * instead of O(iters). localCheckpoint (not cache) because
+    * CacheManager entries are pinned until an explicit unpersist — which
+    * a lazily-returned result can never safely issue — while
+    * checkpointed RDD blocks are reclaimed by the ContextCleaner once
+    * the returned plan is garbage-collected. */
+  private[graft] def lloydCentroids(
+      e: DataFrame, kCentroids: Int, lloydIters: Int): DataFrame = {
     val n = e.count()
     val step = math.max(n / kCentroids, 1L)
     var cents = e.filter(col("vec_id") % step === 0)
@@ -199,15 +218,7 @@ object SimilarityQueries extends QueryGroup {
       .limit(kCentroids)
       .select(col("vec_id").as("cid"), col("v").as("c"))
     // Lloyd re-centering: assign → fixed-point mean (exact,
-    // order-independent) per centroid per dimension. Each round's k-row
-    // centroid table is EAGERLY localCheckpointed: round r's plan
-    // references round r-1's output, so without materialization every
-    // later broadcast re-executes all earlier rounds through lineage —
-    // O(iters²) full-corpus passes instead of O(iters). localCheckpoint
-    // (not cache) because CacheManager entries are pinned until an
-    // explicit unpersist — which a lazily-returned result can never
-    // safely issue — while checkpointed RDD blocks are reclaimed by the
-    // ContextCleaner once the returned plan is garbage-collected.
+    // order-independent) per centroid per dimension
     for (_ <- 1 to lloydIters) {
       cents = assignNearest(e, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -222,17 +233,44 @@ object SimilarityQueries extends QueryGroup {
           .as("c"))
         .localCheckpoint()
     }
+    cents
+  }
+
+  def ivfTopK(
+      s: SparkSession,
+      dir: String,
+      kCentroids: Int,
+      nprobe: Int,
+      lloydIters: Int = 1): DataFrame = {
+    // cache the normalized vectors: the seed count, every Lloyd assign/
+    // re-center round, the list build, and the query probe all traverse
+    // them — the standard iterative-k-means shape (one materialization,
+    // ~8 consumers; the ContextCleaner drops the blocks when the query
+    // plan is garbage-collected)
+    val e = embs(s, dir).cache()
+    val cents = lloydCentroids(e, kCentroids, lloydIters)
     val lists = assignNearest(e, cents)
     val q = e.filter(col("vec_id") < 10)
+    val probes = probeLists(q, cents, nprobe)
+    topKFromLists(probes, lists)
+  }
+
+  /** Per-query nprobe nearest centroid lists: (qid, qv, qn, cid). */
+  private def probeLists(
+      q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val wq = Window.partitionBy("qid").orderBy(col("d").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(cents))
-      .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"), col("cid"),
-        (VectorFunctions.floatDot(col("v"), col("c"))
-          / (col("nrm") * VectorFunctions.floatNorm(col("c")))).as("d"))
+    q.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("qn"), col("cid"),
+        (VectorFunctions.floatDot(col("qv"), col("c"))
+          / (col("qn") * VectorFunctions.floatNorm(col("c")))).as("d"))
       .withColumn("r", row_number().over(wq))
       .filter(col("r") <= nprobe)
       .select("qid", "qv", "qn", "cid")
+  }
+
+  /** Exact cosine top-10 over the probed lists only. */
+  private def topKFromLists(probes: DataFrame, lists: DataFrame): DataFrame = {
     val wr = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("vec_id"))
     broadcast(probes).join(lists, Seq("cid"))
@@ -243,6 +281,49 @@ object SimilarityQueries extends QueryGroup {
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= 10)
       .orderBy("qid", "rank")
+  }
+
+  /** Persist the IVF index — the "build once, probe many" production
+    * shape `sim_ann_ivf`'s in-memory form cannot offer: the tiny
+    * `centroids/` table plus the inverted lists written PARTITIONED BY
+    * `cid`, so a probe of nprobe lists is a partition-pruned read that
+    * touches nprobe directories of a billion-vector index instead of
+    * scanning it. */
+  def saveIvfIndex(
+      s: SparkSession, dir: String, path: String,
+      kCentroids: Int, lloydIters: Int): Unit = {
+    val e = embs(s, dir).cache()
+    try {
+      val cents = lloydCentroids(e, kCentroids, lloydIters)
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      assignNearest(e, cents)
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
+    } finally e.unpersist()
+  }
+
+  /** Probe a [[saveIvfIndex]] index: rank the stored centroids per query,
+    * then read ONLY the probed list partitions. The probe cid set is a
+    * bounded control-plane collect (≤ kCentroids longs) — it is what
+    * turns the lists read into STATIC partition pruning, visible as
+    * `PartitionFilters` on the scan (IvfIndexSpec asserts it). */
+  def probeIvfIndex(
+      s: SparkSession, path: String, queries: DataFrame,
+      nprobe: Int): DataFrame = {
+    val cents = s.read.parquet(s"$path/centroids")
+    val probes = probeLists(queries, cents, nprobe)
+    val cids = probes.select("cid").distinct().collect().map(_.getLong(0))
+    val listsRaw = s.read.parquet(s"$path/lists")
+    // the partition column comes back with the INFERRED type (int when
+    // every cid fits) — match the literal type so the IN lands on the raw
+    // partition attribute and prunes, then normalize for the join
+    val inferredInt =
+      listsRaw.schema("cid").dataType ==
+        org.apache.spark.sql.types.IntegerType
+    val vals: Seq[Any] =
+      if (inferredInt) cids.toSeq.map(_.toInt) else cids.toSeq
+    val lists = listsRaw.filter(col("cid").isin(vals: _*))
+      .withColumn("cid", col("cid").cast("long"))
+    topKFromLists(probes, lists)
   }
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.SimilarityQueries
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** The persisted IVF index (SimilarityQueries.saveIvfIndex/probeIvfIndex):
+  * the saved-index probe must equal the in-memory IVF query exactly, and
+  * the lists read must be partition-pruned to the probed cids. */
+class IvfIndexSpec extends SparkSpec {
+
+  test("saved-index probe is row-identical to the in-memory IVF query") {
+    val fresh = SimilarityQueries
+      .ivfTopK(spark, sfDir, kCentroids = 16, nprobe = 2, lloydIters = 3)
+      .collect().toSeq
+    val saved = SparkEntry.queries("sim_ann_ivf_saved")(spark, sfDir)
+      .collect().toSeq
+    assert(saved === fresh)
+    assert(saved.nonEmpty)
+  }
+
+  test("the probe reads only the probed list partitions") {
+    // AQE wraps scans in leaf query stages, so assert on the static plan
+    // (the pruning decision is Catalyst's, not AQE's)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force planning INSIDE the conf window — queryExecution is lazy
+    val plan =
+      try SparkEntry.queries("sim_ann_ivf_saved")(spark, sfDir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val listsScan = plan.collect {
+      case f: FileSourceScanExec if f.toString.contains("lists") => f
+    }
+    assert(listsScan.nonEmpty, "no file scan over the lists directory")
+    // static partition pruning: the IN over probe cids must land on the
+    // partition column, not as a post-scan data filter
+    val s = listsScan.head.toString
+    assert(s.contains("PartitionFilters") && s.contains("cid"),
+      s"lists scan is not partition-pruned:\n$s")
+    assert(listsScan.head.metadata("PartitionFilters").contains("cid"),
+      s"PartitionFilters missing the cid predicate: ${listsScan.head.metadata}")
+  }
+}
