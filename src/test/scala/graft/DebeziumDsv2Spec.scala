@@ -106,6 +106,37 @@ class DebeziumDsv2Spec extends SparkSpec {
       .collect().forall(!_.isNullAt(0)))
   }
 
+  test("streaming: tailing the archive ingests each new file exactly once") {
+    val dir = Files.createTempDirectory("graft-dbz-tail")
+    def rec(k: Long): String =
+      s"""{"topic":"t.s.orders","key":"{\\"o_orderkey\\":$k}","value":"{\\"op\\":\\"c\\",\\"ts_ms\\":$k,\\"source\\":{\\"lsn\\":$k,\\"table\\":\\"orders\\"},\\"after\\":{\\"o_orderkey\\":$k}}"}"""
+    def writeFile(name: String, ks: Seq[Long]): Unit =
+      Files.write(Paths.get(dir.toString, name),
+        ks.map(rec).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    writeFile("part-001.json", Seq(1L, 2L))
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = spark.readStream.format("debezium-json").load(dir.toString)
+      .filter(col("op").isNotNull)
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          got ++= df.select("lsn").collect().map(r => (id, r.getLong(0)))
+          ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.map(_._2).sorted == Seq(1L, 2L))
+      writeFile("part-002.json", Seq(3L, 4L, 5L))
+      q.processAllAvailable()
+      // the second batch carries ONLY the new file's records — nothing
+      // from part-001 is re-ingested
+      assert(got.map(_._2).sorted == Seq(1L, 2L, 3L, 4L, 5L))
+      val batches = got.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+      assert(batches.values.toSeq.map(_.toSeq).sortBy(_.head) ==
+        Seq(Seq(1L, 2L), Seq(3L, 4L, 5L)))
+    } finally q.stop()
+  }
+
   test("differential: archive-replay compaction equals in-memory compaction") {
     val viaArchive = SparkEntry.queries("cdc_dsv2_compact")(spark, sfDir)
     val inMemory = SparkEntry.queries("cdc_compact")(spark, sfDir)
