@@ -110,11 +110,14 @@ class DebeziumJsonTable(properties: Map[String, String])
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxSplit = Option(options.get("maxSplitBytes"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    new DebeziumScanBuilder(path, maxSplit)
+    val maxFiles = Option(options.get("maxFilesPerTrigger"))
+      .map(_.toInt).getOrElse(-1)
+    new DebeziumScanBuilder(path, maxSplit, maxFiles)
   }
 }
 
-class DebeziumScanBuilder(path: String, maxSplitBytes: Long)
+class DebeziumScanBuilder(
+    path: String, maxSplitBytes: Long, maxFilesPerTrigger: Int = -1)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -146,7 +149,8 @@ class DebeziumScanBuilder(path: String, maxSplitBytes: Long)
   override def isPartiallyPushed: Boolean = true
 
   override def build(): Scan =
-    new DebeziumScan(path, required, pushed, limit, maxSplitBytes)
+    new DebeziumScan(path, required, pushed, limit, maxSplitBytes,
+      maxFilesPerTrigger)
 }
 
 class DebeziumScan(
@@ -154,7 +158,8 @@ class DebeziumScan(
     required: StructType,
     pushed: Array[Filter],
     limit: Int,
-    maxSplitBytes: Long)
+    maxSplitBytes: Long,
+    maxFilesPerTrigger: Int = -1)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -236,7 +241,7 @@ class DebeziumScan(
     * scan builder apply to the streaming reads identically. */
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream =
-    new DebeziumMicroBatchStream(this)
+    new DebeziumMicroBatchStream(this, maxFilesPerTrigger)
 }
 
 /** File-set offsets: an offset IS the sorted list of archive files seen
@@ -255,14 +260,35 @@ case class DebeziumFilesOffset(files: Seq[String])
   }
 }
 
-class DebeziumMicroBatchStream(scan: DebeziumScan)
-    extends streaming.MicroBatchStream {
-  import streaming.Offset
+class DebeziumMicroBatchStream(scan: DebeziumScan, maxFilesPerTrigger: Int)
+    extends streaming.MicroBatchStream
+    with streaming.SupportsAdmissionControl {
+  import streaming.{Offset, ReadLimit}
 
   override def initialOffset(): Offset = DebeziumFilesOffset(Nil)
 
+  /** Backpressure knob: `maxFilesPerTrigger` caps how many new archive
+    * files one micro-batch admits, so a backlog (or a bulk re-archive)
+    * drains in bounded batches instead of one giant catch-up batch —
+    * the same admission control the built-in file source offers. */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[DebeziumFilesOffset].files.toSet
+    val all = scan.currentFiles().map(_._1).sorted
+    limit match {
+      case m: streaming.ReadMaxFiles =>
+        val admitted = all.filterNot(seen).take(m.maxFiles())
+        DebeziumFilesOffset((seen ++ admitted).toSeq.sorted)
+      case _ => DebeziumFilesOffset(all)
+    }
+  }
+
   override def latestOffset(): Offset =
-    DebeziumFilesOffset(scan.currentFiles().map(_._1).sorted)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
 
   override def deserializeOffset(json: String): Offset = {
     val node = new ObjectMapper().readTree(json)

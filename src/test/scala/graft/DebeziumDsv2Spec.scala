@@ -137,6 +137,66 @@ class DebeziumDsv2Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: maxFilesPerTrigger drains a backlog in bounded batches") {
+    val dir = Files.createTempDirectory("graft-dbz-rate")
+    def rec(k: Long): String =
+      s"""{"topic":"t.s.orders","key":"{\\"o_orderkey\\":$k}","value":"{\\"op\\":\\"c\\",\\"ts_ms\\":$k,\\"source\\":{\\"lsn\\":$k,\\"table\\":\\"orders\\"},\\"after\\":{\\"o_orderkey\\":$k}}"}"""
+    (1 to 3).foreach(i => Files.write(
+      Paths.get(dir.toString, s"part-00$i.json"),
+      rec(i.toLong).getBytes(StandardCharsets.UTF_8)))
+    val perBatch = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("debezium-json")
+      .option("maxFilesPerTrigger", "1").load(dir.toString)
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          perBatch += df.count(); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // the 3-file backlog must drain one file (one record) per batch —
+    // never one giant catch-up batch
+    assert(perBatch.filter(_ > 0).toSeq == Seq(1L, 1L, 1L),
+      s"expected 3 single-file batches, got $perBatch")
+  }
+
+  test("streaming: archive tail composes with the stateful compaction operator") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dbz-e2e")
+    def rec(k: Long, lsn: Long, op: String): String = {
+      val after = if (op == "d") "null"
+        else s"""{\\"o_orderkey\\":$k,\\"o_orderstatus\\":\\"s$lsn\\"}"""
+      s"""{"topic":"t.s.orders","key":"{\\"o_orderkey\\":$k}","value":"{\\"op\\":\\"$op\\",\\"ts_ms\\":$lsn,\\"source\\":{\\"lsn\\":$lsn,\\"table\\":\\"orders\\"},\\"after\\":$after}"}"""
+    }
+    Files.write(Paths.get(dir.toString, "f1.json"),
+      Seq(rec(1, 10, "c"), rec(2, 20, "c")).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val state = scala.collection.mutable.Map[Long, graft.streaming.KeyState]()
+    val changes = spark.readStream.format("debezium-json").load(dir.toString)
+      .filter(col("op").isNotNull)
+      .select(
+        get_json_object(col("key"), "$.o_orderkey").cast("long").as("key"),
+        col("lsn"),
+        (col("op") === "d").as("deleted"),
+        coalesce(col("after"), lit("")).as("payload"))
+      .as[graft.streaming.KeyedChange]
+    val q = graft.streaming.StatefulCompaction.compact(changes)
+      .writeStream.outputMode("update").foreachBatch {
+        (ds: org.apache.spark.sql.Dataset[graft.streaming.KeyState], _: Long) =>
+          ds.collect().foreach(s => state(s.key) = s); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(state(1L).payload.contains("s10") && !state(1L).deleted)
+      // second archive file: update key 1, delete key 2, replay key 1's
+      // ORIGINAL insert (stale lsn — must NOT resurrect the old status)
+      Files.write(Paths.get(dir.toString, "f2.json"),
+        Seq(rec(1, 30, "u"), rec(2, 40, "d"), rec(1, 10, "c"))
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+      assert(state(1L).payload.contains("s30"), s"key 1: ${state(1L)}")
+      assert(state(2L).deleted, s"key 2: ${state(2L)}")
+    } finally q.stop()
+  }
+
   test("differential: archive-replay compaction equals in-memory compaction") {
     val viaArchive = SparkEntry.queries("cdc_dsv2_compact")(spark, sfDir)
     val inMemory = SparkEntry.queries("cdc_compact")(spark, sfDir)
