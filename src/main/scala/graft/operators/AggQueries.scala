@@ -52,6 +52,27 @@ object AggQueries extends QueryGroup {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
     }),
 
+    // ordered string aggregation (listagg/string_agg): the report-shaped
+    // aggregate that turns a group into a delimited string. The built-in
+    // string_agg carries NO intra-group ordering in the DataFrame API, so
+    // its output depends on partitioning — useless under a hash gate.
+    // The deterministic distributed form: collect the group as (sortkey,
+    // value) structs, array_sort (sortkey leads, and is UNIQUE — struct
+    // comparison never reaches the value), then project+join. Group size
+    // bounds the per-group state, same contract as any listagg.
+    "agg_string_agg" -> ((s, dir) => {
+      Tables.scan(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(
+                struct(col("o_orderkey"), col("o_orderpriority")))),
+              x => x.getField("o_orderpriority")), "|").as("prios"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    }),
+
     // MERGEABLE distinct-count sketches — the warehouse pattern the
     // single-shot approx_count_distinct can't express: store one compact
     // HLL sketch per shard (here per day), then answer "distinct users
@@ -400,6 +421,14 @@ object AggQueries extends QueryGroup {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_string_agg" ->
+      """SELECT o_custkey,
+        |  string_agg(o_orderpriority, '|' ORDER BY o_orderkey) AS prios,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "agg_weighted" ->
       """SELECT l_returnflag,

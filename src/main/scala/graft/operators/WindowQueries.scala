@@ -61,6 +61,27 @@ object WindowQueries extends QueryGroup {
         .orderBy("o_custkey", "date_us", "o_orderkey")
     }),
 
+    // op 23b: RANGE frames — VALUE-based bounds, the frame type the ROWS
+    // variants above cannot express: "total spend in the trailing 30
+    // days" includes however many orders fall in the value window (and
+    // ALL peers of a tied timestamp), not a fixed row count. Exact
+    // decimal sum, so tie order inside the frame cannot perturb the
+    // result — that is what makes a RANGE frame hash-comparable at all.
+    "window_range_frame" -> ((s, dir) => {
+      val days30 = 30L * 86400L * 1000000L
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("date_us"))
+        .rangeBetween(-days30, Window.currentRow)
+      Tables.scan(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"),
+          Dec.d2(col("o_totalprice")).as("price_dec"))
+        .withColumn("trailing_30d",
+          sum(col("price_dec")).over(w).cast("double"))
+        .withColumn("n_in_window", count(lit(1)).over(w))
+        .drop("price_dec")
+        .orderBy("o_custkey", "date_us", "o_orderkey")
+    }),
+
     // op 21b: distribution functions — percent_rank/cume_dist per key
     // (quantile position of every order within its customer). Both are
     // exact integer ratios ((rank-1)/(n-1), rank_hi/n): one division of
@@ -138,6 +159,17 @@ object WindowQueries extends QueryGroup {
         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
         |FROM orders
+        |ORDER BY o_custkey, date_us, o_orderkey""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  epoch_us(o_orderdate) AS date_us,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+        |    AS trailing_30d,
+        |  COUNT(*) OVER w AS n_in_window
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, date_us, o_orderkey""".stripMargin,
 
     "window_dist" ->
