@@ -52,6 +52,59 @@ object TimeSeriesQueries extends QueryGroup {
         .orderBy("event_type", "m")
     }),
 
+    // gap-fill by LINEAR INTERPOLATION — the numeric twin of ts_resample's
+    // zero-fill: a missing minute takes the value on the line between the
+    // nearest observed minutes (sensor/metric semantics, where zero-fill
+    // would fabricate drops). Two RUNNING-frame window passes per series
+    // carry the previous/next observation and its position — the "next"
+    // side runs DESCENDING with the same unboundedPreceding..current
+    // frame, because Spark's UnboundedFollowing frames rescan the
+    // partition tail per row (O(n²) per series — measured as a hang on
+    // the 216k-row spine) while running frames are one O(n) pass. No
+    // self-join, no per-gap explode; edges (before first / after last
+    // observation) stay NULL. Determinism: observations are exact cents; the
+    // interpolation is the same single-IEEE-op expression tree in both
+    // engines, so the doubles are bit-identical.
+    "ts_interp" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+        .select(col("event_type"), date_trunc("minute", col("ts")).as("m"),
+          col("value"))
+      val obs = ev.groupBy("event_type", "m")
+        .agg((sum(floor(col("value") * 100).cast("long")).cast("double")
+          / count(lit(1)).cast("double")).as("v"))
+      val bounds = ev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 MINUTE"))).as("m"))
+        .repartition(col("m")) // same single-task-explode fix as ts_resample
+        .crossJoin(ev.select("event_type").distinct())
+      val mu = unix_micros(col("m").cast("timestamp"))
+      val wPrev = Window.partitionBy("event_type").orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("event_type").orderBy(col("m").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(obs, Seq("event_type", "m"), "left")
+        .withColumn("mu", mu)
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pm",
+          last(when(col("v").isNotNull, col("mu")), ignoreNulls = true)
+            .over(wPrev))
+        .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nm",
+          last(when(col("v").isNotNull, col("mu")), ignoreNulls = true)
+            .over(wNext))
+        .select(col("event_type"), col("m"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(
+              (col("nv") - col("pv"))
+                * (col("mu") - col("pm")).cast("double")
+                / (col("nm") - col("pm")).cast("double")
+                + col("pv"))
+            .as("v_cents"),
+          col("v").isNotNull.cast("int").as("is_observed"))
+        .orderBy("event_type", "m")
+    }),
+
     // sessionized conversion funnel: gap-based sessions (islands form, the
     // batch twin of session_window), then per-session view→click→purchase
     // progression — the composed product-analytics shape over the events
@@ -188,6 +241,41 @@ object TimeSeriesQueries extends QueryGroup {
         |FROM spine s LEFT JOIN agg a
         |  ON s.event_type = a.event_type AND s.m = a.m
         |ORDER BY s.event_type, s.m""".stripMargin,
+
+    // identical expression tree to the Spark side — single IEEE ops over
+    // exact integer cents, so the interpolated doubles hash-match
+    "ts_interp" ->
+      """WITH ev AS (SELECT event_type, date_trunc('minute', ts) AS m, value
+        |  FROM events),
+        |obs AS (SELECT event_type, m,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (SELECT t.m, e.event_type
+        |  FROM (SELECT unnest(generate_series((SELECT MIN(m) FROM ev),
+        |          (SELECT MAX(m) FROM ev), INTERVAL 1 MINUTE)) AS m) t
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) e),
+        |j AS (SELECT s.event_type, s.m, o.v, epoch_us(s.m) AS mu
+        |  FROM spine s LEFT JOIN obs o
+        |    ON s.event_type = o.event_type AND s.m = o.m),
+        |w AS (SELECT event_type, m, v, mu,
+        |    LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN mu END IGNORE NULLS)
+        |      OVER wp AS pm,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN mu END IGNORE NULLS)
+        |      OVER wn AS nm
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY event_type ORDER BY m
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, m,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE (nv - pv) * CAST(mu - pm AS DOUBLE)
+        |            / CAST(nm - pm AS DOUBLE) + pv END AS v_cents,
+        |  CAST(v IS NOT NULL AS INT) AS is_observed
+        |FROM w ORDER BY event_type, m""".stripMargin,
 
     "ts_cohort" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
