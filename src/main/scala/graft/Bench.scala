@@ -111,6 +111,11 @@ object Bench {
     // cannot land between (or after) the result lines on stdout
     spark.stop()
     System.err.println(short)
+    // short line FIRST and LAST: the driver keeps a bounded window of
+    // stdout and past rounds clipped either end of the long line — with
+    // the summary on both sides, whichever direction the clipping runs,
+    // one short line survives intact
+    println(short)
     println(full)
     println(short)
   }

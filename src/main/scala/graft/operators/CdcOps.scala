@@ -151,11 +151,21 @@ object CdcOps {
   // over orders) — test INPUT, not operator output: a deployment reads its
   // changelog from Kafka/disk rather than fabricating it, so these entries
   // carry the fixture tag and survive benchmark rep boundaries.
+  //
+  // The persisted fixture is hash-partitioned BY RECORD KEY across the
+  // session's parallelism — the layout a keyed Kafka topic delivers
+  // (12-way keyed partitions, prod-resources.yaml:94-95). Without it the
+  // fixture inherits the single-row-group orders scan's ONE partition and
+  // every downstream graded parse runs single-threaded on a 32-core
+  // session; with it the per-rep envelope decode gets the same
+  // parallelism a real consumer group gets from the broker.
   private def cachedFixture(
       spark: SparkSession, sfDir: String, variant: String)(
       build: => DataFrame): DataFrame =
     graft.BoundedDfCache.getOrPersist(
-      spark, s"${graft.BoundedDfCache.FixturePrefix}cdc:$variant:$sfDir")(build)
+      spark, s"${graft.BoundedDfCache.FixturePrefix}cdc:$variant:$sfDir")(
+      build.repartition(
+        spark.sparkContext.defaultParallelism, col("key")))
 
   // -------------------------------------------------------------------
   // Bronze stage: the PARSED typed changelog, materialized once per
@@ -266,20 +276,33 @@ object CdcOps {
     * the `_SUCCESS` marker is absent, reused across Verify/Bench reps.
     * Returns the archive directory path. */
   def ordersChangelogArchive(spark: SparkSession, sfDir: String): String = {
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-dbz-archive-${Integer.toHexString(sfDir.hashCode)}").toString
-    val root = new org.apache.hadoop.fs.Path(tmp)
+    import org.apache.hadoop.fs.Path
+    // keyed by the SANITIZED full corpus path (hashCode can collide and
+    // silently serve the wrong corpus's archive — round-6 ADVICE)
+    val tmp = graft.TmpPaths.shared("graft-dbz-archive", sfDir)
+    val root = new Path(tmp)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val done = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    val done = new Path(tmp, "_SUCCESS")
     if (!fs.exists(done)) {
-      if (fs.exists(root)) fs.delete(root, true)
+      // atomic publish: build in a unique staging dir, then rename into
+      // place — a concurrent driver either sees the complete previous
+      // archive or the complete new one, never a half-written directory
+      // (the write itself drops the _SUCCESS marker inside staging, so
+      // the rename carries the commit mark with it)
+      val staging = new Path(
+        s"$tmp.stage-${java.util.UUID.randomUUID().toString.take(8)}")
       synthOrdersChangelog(spark, sfDir)
         // one JSON record per line; null `value` (tombstone) serializes as
         // an absent field under the default ignoreNullFields
         .select(to_json(struct(col("topic"), col("key"), col("value"))))
         .repartition(8) // several files so the DSv2 scan plans in parallel
-        .write.mode("overwrite").text(tmp)
+        .write.mode("overwrite").text(staging.toString)
+      if (fs.exists(done)) {
+        fs.delete(staging, true) // lost the race to a complete publish
+      } else {
+        if (fs.exists(root)) fs.delete(root, true) // stale incomplete dir
+        if (!fs.rename(staging, root)) fs.delete(staging, true)
+      }
     }
     tmp
   }

@@ -160,13 +160,13 @@ object CdcQueries extends QueryGroup {
     "cdc_ivm_view" -> ((s, dir) => {
       import graft.streaming.IncrementalView
       val parsed = CdcOps.parsedOrders(s, dir)
-      // fixed per-corpus path, wiped up front: a fresh createTempDirectory
-      // per invocation would leak snapshot parquet on every Verify/Bench
-      // rep; the wipe also keeps applyBatch's stale-batchId guard happy
-      // (each invocation restarts the id sequence from an empty view)
-      val tmp = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft-ivm-view-${Integer.toHexString(dir.hashCode)}").toString
+      // fixed per-(corpus, process) path, wiped up front: a fresh
+      // createTempDirectory per invocation would leak snapshot parquet on
+      // every Verify/Bench rep; the wipe also keeps applyBatch's
+      // stale-batchId guard happy (each invocation restarts the id
+      // sequence from an empty view). Per-process so a concurrent driver
+      // never reads between this one's wipe and rebuild.
+      val tmp = graft.TmpPaths.perProcess("graft-ivm-view", dir)
       val root = new org.apache.hadoop.fs.Path(tmp)
       val fs = root.getFileSystem(s.sessionState.newHadoopConf())
       if (fs.exists(root)) fs.delete(root, true)

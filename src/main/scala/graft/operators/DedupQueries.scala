@@ -37,7 +37,9 @@ object DedupQueries extends QueryGroup {
     * (graft.functions.WordShingles); the pure-SQL lambda form re-ran the
     * tokenizer per shingle and fell out of codegen. */
   private def shingleArray(s: SparkSession, dir: String): DataFrame =
-    Tables.scan(s, dir, "documents")
+    // scanPar: the shingle kernel is the per-row-heavy stage of every
+    // dedup variant — single-split test parquet would run it on one core
+    Tables.scanPar(s, dir, "documents")
       .select(col("doc_id"),
         VectorFunctions.wordShingles(lower(trim(col("text"))), 4)
           .as("sh_feats"))
@@ -61,6 +63,47 @@ object DedupQueries extends QueryGroup {
   private[graft] def sharedPairs(s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"dedup:jpairs:$dir") {
       jaccardPairs(shingles(s, dir), 0.5)
+    }
+
+  /** Shared-span run table for the positional (substring) dedup family:
+    * one row per maximal run of consecutively-matching 4-word shingles
+    * on an alignment diagonal — `(da, db, diag, run, pb0)` with `run`
+    * matched shingles starting at word `pb0` of `db` (covering `run + 3`
+    * words). Materialized once per (session, corpus) and shared by the
+    * detection (`dedup_substring`) and rewrite (`dedup_substring_rewrite`)
+    * steps — the same detect-once/apply-many seam as [[sharedPairs]].
+    * Mechanics per the `dedup_substring` catalog entry: positional
+    * shingles, occurrence-df cap (one shuffle that also co-partitions
+    * the self-join), islands trick on the diagonal. */
+  private[graft] def substringRuns(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"dedup:subruns:$dir") {
+      buildSubstringRuns(s, dir)
+    }
+
+  /** The uncached [[substringRuns]] build — also the plan-assertion
+    * surface (PlanSpec checks the islands window's exchange is reused by
+    * the run aggregate; through the cache seam the build plan hides
+    * inside an InMemoryRelation). */
+  private[graft] def buildSubstringRuns(
+      s: SparkSession, dir: String): DataFrame = {
+      val ps = shingleArray(s, dir)
+        .select(col("doc_id"), posexplode(col("sh_feats")).as(Seq("pos", "s")))
+      val capped = ps
+        .withColumn("_df", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("_df") <= maxShingleDf)
+        .select("doc_id", "pos", "s")
+      val matches = capped.toDF("da", "pa", "s")
+        .join(capped.toDF("db", "pb", "s"), Seq("s"))
+        .filter(col("da") < col("db"))
+        .withColumn("diag", col("pa") - col("pb"))
+      matches
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("da", "db", "diag").orderBy("pa")))
+        // same-prefix grouping keys: the groupBy reuses the window's
+        // (da, db, diag) hash partitioning — no extra exchange
+        .groupBy(col("da"), col("db"), col("diag"),
+          (col("pa") - col("rn")).as("grp"))
+        .agg(count(lit(1)).as("run"), min(col("pb")).as("pb0"))
     }
 
   /** df-cap for the shingle inverted index: shingles appearing in more than
@@ -210,29 +253,45 @@ object DedupQueries extends QueryGroup {
     // Work is O(matched positions), never all-pairs; a hot shingle
     // inside a span splits the run — spans are conservative, never
     // inflated. Reported pairs: longest shared span ≥ 12 words.
-    "dedup_substring" -> ((s, dir) => {
-      val ps = shingleArray(s, dir)
-        .select(col("doc_id"), posexplode(col("sh_feats")).as(Seq("pos", "s")))
-      val capped = ps
-        .withColumn("_df", count(lit(1)).over(Window.partitionBy("s")))
-        .filter(col("_df") <= maxShingleDf)
-        .select("doc_id", "pos", "s")
-      val matches = capped.toDF("da", "pa", "s")
-        .join(capped.toDF("db", "pb", "s"), Seq("s"))
-        .filter(col("da") < col("db"))
-        .withColumn("diag", col("pa") - col("pb"))
-      val runs = matches
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("da", "db", "diag").orderBy("pa")))
-        // same-prefix grouping keys: the groupBy reuses the window's
-        // (da, db, diag) hash partitioning — no extra exchange
-        .groupBy(col("da"), col("db"), col("diag"),
-          (col("pa") - col("rn")).as("grp"))
-        .agg(count(lit(1)).as("run"))
-      runs.groupBy("da", "db")
+    "dedup_substring" -> ((s, dir) =>
+      substringRuns(s, dir)
+        .groupBy("da", "db")
         .agg((max(col("run")) + 3).cast("long").as("span_words"))
         .filter(col("span_words") >= 12)
-        .orderBy("da", "db")
+        .orderBy("da", "db")),
+
+    // op 45a'': the REWRITE step on top of the span detection — what a
+    // curation pipeline actually applies: per document, excise the single
+    // longest duplicated span (≥ 12 words, deterministic tie-break:
+    // earliest start, then lowest counterpart doc) from the normalized
+    // token stream and emit the rewritten text. Rewrites the LATER doc of
+    // each pair (db of da < db) — the canonical "first occurrence
+    // survives intact" policy. Map-side after the shared run table: one
+    // window for the per-doc winner, one broadcast-size join back to the
+    // token arrays, and the excision itself is a codegen'd
+    // filter-by-index lambda — no per-row UDF, no shuffle of document
+    // text beyond the final ORDER BY.
+    "dedup_substring_rewrite" -> ((s, dir) => {
+      val wBest = Window.partitionBy("db")
+        .orderBy(col("run").desc, col("pb0"), col("da"), col("diag"))
+      val best = substringRuns(s, dir)
+        .filter(col("run") + 3 >= 12)
+        .withColumn("_rn", row_number().over(wBest))
+        .filter(col("_rn") === 1)
+        .select(col("db").as("doc_id"),
+          col("pb0").cast("long").as("span_start"),
+          (col("run") + 3).cast("long").as("span_words"))
+      val docs = Tables.scanPar(s, dir, "documents")
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("w"))
+      best.join(docs, "doc_id")
+        .select(col("doc_id"), col("span_start"), col("span_words"),
+          array_join(
+            filter(col("w"), (_, i) =>
+              i < col("span_start")
+                || i >= col("span_start") + col("span_words")), " ")
+            .as("new_text"))
+        .orderBy("doc_id")
     }),
 
     // op 45b: MinHash+LSH near-dup — candidates from the band-bucket join
@@ -511,6 +570,41 @@ object DedupQueries extends QueryGroup {
         |FROM r2 GROUP BY da, db
         |HAVING MAX(run) + 3 >= 12
         |ORDER BY da, db""".stripMargin,
+
+    "dedup_substring_rewrite" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |ish AS (SELECT doc_id, unnest(range(1, len(w) - 2)) AS i, w
+        |  FROM toks WHERE len(w) >= 4),
+        |psh AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(w[i:i+3], ' ') AS s
+        |  FROM ish),
+        |capped AS (SELECT doc_id, pos, s FROM (
+        |    SELECT doc_id, pos, s, COUNT(*) OVER (PARTITION BY s) AS df
+        |    FROM psh) t
+        |  WHERE df <= 50),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        |  FROM capped a JOIN capped b
+        |    ON a.s = b.s AND a.doc_id < b.doc_id),
+        |runs AS (SELECT da, db, pa - pb AS diag, pa, pb,
+        |    ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS rn
+        |  FROM m),
+        |r2 AS (SELECT da, db, diag, COUNT(*) AS run, MIN(pb) AS pb0
+        |  FROM runs GROUP BY da, db, diag, pa - rn),
+        |best AS (SELECT db AS doc_id, CAST(pb0 AS BIGINT) AS span_start,
+        |    CAST(run + 3 AS BIGINT) AS span_words
+        |  FROM (SELECT r2.*, ROW_NUMBER() OVER (PARTITION BY db
+        |          ORDER BY run DESC, pb0, da, diag) AS brn
+        |        FROM r2 WHERE run + 3 >= 12) t
+        |  WHERE brn = 1)
+        |SELECT b.doc_id, b.span_start, b.span_words,
+        |  COALESCE(array_to_string(
+        |    w[1:CAST(b.span_start AS INT)]
+        |      || w[CAST(b.span_start + b.span_words + 1 AS INT):len(w)], ' '),
+        |    '') AS new_text
+        |FROM best b JOIN toks t ON t.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "dedup_clusters" ->
       """WITH RECURSIVE

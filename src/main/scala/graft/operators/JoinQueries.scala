@@ -177,6 +177,59 @@ object JoinQueries extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // op 5's null-safe variant (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other instead of dropping — the join a CDC pipeline needs
+    // when a nullable foreign key is itself meaningful ("no nation on
+    // file" rows must still pair with the "no nation" dim row). The
+    // fixture nulls nation key 3 on BOTH sides, so a plain equi-join
+    // would silently lose that whole group and the oracle's
+    // IS NOT DISTINCT FROM catches it. Planning: `<=>` is still an
+    // equi-join condition for Catalyst (EqualNullSafe is a join key),
+    // so this broadcasts/shuffles exactly like `===` — no BNLJ blowup.
+    "join_nullsafe" -> ((s, dir) => {
+      val c = Tables.scan(s, dir, "customer")
+        .select(expr("nullif(c_nationkey, 3)").as("ck"), col("c_custkey"))
+      val n = Tables.scan(s, dir, "nation")
+        .select(expr("nullif(n_nationkey, 3)").as("nk"), col("n_name"))
+      c.join(broadcast(n), col("ck") <=> col("nk"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_custkey")).as("key_sum"))
+        .orderBy("n_name")
+    }),
+
+    // op 14's graded batch twin: temporal (as-of) enrichment — each event
+    // picks up the dimension VERSION in effect at its event time from a
+    // CDC-derived history, not merely the current row. The history is the
+    // unwrapped `orders` changelog (inserts + updates, one winner per
+    // (customer, version-time) by source LSN — the update version
+    // supersedes the insert it rewrote), keyed on o_custkey with the
+    // envelope ts_ms as the version axis; the SAME [[graft.plans.AsOfJoin]]
+    // exec that [[graft.streaming.StreamJoins.temporalEnrich]] runs per
+    // micro-batch. Oracled by DuckDB ASOF JOIN over the identically
+    // derived history.
+    "join_temporal" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wv = Window.partitionBy("o_custkey", "ver_us")
+        .orderBy(col("_lsn").desc)
+      val hist = CdcOps.ordersUnwrapped(s, dir)
+        .filter(col("_op").isin("c", "u"))
+        .select(col("o_custkey"), (col("_ts_ms") * 1000).as("ver_us"),
+          col("o_orderkey"), col("o_orderstatus"), col("_lsn"))
+        .withColumn("_rn", row_number().over(wv))
+        .filter(col("_rn") === 1)
+        .select("o_custkey", "ver_us", "o_orderkey", "o_orderstatus")
+      val e = Tables.scan(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      graft.plans.AsOfJoin.asof(e, hist,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts_us", rightTime = "ver_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("o_orderkey"), col("o_orderstatus"))
+        .orderBy("event_id")
+    }),
+
     // explicitly salted fact⋈dim join ([[Skew.saltedJoin]]): the hot-key
     // escape hatch for plans AQE's skew split cannot reach (streaming
     // foreachBatch joins, shuffled-hash joins, AQE-off deployments) when
@@ -340,6 +393,43 @@ object JoinQueries extends QueryGroup {
         |  CASE WHEN ts_us - ord_us <= 725760000000000 THEN o_orderkey
         |       ELSE NULL END AS o_orderkey
         |FROM a ORDER BY event_id""".stripMargin,
+
+    "join_nullsafe" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM (SELECT nullif(c_nationkey, 3) AS ck, c_custkey FROM customer) c
+        |JOIN (SELECT nullif(n_nationkey, 3) AS nk, n_name FROM nation) n
+        |  ON c.ck IS NOT DISTINCT FROM n.nk
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    // history re-derived from the changelog synthesis rules (insert
+    // lsn=k*10; update lsn=k*10+5 with status 'X' when k%10=0 — the k%20
+    // replay is an identical row, so the per-(customer, version-time)
+    // max-LSN winner is unchanged by it)
+    "join_temporal" ->
+      """WITH ev AS (
+        |  SELECT o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ver_us,
+        |         o_orderkey, o_orderstatus, o_orderkey * 10 AS lsn
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_custkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)),
+        |         o_orderkey, 'X', o_orderkey * 10 + 5
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |h AS (
+        |  SELECT o_custkey, ver_us, o_orderkey, o_orderstatus
+        |  FROM (SELECT ev.*, ROW_NUMBER() OVER (
+        |          PARTITION BY o_custkey, ver_us ORDER BY lsn DESC) AS rn
+        |        FROM ev) t
+        |  WHERE rn = 1)
+        |SELECT e.event_id, e.user_id,
+        |  epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+        |  h.o_orderkey, h.o_orderstatus
+        |FROM events e
+        |ASOF LEFT JOIN h
+        |  ON e.user_id = h.o_custkey
+        |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= h.ver_us
+        |ORDER BY e.event_id""".stripMargin,
 
     // the plain join — salting must not change the result
     "join_skew_salted" ->

@@ -31,7 +31,8 @@ object PipelineQueries extends QueryGroup {
 
   private def gated(s: SparkSession, dir: String): DataFrame = {
     val toks = split(lower(trim(col("text"))), "\\s+")
-    Tables.scan(s, dir, "documents")
+    // scanPar: the gate regexes + downstream shingling are per-row heavy
+    Tables.scanPar(s, dir, "documents")
       .withColumn("n_tokens", size(toks))
       .withColumn("n_stop", regexp_count(lower(col("text")),
         lit("\\b(the|a|of|and|to|in|is|it)\\b")))

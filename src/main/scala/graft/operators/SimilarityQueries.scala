@@ -34,9 +34,12 @@ object SimilarityQueries extends QueryGroup {
 
   private def norm(a: Column): Column = VectorFunctions.floatNorm(a)
 
-  /** Embeddings with precomputed L2 norm. */
+  /** Embeddings with precomputed L2 norm. scanPar: every consumer runs
+    * per-row vector kernels (norms, dot products, bucket hashes, Lloyd
+    * assignment) — the heavy stage must not inherit the test parquet's
+    * single split. */
   private def embs(s: SparkSession, dir: String): DataFrame =
-    Tables.scan(s, dir, "embeddings")
+    Tables.scanPar(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").as("v"),
         norm(col("embedding")).as("nrm"))
 
@@ -110,9 +113,9 @@ object SimilarityQueries extends QueryGroup {
     // sim_ann_ivf; IvfIndexSpec proves the saved-index probe
     // row-identical to the in-memory form and asserts the pruning.
     "sim_ann_ivf_saved" -> ((s, dir) => {
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"),
-        s"graft-ivf-index-${Integer.toHexString(dir.hashCode)}").toString
+      // per-(corpus, process) path — wiped and rebuilt per invocation, so
+      // it must not be shared with a concurrent driver (round-6 ADVICE)
+      val path = graft.TmpPaths.perProcess("graft-ivf-index", dir)
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(s.sessionState.newHadoopConf())
       if (fs.exists(root)) fs.delete(root, true)
@@ -297,6 +300,10 @@ object SimilarityQueries extends QueryGroup {
       val cents = lloydCentroids(e, kCentroids, lloydIters)
       cents.write.mode("overwrite").parquet(s"$path/centroids")
       assignNearest(e, cents)
+        // cluster by list before the partitioned write: one writer owns
+        // each inverted list, so a list is ONE sequential file instead of
+        // (input partitions × lists) fragments — the layout a probe wants
+        .repartition(kCentroids, col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$path/lists")
     } finally e.unpersist()
   }

@@ -62,7 +62,9 @@ object TextQueries extends QueryGroup {
     * table a corpus pipeline writes once as a real artifact. */
   private def tfTable(s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"text:tf:$dir") {
-      Tables.scan(s, dir, "documents")
+      // scanPar: tokenize+explode is the heavy stage — parallelize it
+      // instead of running one task over the single-split test parquet
+      Tables.scanPar(s, dir, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf"))

@@ -67,8 +67,21 @@ class DebeziumJsonSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // the table schema is FIXED — honor a user-supplied schema only when
+    // it is the real schema or a column subset of it; silently reading
+    // with different names/types than the user asked for breeds
+    // downstream type confusion (round-6 ADVICE)
+    val fixed = DebeziumJsonTable.schema
+    val bad = schema.fields.filter(f =>
+      !fixed.fields.exists(g =>
+        g.name.equalsIgnoreCase(f.name) && g.dataType == f.dataType))
+    require(bad.isEmpty,
+      s"debezium-json has a fixed schema $fixed; user-specified fields " +
+        s"${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")} " +
+        "do not match it (drop .schema(...) or pass a column subset)")
     new DebeziumJsonTable(properties.asScala.toMap)
+  }
 }
 
 object DebeziumJsonTable {
@@ -112,12 +125,15 @@ class DebeziumJsonTable(properties: Map[String, String])
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
     val maxFiles = Option(options.get("maxFilesPerTrigger"))
       .map(_.toInt).getOrElse(-1)
-    new DebeziumScanBuilder(path, maxSplit, maxFiles)
+    val slack = Option(options.get("offsetSlackMs"))
+      .map(_.toLong).getOrElse(10L * 60 * 1000)
+    new DebeziumScanBuilder(path, maxSplit, maxFiles, slack)
   }
 }
 
 class DebeziumScanBuilder(
-    path: String, maxSplitBytes: Long, maxFilesPerTrigger: Int = -1)
+    path: String, maxSplitBytes: Long, maxFilesPerTrigger: Int = -1,
+    offsetSlackMs: Long = 10L * 60 * 1000)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -150,7 +166,7 @@ class DebeziumScanBuilder(
 
   override def build(): Scan =
     new DebeziumScan(path, required, pushed, limit, maxSplitBytes,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, offsetSlackMs)
 }
 
 class DebeziumScan(
@@ -159,7 +175,8 @@ class DebeziumScan(
     pushed: Array[Filter],
     limit: Int,
     maxSplitBytes: Long,
-    maxFilesPerTrigger: Int = -1)
+    maxFilesPerTrigger: Int = -1,
+    offsetSlackMs: Long = 10L * 60 * 1000)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -176,15 +193,17 @@ class DebeziumScan(
   private def hadoopConf: Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
-  private[sources] def currentFiles(): Seq[(String, Long)] = listFiles()
+  /** (path, length, modTimeMs) for every data file under the root. */
+  private[sources] def currentFiles(): Seq[(String, Long, Long)] = listFiles()
   private[sources] def readerFactory(): PartitionReaderFactory =
     createReaderFactory()
+  private[sources] def slackMs: Long = offsetSlackMs
 
-  private def listFiles(): Seq[(String, Long)] = {
+  private def listFiles(): Seq[(String, Long, Long)] = {
     val conf = hadoopConf
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    def expand(p: Path): Seq[(String, Long)] = {
+    def expand(p: Path): Seq[(String, Long, Long)] = {
       val st = fs.getFileStatus(p)
       if (st.isDirectory)
         fs.listStatus(p).toSeq
@@ -193,14 +212,14 @@ class DebeziumScan(
             n.startsWith("_") || n.startsWith(".")
           })
           .flatMap(s => expand(s.getPath))
-      else Seq((st.getPath.toString, st.getLen))
+      else Seq((st.getPath.toString, st.getLen, st.getModificationTime))
     }
     expand(root)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val codecs = new CompressionCodecFactory(hadoopConf)
-    listFiles().flatMap { case (file, len) =>
+    listFiles().flatMap { case (file, len, _) =>
       val splittable = codecs.getCodec(new Path(file)) == null
       if (!splittable || len <= maxSplitBytes) {
         Seq(DebeziumInputPartition(file, 0, len))
@@ -221,7 +240,7 @@ class DebeziumScan(
   }
 
   override def estimateStatistics(): Statistics = {
-    val totalBytes = listFiles().map(_._2).sum
+    val totalBytes = listFiles().map(_._2).sum.toLong
     // prorate by projected share of the row width so a pruned scan
     // advertises a proportionally smaller size to the join planner
     val frac = math.max(1, required.size).toDouble /
@@ -244,19 +263,45 @@ class DebeziumScan(
     new DebeziumMicroBatchStream(this, maxFilesPerTrigger)
 }
 
-/** File-set offsets: an offset IS the sorted list of archive files seen
-  * at that point; a batch = the set difference. Simple and exact for the
-  * append-only archive contract (immutable files, unbounded names). A
-  * production source compacts this log the way FileStreamSource does —
-  * offset JSON here grows with the file count, which is fine for archive
-  * directories of up to ~10^5 files and stated as the limit. */
-case class DebeziumFilesOffset(files: Seq[String])
+/** COMPACTED file offset — bounded size however large the archive grows,
+  * the same idea as Kafka Connect's compacted `connect-offsets` topic
+  * (reference: prod-resources.yaml:14-15) and FileStreamSource's offset
+  * log compaction.
+  *
+  * An offset is `(cutoffMs, recent)`:
+  *   - every file with modTime ≤ `cutoffMs` is IMPLIED seen;
+  *   - `recent` lists the explicitly-seen files newer than the cutoff,
+  *     each with the modTime recorded when it was admitted.
+  * `recent` holds only the files inside the slack window behind the
+  * newest seen file (plus any admitted backlog not yet below the
+  * cutoff), so the serialized JSON is bounded by arrival-rate × slack —
+  * NOT by archive size. The previous file-set form grew with the file
+  * count and capped practical archives at ~1e5 files.
+  *
+  * Contract (same as the built-in file source's cleanup/retention): new
+  * archive files arrive with fresh modTimes. A file surfacing with a
+  * modTime older than `cutoffMs` (an object-store copy that preserves
+  * mtimes after the window passed) is treated as already seen; size the
+  * slack to cover producer clock skew + copy latency.
+  *
+  * A legacy file-set offset (plain JSON array, from a pre-compaction
+  * checkpoint) deserializes as `cutoff = Long.MinValue` with every file
+  * explicit — exact, and compacted away on the next batch. */
+case class DebeziumCompactedOffset(
+    cutoffMs: Long, recent: Seq[(String, Long)])
     extends streaming.Offset {
+  def isSeen(file: String, modTime: Long): Boolean =
+    modTime <= cutoffMs || recentNames(file)
+  @transient lazy val recentNames: Set[String] = recent.map(_._1).toSet
   override def json(): String = {
-    val arr = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
-      .arrayNode()
-    files.sorted.foreach(arr.add)
-    arr.toString
+    val nf = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+    val o = nf.objectNode()
+    o.put("cutoffMs", cutoffMs)
+    val arr = o.putArray("recent")
+    recent.sortBy(r => (r._2, r._1)).foreach { case (f, mt) =>
+      val e = arr.addArray(); e.add(f); e.add(mt)
+    }
+    o.toString
   }
 }
 
@@ -265,7 +310,8 @@ class DebeziumMicroBatchStream(scan: DebeziumScan, maxFilesPerTrigger: Int)
     with streaming.SupportsAdmissionControl {
   import streaming.{Offset, ReadLimit}
 
-  override def initialOffset(): Offset = DebeziumFilesOffset(Nil)
+  override def initialOffset(): Offset =
+    DebeziumCompactedOffset(Long.MinValue, Nil)
 
   /** Backpressure knob: `maxFilesPerTrigger` caps how many new archive
     * files one micro-batch admits, so a backlog (or a bulk re-archive)
@@ -276,14 +322,46 @@ class DebeziumMicroBatchStream(scan: DebeziumScan, maxFilesPerTrigger: Int)
     else ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[DebeziumFilesOffset].files.toSet
-    val all = scan.currentFiles().map(_._1).sorted
-    limit match {
-      case m: streaming.ReadMaxFiles =>
-        val admitted = all.filterNot(seen).take(m.maxFiles())
-        DebeziumFilesOffset((seen ++ admitted).toSeq.sorted)
-      case _ => DebeziumFilesOffset(all)
+    val s = start.asInstanceOf[DebeziumCompactedOffset]
+    val all = scan.currentFiles()
+    // oldest-first admission so a capped drain processes the backlog in
+    // arrival order and the cutoff can advance behind it
+    val unseen = all.filterNot { case (f, _, mt) => s.isSeen(f, mt) }
+      .sortBy { case (f, _, mt) => (mt, f) }
+    val admitted = limit match {
+      case m: streaming.ReadMaxFiles => unseen.take(m.maxFiles())
+      case _ => unseen
     }
+    val leftover = unseen.drop(admitted.size)
+    val admittedEntries = admitted.map { case (f, _, mt) => (f, mt) }
+    // the watermark driver is the newest REAL modTime among seen files in
+    // the listing — recorded mtimes are not used here, so a legacy
+    // offset's unknown-mtime sentinels can never advance the cutoff and
+    // imply-drop genuinely new files
+    val seenNames = s.recentNames ++ admittedEntries.map(_._1)
+    val maxSeenListed = all
+      .collect { case (f, _, mt) if mt <= s.cutoffMs || seenNames(f) => mt }
+    // the cutoff may advance to (newest seen − slack), but never past a
+    // still-unprocessed file — an implied-seen unprocessed file would be
+    // silent data loss — and never regress
+    val newCutoff = math.max(s.cutoffMs,
+      (if (maxSeenListed.isEmpty) Long.MinValue
+       else maxSeenListed.max - scan.slackMs) min
+        leftover.headOption.map(_._3 - 1).getOrElse(Long.MaxValue))
+    // prior entries refresh their mtime from the listing when present
+    // (lets legacy unknown-mtime entries adopt real times and compact);
+    // vanished files keep the recorded mtime — immutable names make that
+    // exact without a listing. Entries at or below the cutoff are now
+    // implied-seen and compact away; this batch's admissions ALWAYS stay
+    // explicit (planInputPartitions reconstructs the batch from them,
+    // even when a catch-up batch admits files already older than the
+    // advancing cutoff).
+    val listedMt = all.map { case (f, _, mt) => (f, mt) }.toMap
+    val keepPrev = s.recent
+      .map { case (f, mt) => (f, listedMt.getOrElse(f, mt)) }
+      .filter(_._2 > newCutoff)
+    DebeziumCompactedOffset(newCutoff,
+      (keepPrev ++ admittedEntries).distinct)
   }
 
   override def latestOffset(): Offset =
@@ -292,20 +370,45 @@ class DebeziumMicroBatchStream(scan: DebeziumScan, maxFilesPerTrigger: Int)
 
   override def deserializeOffset(json: String): Offset = {
     val node = new ObjectMapper().readTree(json)
-    val files = (0 until node.size()).map(node.get(_).asText())
-    DebeziumFilesOffset(files)
+    if (node.isArray) {
+      // legacy file-set offset (pre-compaction checkpoint): every file
+      // explicit, nothing implied; modTime unknown → MaxValue keeps the
+      // entries explicit until the corresponding files age below a real
+      // cutoff computed from a fresh listing
+      DebeziumCompactedOffset(Long.MinValue,
+        (0 until node.size()).map(i => (node.get(i).asText(), Long.MaxValue)))
+    } else {
+      val rec = node.get("recent")
+      DebeziumCompactedOffset(
+        node.get("cutoffMs").asLong(),
+        (0 until rec.size()).map { i =>
+          val e = rec.get(i); (e.get(0).asText(), e.get(1).asLong())
+        })
+    }
   }
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[DebeziumFilesOffset].files.toSet
-    val fresh = end.asInstanceOf[DebeziumFilesOffset].files
-      .filterNot(seen)
-    val sizes = scan.currentFiles().toMap
-    // one partition per new file (archive files are roll-sized by the
-    // producer; batch mode owns the large-file split path)
-    fresh.flatMap(f => sizes.get(f).map(len =>
-      DebeziumInputPartition(f, 0, len))).toArray
+    val s = start.asInstanceOf[DebeziumCompactedOffset]
+    val e = end.asInstanceOf[DebeziumCompactedOffset]
+    // the batch = files the END offset tracks explicitly that START had
+    // not seen — reconstructible from the two offsets alone (recovery
+    // replans a committed batch without trusting a fresh listing)
+    val fresh = e.recent.filter { case (f, mt) => !s.isSeen(f, mt) }
+    val sizes = scan.currentFiles()
+      .map { case (f, len, _) => (f, len) }.toMap
+    fresh.map { case (f, _) =>
+      // a file named in the committed offset but absent from the listing
+      // is DATA LOSS (mutated archive / inconsistent object-store
+      // listing) — fail loudly instead of silently skipping it
+      // (round-6 ADVICE)
+      val len = sizes.getOrElse(f, throw new IllegalStateException(
+        s"debezium-json stream: file $f is part of the committed offset " +
+          "range but no longer listed under the archive root — the " +
+          "archive was mutated or the listing is inconsistent; refusing " +
+          "to silently drop its records"))
+      DebeziumInputPartition(f, 0, len)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -478,7 +581,11 @@ object DebeziumFilterEval {
     case GreaterThanOrEqual(a, v) => nn(row(a), v)(cmp(_, _) >= 0)
     case LessThan(a, v) => nn(row(a), v)(cmp(_, _) < 0)
     case LessThanOrEqual(a, v) => nn(row(a), v)(cmp(_, _) <= 0)
-    case In(a, vs) => row(a) != null && vs.exists(v => cmp(row(a), v) == 0)
+    // null elements in the IN list can never match under ternary logic —
+    // skip them instead of feeding null into cmp (which would NPE on the
+    // toString fallback and crash the scan task)
+    case In(a, vs) =>
+      row(a) != null && vs.exists(v => v != null && cmp(row(a), v) == 0)
     case IsNull(a) => row(a) == null
     case IsNotNull(a) => row(a) != null
     case StringStartsWith(a, p) =>

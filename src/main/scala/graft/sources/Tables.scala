@@ -32,6 +32,23 @@ object Tables {
           timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
     } else spark.read.parquet(s"$sfDir/$table.parquet")
 
+  /** [[scan]] repartitioned to the session's parallelism — for per-row
+    * compute-HEAVY consumers (shingling/hash kernels, JSON synthesis,
+    * token explosion). The harness tables are single-row-group parquet
+    * files, so a plain scan is ONE task no matter the cluster size; a
+    * deployed table at any real scale arrives as thousands of splits
+    * already matched to the executors. The explicit repartition restores
+    * that layout: its round trip over these small inputs costs
+    * milliseconds, while serializing a heavy kernel on one core costs
+    * seconds — and at 100 TB the repartition disappears entirely (the
+    * scan is already parallel). NOT for plain scans/filters/aggregates:
+    * those are scan-bound, and the extra exchange would only hide
+    * pushdown/pruning from the plan. */
+  def scanPar(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val df = scan(spark, sfDir, table)
+    df.repartition(spark.sparkContext.defaultParallelism)
+  }
+
   /** Mapping from the reference's captured tables to testdata twins
     * (FIXTURES.md §1). */
   val captureMapping: Map[String, String] = Map(

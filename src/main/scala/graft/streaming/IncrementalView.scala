@@ -83,7 +83,14 @@ object IncrementalView {
   /** Apply one micro-batch: previous committed snapshot ⊎ batch delta →
     * snapshot `batch=<batchId>`. Replay-safe (see class doc); prunes all
     * but the latest two committed versions. */
-  def applyBatch(parsed: DataFrame, batchId: Long, path: String): Unit = {
+  /** @param writePartitions snapshot writer count. An aggregate view is
+    *   group-cardinality (small by construction), so ONE sequential file
+    *   per version is the right layout — 32 shuffle partitions would
+    *   write 32 near-empty files per batch and the reader would pay the
+    *   listing every merge. A caller maintaining an unusually wide view
+    *   raises it. */
+  def applyBatch(parsed: DataFrame, batchId: Long, path: String,
+      writePartitions: Int = 1): Unit = {
     val spark = parsed.sparkSession
     val snaps = committed(spark, path)
     // a batchId BELOW the highest committed snapshot means the stream
@@ -121,6 +128,7 @@ object IncrementalView {
     // different prices), and dropping it would silently lose the cents
     // from every later merge (the IVM property test caught exactly this)
     merged.filter(col("n_orders") =!= 0L || col("revenue_cents") =!= 0L)
+      .coalesce(writePartitions)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/batch=$batchId")
     // keep = 2 covers the replay window: Structured Streaming re-delivers
     // at most the last in-flight batch after a restart, which merges from

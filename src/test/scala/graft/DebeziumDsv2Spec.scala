@@ -197,6 +197,77 @@ class DebeziumDsv2Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: compacted offset stays bounded as the archive grows") {
+    val dir = Files.createTempDirectory("graft-dbz-offsets")
+    def rec(k: Long): String =
+      s"""{"topic":"t.s.orders","key":"{\\"o_orderkey\\":$k}","value":"{\\"op\\":\\"c\\",\\"ts_ms\\":$k,\\"source\\":{\\"lsn\\":$k,\\"table\\":\\"orders\\"},\\"after\\":{\\"o_orderkey\\":$k}}"}"""
+    // drive the MicroBatchStream directly: batch-by-batch offset evolution
+    // with controlled modTimes (slack = 1 s, files 10 s apart, so each
+    // batch's files age out of the recent window by the next batch)
+    val scan = new graft.sources.DebeziumScanBuilder(
+      dir.toString, 128L * 1024 * 1024, -1, 1000L)
+      .build().asInstanceOf[graft.sources.DebeziumScan]
+    val stream = scan.toMicroBatchStream("unused")
+      .asInstanceOf[graft.sources.DebeziumMicroBatchStream]
+    var off = stream.initialOffset()
+    val jsonSizes = scala.collection.mutable.ArrayBuffer[Int]()
+    val planned = scala.collection.mutable.ArrayBuffer[String]()
+    var t = 1000000000L
+    val nBatches = 40
+    for (b <- 1 to nBatches) {
+      (1 to 2).foreach { j =>
+        val p = Paths.get(dir.toString, f"part-$b%03d-$j.json")
+        Files.write(p, rec(b * 10L + j).getBytes(StandardCharsets.UTF_8))
+        assert(p.toFile.setLastModified(t)); t += 10000L
+      }
+      val end = stream.latestOffset(off, stream.getDefaultReadLimit)
+      stream.planInputPartitions(off, end).foreach {
+        case graft.sources.DebeziumInputPartition(f, _, _) => planned += f
+      }
+      jsonSizes += end.json().length
+      off = end
+    }
+    // every file ingested exactly once, none lost, none repeated
+    assert(planned.size === nBatches * 2)
+    assert(planned.distinct.size === planned.size)
+    // BOUNDED: the offset JSON must not grow with archive size — late
+    // offsets are no bigger than early ones (the old file-set offset grew
+    // by ~80 file names here)
+    assert(jsonSizes.takeRight(5).max <= jsonSizes.take(5).max,
+      s"offset JSON grew with the archive: $jsonSizes")
+    // round-trip: a deserialized offset plans an empty next batch when
+    // nothing new arrived
+    val rt = stream.deserializeOffset(off.json())
+    val next = stream.latestOffset(rt, stream.getDefaultReadLimit)
+    assert(stream.planInputPartitions(rt, next).isEmpty)
+    // legacy file-set offsets (pre-compaction checkpoints) still decode,
+    // and their files count as seen
+    val legacy = stream.deserializeOffset(
+      s"""["${dir.toString}/part-001-1.json"]""")
+    assert(legacy.asInstanceOf[graft.sources.DebeziumCompactedOffset]
+      .isSeen(s"${dir.toString}/part-001-1.json", 123L))
+  }
+
+  test("streaming: a committed file vanishing from the archive fails loudly") {
+    val dir = Files.createTempDirectory("graft-dbz-vanish")
+    val p = Paths.get(dir.toString, "part-001.json")
+    Files.write(p,
+      """{"topic":"t","key":"k","value":null}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val scan = new graft.sources.DebeziumScanBuilder(
+      dir.toString, 128L * 1024 * 1024, -1, 1000L)
+      .build().asInstanceOf[graft.sources.DebeziumScan]
+    val stream = scan.toMicroBatchStream("unused")
+      .asInstanceOf[graft.sources.DebeziumMicroBatchStream]
+    val start = stream.initialOffset()
+    val end = stream.latestOffset(start, stream.getDefaultReadLimit)
+    Files.delete(p) // archive mutated between offset commit and planning
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(start, end)
+    }
+    assert(e.getMessage.contains("no longer listed"))
+  }
+
   test("differential: archive-replay compaction equals in-memory compaction") {
     val viaArchive = SparkEntry.queries("cdc_dsv2_compact")(spark, sfDir)
     val inMemory = SparkEntry.queries("cdc_compact")(spark, sfDir)

@@ -219,8 +219,16 @@ class PlanSpec extends SparkSpec {
     // the run-length groupBy keys (da, db, diag, grp) are a SUPERSET of
     // the islands window's partition keys (da, db, diag), so Catalyst
     // must NOT insert another corpus-scale exchange between them — no
-    // hash exchange in the plan partitions on the derived `grp` column
-    val (_, plan) = staticPlan("dedup_substring")
+    // hash exchange in the plan partitions on the derived `grp` column.
+    // Asserted on the UNCACHED run-table build: the graded queries read
+    // it through the materialize-once seam (substringRuns), where the
+    // build plan hides inside an InMemoryRelation
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.operators.DedupQueries.buildSubstringRuns(spark, sfDir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     val hashParts = plan.collect {
       case e: ShuffleExchangeExec => e.outputPartitioning
     }.collect { case h: HashPartitioning => h.expressions.mkString(",") }
