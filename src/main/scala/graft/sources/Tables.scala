@@ -46,7 +46,11 @@ object Tables {
     * pushdown/pruning from the plan. */
   def scanPar(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = scan(spark, sfDir, table)
-    df.repartition(spark.sparkContext.defaultParallelism)
+    val target = spark.sparkContext.defaultParallelism
+    // no-op when the scan already splits to the cluster's parallelism —
+    // a deployed table arrives as thousands of splits and must NOT pay a
+    // full shuffle here; only the single-split small-file case widens
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 
   /** Mapping from the reference's captured tables to testdata twins

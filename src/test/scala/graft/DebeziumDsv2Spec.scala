@@ -197,6 +197,16 @@ class DebeziumDsv2Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reader filter evaluator: In with null elements never crashes, " +
+      "null elements never match") {
+    import org.apache.spark.sql.sources.In
+    val ev = graft.sources.DebeziumFilterEval
+    assert(ev.supports(In("op", Array("u", null))))
+    assert(ev.eval(In("op", Array("u", null)), Map("op" -> "u")))
+    assert(!ev.eval(In("op", Array[Any](null)), Map("op" -> "u")))
+    assert(!ev.eval(In("op", Array("u", null)), Map("op" -> null)))
+  }
+
   test("streaming: compacted offset stays bounded as the archive grows") {
     val dir = Files.createTempDirectory("graft-dbz-offsets")
     def rec(k: Long): String =

@@ -13,6 +13,33 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("substring rewrite excises exactly the reported span, and exactly " +
+      "the detected docs are rewritten") {
+    import org.apache.spark.sql.functions._
+    val rw = DedupQueries.queries("dedup_substring_rewrite")(spark, sfDir)
+    val docs = graft.sources.Tables.scan(spark, sfDir, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+    val joined = rw.join(docs, "doc_id")
+      .select(col("doc_id"), col("span_words"),
+        size(col("w")).as("n_orig"),
+        // split("") yields [""] (size 1), so count the empty rewrite as 0
+        when(col("new_text") === "", lit(0))
+          .otherwise(size(split(col("new_text"), " "))).as("n_new"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nOrig, nNew) = (r.getAs[Int]("n_orig"), r.getAs[Int]("n_new"))
+      val span = r.getAs[Long]("span_words")
+      assert(nNew == nOrig - span,
+        s"doc ${r.get(0)}: $nOrig words - span $span != rewritten $nNew")
+    }
+    // the rewrite targets the LATER doc of each detected pair — the
+    // rewritten doc set must be exactly the detection's db set
+    val detected = DedupQueries.queries("dedup_substring")(spark, sfDir)
+      .select("db").distinct().collect().map(_.getLong(0)).toSet
+    assert(joined.map(_.getAs[Long]("doc_id")).toSet == detected)
+  }
+
   test("minhash-LSH near-dup pairs ⊆ exact n-gram-Jaccard pairs") {
     val exact = pairs("dedup_ngram_jaccard")
     val lsh = pairs("dedup_minhash_lsh")
