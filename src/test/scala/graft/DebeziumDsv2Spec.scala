@@ -258,6 +258,57 @@ class DebeziumDsv2Spec extends SparkSpec {
       .isSeen(s"${dir.toString}/part-001-1.json", 123L))
   }
 
+  test("streaming: compacted offset property — random arrivals, caps, and " +
+      "restarts lose nothing and duplicate nothing") {
+    // seeded randomized drive of the offset machinery: bursts of 0-3 new
+    // files with jittered modTimes (±1.5 s on a 5 s slack — inside the
+    // contract), random admission caps, and random checkpoint round-trips
+    // (deserialize(json) standing in for a restart). Invariant: when the
+    // backlog drains, every written file was planned exactly once.
+    val rnd = new scala.util.Random(42)
+    val dir = Files.createTempDirectory("graft-dbz-prop")
+    val scan = new graft.sources.DebeziumScanBuilder(
+      dir.toString, 128L * 1024 * 1024, -1, 5000L)
+      .build().asInstanceOf[graft.sources.DebeziumScan]
+    val stream = scan.toMicroBatchStream("unused")
+      .asInstanceOf[graft.sources.DebeziumMicroBatchStream]
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    var off = stream.initialOffset()
+    val written = scala.collection.mutable.Set[String]()
+    val planned = scala.collection.mutable.ArrayBuffer[String]()
+    def step(limit: ReadLimit): Int = {
+      val end = stream.latestOffset(off, limit)
+      val parts = stream.planInputPartitions(off, end)
+      parts.foreach {
+        case graft.sources.DebeziumInputPartition(f, _, _) => planned += f
+      }
+      off = if (rnd.nextBoolean()) stream.deserializeOffset(end.json()) else end
+      parts.length
+    }
+    var t = 1000000000L
+    for (b <- 1 to 50) {
+      (1 to rnd.nextInt(4)).foreach { j =>
+        val p = Paths.get(dir.toString, f"f-$b%03d-$j.json")
+        Files.write(p,
+          """{"topic":"t","key":"k","value":null}"""
+            .getBytes(StandardCharsets.UTF_8))
+        assert(p.toFile.setLastModified(t + rnd.nextInt(3000) - 1500))
+        written += p.toString
+      }
+      t += 2000L + rnd.nextInt(6000)
+      step(if (rnd.nextBoolean()) ReadLimit.maxFiles(1 + rnd.nextInt(3))
+        else ReadLimit.allAvailable())
+    }
+    // drain whatever the caps left behind
+    var drained = 0
+    while (step(ReadLimit.allAvailable()) > 0 && drained < 100) drained += 1
+    // the listing returns qualified file: URIs; compare scheme-stripped
+    val got = planned.map(_.stripPrefix("file:")).sorted
+    assert(got == written.toSeq.sorted,
+      s"planned ${got.size} of ${written.size}: " +
+        s"missing=${written -- got.toSet}, dup=${got.diff(got.distinct)}")
+  }
+
   test("streaming: a committed file vanishing from the archive fails loudly") {
     val dir = Files.createTempDirectory("graft-dbz-vanish")
     val p = Paths.get(dir.toString, "part-001.json")
