@@ -222,7 +222,11 @@ class PlanSpec extends SparkSpec {
     // hash exchange in the plan partitions on the derived `grp` column.
     // Asserted on the UNCACHED run-table build: the graded queries read
     // it through the materialize-once seam (substringRuns), where the
-    // build plan hides inside an InMemoryRelation
+    // build plan hides inside an InMemoryRelation. Evict first — if
+    // another suite already persisted the run table, the CacheManager
+    // plan-matches this fresh build and substitutes the cached relation,
+    // hiding the exchanges again (suite-order dependency otherwise)
+    graft.BoundedDfCache.clearGraded()
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val plan =
