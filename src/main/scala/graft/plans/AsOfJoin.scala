@@ -184,6 +184,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinPushdown)
+    // SQL names for the codegen'd kernels (word_shingles, simhash64, …)
+    // so a spark.sql-only user gets the whole function surface
+    graft.functions.SqlFunctions.all.foreach(ext.injectFunction)
   }
 }
 

@@ -20,4 +20,16 @@ object Shim {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Register a SQL function on an EXISTING session
+    * (`sessionState.functionRegistry` is private[sql]) — the runtime
+    * path of graft.functions.SqlFunctions; config-time registration goes
+    * through SparkSessionExtensions.injectFunction instead. */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(name, info, builder)
 }

@@ -9,6 +9,52 @@ import org.apache.spark.sql.functions._
   * projection, and the UDF/UDAF extension surface. */
 class CdcSourcesUdxSpec extends SparkSpec {
 
+  test("SQL function surface: registered kernels match the Column API " +
+      "and reject non-literal size args") {
+    import org.apache.spark.sql.functions._
+    graft.functions.SqlFunctions.register(spark)
+    val docs = graft.sources.Tables.scan(spark, sfDir, "documents")
+      .limit(50).select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    docs.createOrReplaceTempView("sqlfn_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, word_shingles(t, 4) AS sh,
+        |  simhash64(word_shingles(t, 4)) AS sh64,
+        |  minhash_sig(word_shingles(t, 4), 16) AS mh,
+        |  deflate_len(t) AS dl
+        |FROM sqlfn_docs ORDER BY doc_id""".stripMargin)
+    val vf = graft.functions.VectorFunctions
+    val sh = vf.wordShingles(col("t"), 4)
+    val viaApi = docs.select(col("doc_id"), sh.as("sh"),
+        vf.simhash64(sh).as("sh64"), vf.minhashSig(sh, 16).as("mh"),
+        vf.deflateLen(col("t")).as("dl"))
+      .orderBy("doc_id")
+    assert(viaSql.collect() === viaApi.collect())
+
+    val e = graft.sources.Tables.scan(spark, sfDir, "embeddings").limit(20)
+    e.createOrReplaceTempView("sqlfn_embs")
+    val dots = spark.sql(
+      """SELECT a.vec_id va, b.vec_id vb,
+        |  float_dot(a.embedding, b.embedding) AS d,
+        |  rph_buckets(a.embedding, 2, 8) AS bk
+        |FROM sqlfn_embs a JOIN sqlfn_embs b ON a.vec_id < b.vec_id
+        |ORDER BY va, vb""".stripMargin)
+    val dotsApi = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        vf.floatDot(col("a.embedding"), col("b.embedding")).as("d"),
+        vf.rphBuckets(col("a.embedding"), 2, 8).as("bk"))
+      .orderBy("va", "vb")
+    assert(dots.collect() === dotsApi.collect())
+
+    // size/seed args parametrize codegen — a per-row value must be
+    // rejected with an informative message, not miscompiled
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_shingles(t, CAST(doc_id AS INT)) " +
+        "FROM sqlfn_docs").collect()
+    }
+    assert(err.getMessage.contains("INTEGER literal")
+      || Option(err.getCause).exists(_.getMessage.contains("INTEGER literal")))
+  }
+
   test("snapshot∪tail compacts to the same state as the full changelog") {
     val viaSnapshot = SparkEntry.queries("cdc_snapshot_union")(spark, sfDir)
     val viaLog = SparkEntry.queries("cdc_compact")(spark, sfDir)
