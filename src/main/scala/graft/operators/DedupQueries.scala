@@ -294,6 +294,47 @@ object DedupQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // op 45a''': the excise-ALL variant — a document that duplicates
+    // several sources (or several passages of one source) loses EVERY
+    // span ≥ 12 words, not just the longest: overlapping spans from
+    // different partners first merge into maximal cut intervals (the
+    // islands trick again, this time over [start, end) intervals — a
+    // running max of interval ends splits islands where a gap opens),
+    // then one pass drops every word a merged interval covers. Reports
+    // words cut so the curation budget is auditable. Same shared run
+    // table; interval merge + excision are per-doc windows and lambdas —
+    // nothing all-pairs, no text shuffle beyond the harness sort.
+    "dedup_substring_rewrite_all" -> ((s, dir) => {
+      val spans = substringRuns(s, dir)
+        .filter(col("run") + 3 >= 12)
+        .select(col("db").as("doc_id"), col("pb0").as("s0"),
+          (col("pb0") + col("run") + 3).as("e0"))
+      val wIv = Window.partitionBy("doc_id").orderBy(col("s0"), col("e0"))
+      val merged = spans
+        .withColumn("pmax",
+          max(col("e0")).over(wIv.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("fresh",
+          (col("pmax").isNull || col("s0") > col("pmax")).cast("int"))
+        .withColumn("island", sum(col("fresh")).over(wIv))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("s0")).as("s"), max(col("e0")).as("e"))
+      val ivs = merged.groupBy("doc_id")
+        .agg(collect_list(struct(col("s"), col("e"))).as("ivs"),
+          sum(col("e") - col("s")).cast("long").as("cut_words"))
+      val docs = Tables.scanPar(s, dir, "documents")
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("w"))
+      ivs.join(docs, "doc_id")
+        .select(col("doc_id"), size(col("w")).as("n_words"),
+          col("cut_words"),
+          array_join(
+            filter(col("w"), (_, i) =>
+              !exists(col("ivs"), iv =>
+                i >= iv.getField("s") && i < iv.getField("e"))), " ")
+            .as("new_text"))
+        .orderBy("doc_id")
+    }),
+
     // op 45b: MinHash+LSH near-dup — candidates from the band-bucket join
     // (see [[lshCandidatePairs]]), then exact-Jaccard verify on candidates
     // only: common-shingle counts via equi-join on (db, s) — work is
@@ -605,6 +646,57 @@ object DedupQueries extends QueryGroup {
         |    '') AS new_text
         |FROM best b JOIN toks t ON t.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    "dedup_substring_rewrite_all" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |ish AS (SELECT doc_id, unnest(range(1, len(w) - 2)) AS i, w
+        |  FROM toks WHERE len(w) >= 4),
+        |psh AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(w[i:i+3], ' ') AS s
+        |  FROM ish),
+        |capped AS (SELECT doc_id, pos, s FROM (
+        |    SELECT doc_id, pos, s, COUNT(*) OVER (PARTITION BY s) AS df
+        |    FROM psh) t
+        |  WHERE df <= 50),
+        |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        |  FROM capped a JOIN capped b
+        |    ON a.s = b.s AND a.doc_id < b.doc_id),
+        |runs AS (SELECT da, db, pa - pb AS diag, pa, pb,
+        |    ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS rn
+        |  FROM m),
+        |r2 AS (SELECT da, db, diag, COUNT(*) AS run, MIN(pb) AS pb0
+        |  FROM runs GROUP BY da, db, diag, pa - rn),
+        |spans AS (SELECT db AS doc_id, pb0 AS s0, pb0 + run + 3 AS e0
+        |  FROM r2 WHERE run + 3 >= 12),
+        |isl AS (SELECT doc_id, s0, e0,
+        |    SUM(CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM (SELECT doc_id, s0, e0,
+        |      MAX(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |    FROM spans) t),
+        |mi AS (SELECT doc_id, MIN(s0) AS s, MAX(e0) AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS cut_words
+        |  FROM mi GROUP BY doc_id),
+        |words AS (SELECT doc_id,
+        |    generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS x
+        |  FROM toks),
+        |keep AS (SELECT wd.doc_id, wd.pos, wd.x FROM words wd
+        |  WHERE NOT EXISTS (SELECT 1 FROM mi
+        |    WHERE mi.doc_id = wd.doc_id
+        |      AND wd.pos >= mi.s AND wd.pos < mi.e)),
+        |nw AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words FROM toks)
+        |SELECT a.doc_id, nw.n_words, a.cut_words,
+        |  COALESCE(string_agg(k.x, ' ' ORDER BY k.pos), '') AS new_text
+        |FROM agg a
+        |JOIN nw ON nw.doc_id = a.doc_id
+        |LEFT JOIN keep k ON k.doc_id = a.doc_id
+        |GROUP BY a.doc_id, nw.n_words, a.cut_words
+        |ORDER BY a.doc_id""".stripMargin,
 
     "dedup_clusters" ->
       """WITH RECURSIVE

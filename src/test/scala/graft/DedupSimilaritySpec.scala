@@ -40,6 +40,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(joined.map(_.getAs[Long]("doc_id")).toSet == detected)
   }
 
+  test("substring rewrite-all: cut accounting closes, and it cuts at " +
+      "least as much as the longest-span rewrite") {
+    import org.apache.spark.sql.functions._
+    val all = DedupQueries.queries("dedup_substring_rewrite_all")(spark, sfDir)
+      .select(col("doc_id"), col("n_words"), col("cut_words"),
+        when(col("new_text") === "", lit(0))
+          .otherwise(size(split(col("new_text"), " "))).as("n_new"))
+      .collect()
+    assert(all.nonEmpty)
+    all.foreach { r =>
+      assert(r.getAs[Int]("n_new") ==
+        r.getAs[Int]("n_words") - r.getAs[Long]("cut_words"),
+        s"doc ${r.get(0)}: words minus cut must equal rewritten length")
+    }
+    // the all-spans cut can never be smaller than the single longest span
+    val longest = DedupQueries
+      .queries("dedup_substring_rewrite")(spark, sfDir)
+      .select("doc_id", "span_words").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cuts = all.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cut_words")).toMap
+    assert(cuts.keySet == longest.keySet)
+    longest.foreach { case (d, span) =>
+      assert(cuts(d) >= span, s"doc $d: all-span cut ${cuts(d)} < $span")
+    }
+  }
+
   test("minhash-LSH near-dup pairs ⊆ exact n-gram-Jaccard pairs") {
     val exact = pairs("dedup_ngram_jaccard")
     val lsh = pairs("dedup_minhash_lsh")
