@@ -329,6 +329,29 @@ class DebeziumDsv2Spec extends SparkSpec {
     assert(e.getMessage.contains("no longer listed"))
   }
 
+  test("archive fixture: an uncommitted (crashed-writer) dir is rebuilt " +
+      "and republished atomically") {
+    import org.apache.hadoop.fs.Path
+    val tmp = graft.TmpPaths.shared("graft-dbz-archive", sfDir)
+    val root = new Path(tmp)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val expected = CdcOps.synthOrdersChangelog(spark, sfDir).count()
+    // ensure it exists, then simulate a writer that died mid-publish:
+    // data present but no commit marker
+    CdcOps.ordersChangelogArchive(spark, sfDir)
+    assert(fs.exists(new Path(root, "_SUCCESS")))
+    fs.delete(new Path(root, "_SUCCESS"), false)
+    val again = CdcOps.ordersChangelogArchive(spark, sfDir)
+    assert(again == tmp)
+    assert(fs.exists(new Path(root, "_SUCCESS")),
+      "rebuild must republish the commit marker")
+    assert(spark.read.format("debezium-json").load(tmp).count() === expected)
+    // no staging leftovers next to the published dir
+    val stale = fs.listStatus(root.getParent).map(_.getPath.getName)
+      .filter(_.startsWith(root.getName + ".stage-"))
+    assert(stale.isEmpty, s"staging dirs leaked: ${stale.mkString(",")}")
+  }
+
   test("differential: archive-replay compaction equals in-memory compaction") {
     val viaArchive = SparkEntry.queries("cdc_dsv2_compact")(spark, sfDir)
     val inMemory = SparkEntry.queries("cdc_compact")(spark, sfDir)
