@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console UNDECORATED: the default
+// LoggedOutput strategy prefixes every line with "[info] ", which broke
+// the driver's JSON parse of Bench's result line in rounds 4-7
+// ("parsed": null — the bare `{"metric":...}` line never appeared in the
+// captured stream). StdoutOutput pipes the child's stdout/stderr straight
+// through to sbt's own stdout/stderr with no logger framing.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

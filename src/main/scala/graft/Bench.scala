@@ -20,7 +20,10 @@ object Bench {
     // the full graded work and the minimum compares like-for-like complete
     // runs — only JVM/JIT/page-cache warmth differs across reps, which is
     // exactly the host-noise component the min is meant to strip.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // default 5 (was 3): round-7's driver window was contended enough that
+    // all three reps landed hot (221/168/441 s vs same-day builder runs of
+    // ~60 s) — more samples = more chances the min catches a quiet window
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -48,7 +48,7 @@ object DedupQueries extends QueryGroup {
     * materialized once per (session, corpus) and shared by the Jaccard,
     * MinHash, and clustering variants (the "feature table" a deployed
     * dedup pipeline writes once and every policy reads). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"dedup:shingles:$dir") {
       shingleArray(s, dir)
         .select(col("doc_id"), explode(col("sh_feats")).as("s"))

@@ -49,13 +49,22 @@ object PipelineQueries extends QueryGroup {
     val docs = gated(s, dir)
     // the gated-corpus pair table is materialized once per (session,
     // corpus) and shared by both cleaning policies — same seam as
-    // [[DedupQueries.sharedPairs]], over the quality/language-gated docs
+    // [[DedupQueries.sharedPairs]], over the quality/language-gated docs.
+    // The gated shingle table is NOT re-shingled: a doc's distinct-shingle
+    // set is gate-invariant, so restricting the dedup family's shared
+    // [[DedupQueries.shingles]] feature table to gated doc_ids (one
+    // broadcastable semi-join) is row-identical to shingling the gated
+    // corpus — the corpus-wide tokenize+shingle+distinct pass is paid
+    // once per (session, corpus) across the dedup AND pipeline families.
+    // df-capping inside jaccardPairs then counts over the RESTRICTED
+    // table, so the cap semantics (and the oracle's HAVING over the gated
+    // corpus) are unchanged.
     val pairs = graft.BoundedDfCache.getOrPersist(s, s"pipeline:jpairs:$dir") {
-      val sh = docs
-        .select(col("doc_id"),
-          explode(VectorFunctions.wordShingles(lower(trim(col("text"))), 4))
-            .as("s"))
-        .distinct()
+      // no broadcast hint: the gated set is a corpus FRACTION (the same
+      // reason pipeline_contamination must not broadcast its split) — AQE
+      // picks broadcast at runtime when the id set is genuinely small
+      val sh = DedupQueries.shingles(s, dir)
+        .join(docs.select("doc_id"), Seq("doc_id"), "left_semi")
       DedupQueries.jaccardPairs(sh, 0.5)
     }
     (docs, pairs)

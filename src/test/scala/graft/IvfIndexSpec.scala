@@ -9,8 +9,10 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 class IvfIndexSpec extends SparkSpec {
 
   test("saved-index probe is row-identical to the in-memory IVF query") {
+    // lloydIters must match the graded sim_ann_ivf_saved entry (1 round:
+    // this spec grades the persist→probe round-trip, not convergence)
     val fresh = SimilarityQueries
-      .ivfTopK(spark, sfDir, kCentroids = 16, nprobe = 2, lloydIters = 3)
+      .ivfTopK(spark, sfDir, kCentroids = 16, nprobe = 2, lloydIters = 1)
       .collect().toSeq
     val saved = SparkEntry.queries("sim_ann_ivf_saved")(spark, sfDir)
       .collect().toSeq
