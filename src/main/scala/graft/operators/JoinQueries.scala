@@ -230,6 +230,38 @@ object JoinQueries extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // op 15's graded batch twin: time-bounded stream-stream interval join,
+    // run through the EXACT streaming code path —
+    // [[graft.streaming.StreamJoins.intervalJoin]] on batch frames, where
+    // Catalyst's EliminateEventTimeWatermark strips the (batch no-op)
+    // watermark nodes and leaves precisely the equi+range join each
+    // micro-batch executes; the watermark's only streaming-specific job is
+    // STATE EVICTION, which has no batch observable, so the batch result
+    // is the ground truth the streaming operator must converge to (the
+    // spec's replay/lateness cases live in SinksAndJoinsSpec). Clicks pair
+    // with same-user purchases landing within [click, click + 30 min] —
+    // the attribution window shape of the reference's orders⋈payments
+    // star workload (reference: postgresql-connector.yaml:39). Planning:
+    // the equi-key (user_id) drives a hash-partitioned sort-merge join,
+    // the range bound is a post-join filter — linear in same-key pairs,
+    // never a cartesian; at 100 TB both sides shuffle once on user_id.
+    "join_stream_stream" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").cast("timestamp").as("c_ts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("timestamp").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      graft.streaming.StreamJoins.intervalJoin(
+          clicks, "c_ts", purchases, "p_ts", "user_id",
+          lateness = "10 minutes", maxDelay = "30 minutes")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          unix_micros(col("c_ts")).as("c_us"),
+          unix_micros(col("p_ts")).as("p_us"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // explicitly salted fact⋈dim join ([[Skew.saltedJoin]]): the hot-key
     // escape hatch for plans AQE's skew split cannot reach (streaming
     // foreachBatch joins, shuffled-hash joins, AQE-off deployments) when
@@ -430,6 +462,22 @@ object JoinQueries extends QueryGroup {
         |  ON e.user_id = h.o_custkey
         |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= h.ver_us
         |ORDER BY e.event_id""".stripMargin,
+
+    // DuckDB range join — the inclusive [c_ts, c_ts + 30 min] bound
+    // matches intervalJoin's `>= && <=` pair exactly
+    "join_stream_stream" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |    CAST(ts AS TIMESTAMP) AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |    CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id, c.user_id,
+        |  epoch_us(c.c_ts) AS c_us, epoch_us(p.p_ts) AS p_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_ts >= c.c_ts
+        |  AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     // the plain join — salting must not change the result
     "join_skew_salted" ->
