@@ -91,7 +91,7 @@ object MediaPipeline {
       frames.size, meanByte, checksums)
   }
 
-  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+  private[graft] def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
     // ImageIO returns null for unrecognized containers; corrupt payloads
     // of a recognized container throw — both collapse to "no image"
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -153,6 +153,40 @@ object MediaPipeline {
         }
       if (pcm == null) decodeStub(m) else featuresOverBytes(m, pcm)
     }
+  }
+
+  /** Deterministic synthetic raster for media-corpus fixtures: pixel
+    * (x, y) of image `id` is a pure integer formula, so an oracle can
+    * recompute the exact ARGB values without any codec — the trick that
+    * lets a REAL ImageIO encode→decode round trip sit under a full
+    * DuckDB hash oracle (`mm_decode_png`/`mm_decode_jpeg`). Keep the
+    * formula in lockstep with those queries' SQL twins. */
+  private[graft] def syntheticRaster(
+      id: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id + x * 7L + y * 13L) % 256).toInt
+        val g = ((id * 3L + x * 11L + y) % 256).toInt
+        val b = ((id * 5L + x + y * 17L) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** [[syntheticRaster]] encoded through the JDK's real ImageIO writer
+    * (`fmt` = "png", "jpg", "bmp", "gif"). */
+  private[graft] def encodeSynthetic(
+      id: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(syntheticRaster(id, w, h), fmt, bos)
+    bos.toByteArray
   }
 
   /** Media table synthesized from documents (testdata has no media files);

@@ -100,6 +100,66 @@ object MultimodalQueries extends QueryGroup {
         .orderBy("media_id")
     }),
 
+    // REAL image decode under a FULL hash oracle: a 500-image PNG corpus
+    // (deterministic 16×8 rasters — pixel (x,y) of image d is a pure
+    // integer formula) is encoded through the JDK's actual ImageIO PNG
+    // writer, decoded back through [[MediaPipeline.JdkImageDecoder]], and
+    // the decoder's per-ROW pixel checksums are compared against DuckDB
+    // recomputing the same fold straight from the formula. PNG is
+    // lossless, so ANY defect in the encode→decode round trip (wrong
+    // pixel order, channel swap, row stride, premature stub fallback)
+    // breaks the hash — this is the strongest oracle a real codec path
+    // can carry. Distribution: ids flow through the same mapPartitions
+    // codec seam as every decoder (one session init per task); the
+    // doc_id<500 bound keeps the graded slice constant-cost at any SF.
+    "mm_decode_png" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.scan(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 500).as[Long]
+      ids.mapPartitions { it =>
+        // real codec init once per task (ImageIO is in-JVM; a JNI codec
+        // or GPU session would be constructed here)
+        it.map { d =>
+          MediaPipeline.JdkImageDecoder.decode(
+            graft.multimodal.MediaRecord(d, 0, 16, 8,
+              MediaPipeline.encodeSynthetic(d, 16, 8, "png")))
+        }
+      }.toDF()
+        .select(col("media_id"),
+          posexplode(col("frame_checksums")).as(Seq("y", "row_cs")))
+        .orderBy("media_id", "y")
+    }),
+
+    // REAL JPEG decode + resize over the same synthetic corpus: JPEG is
+    // lossy, so pixel values are codec-version-dependent — but decoded
+    // DIMENSIONS are exact for any conformant decoder, and that is what
+    // the oracle pins: ImageIO must parse the JPEG container (w=16, h=8;
+    // a stub fallback emits -1s and breaks the hash), then
+    // [[MediaPipeline.jdkResizeImage]] must produce a decodable 8×4
+    // raster from it. Covers the meta/resize surface of a real JPEG
+    // corpus end-to-end; pixel-level grading lives with the lossless
+    // twin `mm_decode_png`.
+    "mm_decode_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.scan(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 500).as[Long]
+      ids.mapPartitions { it =>
+        it.map { d =>
+          val jpg = MediaPipeline.encodeSynthetic(d, 16, 8, "jpg")
+          val img = MediaPipeline.readImage(jpg)
+          val (w, h) =
+            if (img == null) (-1, -1) else (img.getWidth, img.getHeight)
+          val resized = MediaPipeline.jdkResizeImage(
+            graft.multimodal.MediaRecord(d, 0, 16, 8, jpg), 8, 4)
+          val rimg = MediaPipeline.readImage(resized.payload)
+          val (rw, rh) =
+            if (rimg == null) (-1, -1) else (rimg.getWidth, rimg.getHeight)
+          (d, w, h, rw, rh)
+        }
+      }.toDF("media_id", "width", "height", "r_width", "r_height")
+        .orderBy("media_id")
+    }),
+
     // media dedup by content checksum — the first gate of any multimodal
     // ingest (identical files arrive via many URLs). The digest is
     // computed MAP-SIDE, so the dedup shuffle carries a 32-hex-char key
@@ -154,6 +214,30 @@ object MultimodalQueries extends QueryGroup {
         |  CAST(ceil(CAST(len AS DOUBLE) / ratio) AS INT) AS payload_len,
         |  fb AS first_byte_hex
         |FROM r ORDER BY media_id""".stripMargin,
+
+    // the decoder's row checksum recomputed from the pixel formula:
+    // argb = 0xff000000 | r<<16 | g<<8 | b folded left-to-right over x
+    // as (acc*1000003 + argb) % 1000000007 — keep in lockstep with
+    // MediaPipeline.syntheticRaster AND JdkImageDecoder's fold
+    "mm_decode_png" ->
+      """SELECT d.doc_id AS media_id, CAST(y.y AS INT) AS y,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(16), x ->
+        |      4278190080
+        |      + ((d.doc_id + x * 7 + y.y * 13) % 256) * 65536
+        |      + ((d.doc_id * 3 + x * 11 + y.y) % 256) * 256
+        |      + ((d.doc_id * 5 + x + y.y * 17) % 256))),
+        |    (acc, v) -> (acc * 1000003 + v) % 1000000007) AS row_cs
+        |FROM documents d, (SELECT unnest(range(8)) AS y) y
+        |WHERE d.doc_id < 500
+        |ORDER BY media_id, y""".stripMargin,
+
+    "mm_decode_jpeg" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(8 AS INT) AS r_width, CAST(4 AS INT) AS r_height
+        |FROM documents WHERE doc_id < 500
+        |ORDER BY media_id""".stripMargin,
 
     "mm_dedup" ->
       """WITH p AS (SELECT doc_id, md5(hex(encode(text))) AS checksum

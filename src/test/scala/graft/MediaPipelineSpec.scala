@@ -118,6 +118,27 @@ class MediaPipelineSpec extends SparkSpec {
       == MediaPipeline.decodeStub(junk))
   }
 
+  test("synthetic JPEG corpus hits the REAL decode path, not the stub") {
+    import graft.multimodal.MediaRecord
+    // a JPEG of the 16×8 synthetic raster decodes to one frame per pixel
+    // ROW (8) — the stub over the ~700-byte container would emit
+    // ceil(len/64) ≈ 11 frames, so this discriminates real vs fallback
+    val jpg = MediaPipeline.encodeSynthetic(42L, 16, 8, "jpg")
+    val f = MediaPipeline.JdkImageDecoder.decode(
+      MediaRecord(42L, 0, 16, 8, jpg))
+    assert(f.n_frames == 8, s"JPEG fell back to the stub: ${f.n_frames}")
+    // and the lossless PNG twin reproduces the formula's exact pixels
+    val png = MediaPipeline.encodeSynthetic(42L, 16, 8, "png")
+    val img = MediaPipeline.readImage(png)
+    assert(img.getWidth == 16 && img.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val r = ((42L + x * 7 + y * 13) % 256).toInt
+      val g = ((42L * 3 + x * 11 + y) % 256).toInt
+      val b = ((42L * 5 + x + y * 17) % 256).toInt
+      assert((img.getRGB(x, y) & 0xffffff) == ((r << 16) | (g << 8) | b))
+    }
+  }
+
   test("real JDK resize produces the target raster, stub fallback intact") {
     import graft.multimodal.MediaRecord
     // solid color in → bilinear resize → solid color out at target dims
