@@ -45,6 +45,64 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(out("d").dataType == DoubleType)
   }
 
+  test("DROP COLUMN evolves the registry; unknown/repeat drops are no-ops") {
+    val reg = Map("orders" -> Debezium.ordersRowSchema)
+    val out = SchemaEvolution.evolve(reg, Seq(
+      "ALTER TABLE public.orders DROP COLUMN o_orderpriority",
+      "ALTER TABLE orders DROP COLUMN IF EXISTS o_orderpriority", // repeat
+      "ALTER TABLE orders DROP COLUMN no_such_column"))           // unknown
+    val schema = out("orders")
+    assert(!schema.fieldNames.contains("o_orderpriority"))
+    assert(schema.length == Debezium.ordersRowSchema.length - 1)
+    // the rest of the registry row order is untouched
+    assert(schema.fieldNames.toSeq ==
+      Debezium.ordersRowSchema.fieldNames.filterNot(_ == "o_orderpriority").toSeq)
+  }
+
+  test("non-widening type changes are log-and-ignored") {
+    val reg = Map("t" -> StructType(Seq(
+      StructField("big", LongType), StructField("d", DoubleType),
+      StructField("s", StringType))))
+    val out = SchemaEvolution.evolve(reg, Seq(
+      "ALTER TABLE t ALTER COLUMN big TYPE int",   // narrowing
+      "ALTER TABLE t ALTER COLUMN d TYPE real",    // narrowing
+      "ALTER TABLE t ALTER COLUMN s TYPE bigint")) // shape change
+    assert(out("t") == reg("t"))
+  }
+
+  test("pre-DDL envelopes still parse after DROP COLUMN and type widening") {
+    import spark.implicits._
+    // old envelope carries the soon-to-be-dropped field AND an int-ranged
+    // key; the evolved registry has the field dropped and the key widened
+    val oldEnv =
+      """{"before":null,"after":{"o_orderkey":7,"o_custkey":2,
+        |"o_orderstatus":"O","o_totalprice":"10.00","o_orderdate_us":0,
+        |"o_orderpriority":"1-URGENT"},
+        |"source":{"connector":"postgresql","lsn":10},
+        |"op":"c","ts_ms":0}""".stripMargin.replaceAll("\n", "")
+    // pre-widen registry state: o_custkey was INT before the DDL widened it
+    val narrow = StructType(Debezium.ordersRowSchema.fields.map(f =>
+      if (f.name == "o_custkey") f.copy(dataType = IntegerType) else f))
+    val evolved = SchemaEvolution.evolve(
+      Map("orders" -> narrow),
+      Seq("ALTER TABLE orders DROP COLUMN o_orderpriority",
+        "ALTER TABLE orders ALTER COLUMN o_custkey TYPE bigint"))("orders")
+    assert(!evolved.fieldNames.contains("o_orderpriority"))
+    assert(evolved("o_custkey").dataType == LongType) // widened int→bigint
+    val raw = Seq(("prod.postgres.orders", "k", oldEnv))
+      .toDF("topic", "key", "value")
+    val parsed = Debezium.parseEnvelope(raw, evolved)
+    // from_json ignores the extra JSON field; the widened column reads
+    // the old narrow value losslessly; the envelope is NOT dead-lettered
+    val r = parsed.select(col("env.after.o_orderkey").as("k"),
+        col("env.after.o_custkey").as("c"), col("env.op").as("op"))
+      .collect().head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 2L && r.getString(2) == "c")
+    assert(parsed.schema("env").dataType.asInstanceOf[StructType]("after")
+      .dataType.asInstanceOf[StructType].fieldNames
+      .forall(_ != "o_orderpriority"))
+  }
+
   test("old envelopes parse under the evolved schema with null new column") {
     import spark.implicits._
     val oldEnv =
