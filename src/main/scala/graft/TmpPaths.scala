@@ -11,11 +11,18 @@ package graft
   */
 object TmpPaths {
 
-  /** Collision-free corpus key: the full path with every character
-    * outside [A-Za-z0-9._-] mapped to '_'. Distinct real paths can only
-    * collide if they differ solely in separator characters — which on one
-    * filesystem means they were the same location anyway. */
-  def sanitize(p: String): String = p.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Collision-free corpus key: a readable sanitized form (every
+    * character outside [A-Za-z0-9._-] mapped to '_') plus a SHA-256
+    * suffix of the EXACT path. The substitution alone is not injective —
+    * '_' is inside the allowed class, so `/a/b` and `/a_b` sanitize
+    * identically (round-7 ADVICE) — but the digest is collision-free, so
+    * two distinct corpus paths can never alias one shared artifact. */
+  def sanitize(p: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(p.getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+    p.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
+  }
 
   /** A tmpdir location shared ACROSS processes (publish must be atomic —
     * the caller stages + renames; see CdcOps.ordersChangelogArchive). */

@@ -300,8 +300,24 @@ object CdcOps {
       if (fs.exists(done)) {
         fs.delete(staging, true) // lost the race to a complete publish
       } else {
+        // Hadoop FileSystem.rename moves src INTO dst when dst exists as
+        // a directory — so a racer re-creating root inside the
+        // delete→rename window would NEST this staging dir under the
+        // racer's archive, and the recursive DSv2 lister would
+        // double-count records (round-7 ADVICE). Root is deleted only
+        // when a STALE INCOMPLETE dir (no _SUCCESS) is in the way; after
+        // a successful rename, probe for the nested shape and remove it —
+        // it can only exist if a racing publisher won root back in the
+        // window, and then the racer's complete archive is exactly what
+        // must survive. A failed rename means a committed root stands:
+        // discard staging (lost race).
         if (fs.exists(root)) fs.delete(root, true) // stale incomplete dir
-        if (!fs.rename(staging, root)) fs.delete(staging, true)
+        if (fs.rename(staging, root)) {
+          val nested = new Path(root, staging.getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
+        } else {
+          fs.delete(staging, true)
+        }
       }
     }
     tmp

@@ -61,6 +61,11 @@ import org.apache.spark.unsafe.types.UTF8String
 class DebeziumJsonSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "debezium-json"
 
+  // without this Spark rejects `.schema(...)` with its own error before
+  // getTable is ever called with a user schema — the validation below
+  // was unreachable for the exact path it advertised (round-7 ADVICE)
+  override def supportsExternalMetadata(): Boolean = true
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DebeziumJsonTable.schema
 
@@ -80,7 +85,12 @@ class DebeziumJsonSource extends TableProvider with DataSourceRegister {
       s"debezium-json has a fixed schema $fixed; user-specified fields " +
         s"${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")} " +
         "do not match it (drop .schema(...) or pass a column subset)")
-    new DebeziumJsonTable(properties.asScala.toMap)
+    // honor the validated subset: the table reports the user's columns in
+    // the user's order, normalized to the fixed schema's canonical casing
+    // so the reader's name-keyed row assembly resolves them
+    val tableSchema = StructType(schema.fields.map(f =>
+      fixed.fields.find(_.name.equalsIgnoreCase(f.name)).get))
+    new DebeziumJsonTable(tableSchema, properties.asScala.toMap)
   }
 }
 
@@ -106,15 +116,20 @@ object DebeziumJsonTable {
     Set("op", "ts_ms", "lsn", "tbl", "before", "after", "_corrupt")
 }
 
-class DebeziumJsonTable(properties: Map[String, String])
+class DebeziumJsonTable(
+    tableSchema: StructType, properties: Map[String, String])
     extends Table with SupportsRead {
+
+  /** Full-schema form (no user subset). */
+  def this(properties: Map[String, String]) =
+    this(DebeziumJsonTable.schema, properties)
 
   private val path = properties.getOrElse("path",
     throw new IllegalArgumentException(
       "debezium-json requires a path: spark.read.format(\"debezium-json\").load(dir)"))
 
   override def name(): String = s"debezium-json:$path"
-  override def schema(): StructType = DebeziumJsonTable.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
@@ -127,19 +142,22 @@ class DebeziumJsonTable(properties: Map[String, String])
       .map(_.toInt).getOrElse(-1)
     val slack = Option(options.get("offsetSlackMs"))
       .map(_.toLong).getOrElse(10L * 60 * 1000)
-    new DebeziumScanBuilder(path, maxSplit, maxFiles, slack)
+    new DebeziumScanBuilder(path, maxSplit, maxFiles, slack, tableSchema)
   }
 }
 
 class DebeziumScanBuilder(
     path: String, maxSplitBytes: Long, maxFilesPerTrigger: Int = -1,
-    offsetSlackMs: Long = 10L * 60 * 1000)
+    offsetSlackMs: Long = 10L * 60 * 1000,
+    tableSchema: StructType = DebeziumJsonTable.schema)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
-  private var required: StructType = DebeziumJsonTable.schema
+  // starts from the TABLE's schema (the user's validated subset when one
+  // was supplied); Spark's column pruning narrows it further
+  private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
 

@@ -329,6 +329,28 @@ class DebeziumDsv2Spec extends SparkSpec {
     assert(e.getMessage.contains("no longer listed"))
   }
 
+  test("user-specified column-subset schema is honored, mismatches rejected") {
+    import org.apache.spark.sql.types._
+    // subset in a caller-chosen order: the table must report exactly these
+    // columns in this order, and the values must match the full read
+    val subset = StructType(Seq(
+      StructField("op", StringType), StructField("topic", StringType),
+      StructField("lsn", LongType)))
+    val df = spark.read.format("debezium-json").schema(subset).load(archive)
+    assert(df.schema.fieldNames.toSeq == Seq("op", "topic", "lsn"))
+    val viaSubset = df.filter(col("op") === "d")
+      .select("lsn").collect().map(_.getLong(0)).sorted.toSeq
+    val viaFull = read().filter(col("op") === "d")
+      .select("lsn").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaSubset == viaFull && viaSubset.nonEmpty)
+    // wrong type / unknown column → the validation error, not a silent read
+    val bad = StructType(Seq(StructField("lsn", StringType)))
+    val e = intercept[Exception] {
+      spark.read.format("debezium-json").schema(bad).load(archive).collect()
+    }
+    assert(e.getMessage.contains("fixed schema"))
+  }
+
   test("archive fixture: an uncommitted (crashed-writer) dir is rebuilt " +
       "and republished atomically") {
     import org.apache.hadoop.fs.Path
