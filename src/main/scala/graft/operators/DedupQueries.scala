@@ -65,6 +65,21 @@ object DedupQueries extends QueryGroup {
       jaccardPairs(shingles(s, dir), 0.5)
     }
 
+  /** LSH candidate pairs, materialized once per (session, corpus) — shared
+    * by `dedup_minhash_lsh` (which verifies them) and `dedup_lsh_quality`
+    * (which reports how many there were before verification). */
+  private[graft] def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"dedup:lshcand:$dir") {
+      lshCandidatePairsFromArrays(shingleArray(s, dir))
+    }
+
+  /** LSH candidates that survive the exact-Jaccard verify at τ=0.5 — the
+    * `dedup_minhash_lsh` result, cached so the quality report reuses it. */
+  private[graft] def lshVerified(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"dedup:lshver:$dir") {
+      verifyJaccard(lshCandidates(s, dir), shingles(s, dir), 0.5)
+    }
+
   /** Shared-span run table for the positional (substring) dedup family:
     * one row per maximal run of consecutively-matching 4-word shingles
     * on an alignment diagonal — `(da, db, diag, run, pb0)` with `run`
@@ -342,8 +357,33 @@ object DedupQueries extends QueryGroup {
     // Spark-specific); LSH-vs-exact recall is asserted in
     // DedupSimilaritySpec instead.
     "dedup_minhash_lsh" -> ((s, dir) =>
-      verifyJaccard(lshCandidatePairsFromArrays(shingleArray(s, dir)),
-        shingles(s, dir), 0.5).orderBy("da", "db")),
+      lshVerified(s, dir).orderBy("da", "db")),
+
+    // op 45b': precision/recall report for the MinHash+LSH stage — the
+    // graded, visible form of the DedupSimilaritySpec recall contract.
+    // One row: candidate count, verified count, exact ground-truth count
+    // (the df-capped inverted-index path), candidate precision
+    // (verified/candidates — how much work the verify step throws away)
+    // and recall vs exact (found∩exact / exact). Rows-only (the LSH side
+    // is xxhash64-specific), deterministic, and nearly free in a bench
+    // rep: every input is a session-cached artifact another graded entry
+    // already pays for; only the three counts and one semi-join are new.
+    "dedup_lsh_quality" -> ((s, dir) => {
+      val cand = lshCandidates(s, dir)
+      val ver = lshVerified(s, dir).select("da", "db")
+      val exact = sharedPairs(s, dir).select("da", "db")
+      val tp = ver.join(exact, Seq("da", "db"), "left_semi")
+      val counts = cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(ver.agg(count(lit(1)).as("n_verified")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_true_positive")))
+      counts.select(col("n_candidates"), col("n_verified"), col("n_exact"),
+        col("n_true_positive"),
+        (col("n_verified").cast("double") / col("n_candidates"))
+          .as("candidate_precision"),
+        (col("n_true_positive").cast("double") / col("n_exact"))
+          .as("recall_vs_exact"))
+    }),
 
     // op 45c: SimHash — tf-weighted 64-bit signature; pairs at Hamming ≤ 3
     // found via 4×16-bit block pigeonhole join (exact for that radius).

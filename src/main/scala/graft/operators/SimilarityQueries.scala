@@ -43,9 +43,13 @@ object SimilarityQueries extends QueryGroup {
       .select(col("vec_id"), col("label"), col("embedding").as("v"),
         norm(col("embedding")).as("nrm"))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // exact baseline: 10 query vectors × all candidates, top-10 by cosine
-    "sim_topk" -> ((s, dir) => {
+  /** Exact brute-force top-10, materialized once per session (graded
+    * cache): `sim_topk` grades it directly and `sim_ann_recall` reuses it
+    * as the ground-truth side — within a bench rep the O(Q×N) scan is
+    * paid once, the "materialize once, read many" seam every other shared
+    * stage (bronze parses, shingle tables) already uses. */
+  private[graft] def exactTopK(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"sim:topk:$dir") {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") < 10).toDF("qid", "qlabel", "q", "qn")
       val w = Window.partitionBy("qid")
@@ -55,8 +59,24 @@ object SimilarityQueries extends QueryGroup {
           (dot(col("q"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
-        .orderBy("qid", "rank")
-    }),
+    }
+
+  /** ANN top-10 per variant, session-cached like [[exactTopK]] so the
+    * graded entry and the recall report share one computation per rep. */
+  private[graft] def annTopK(
+      s: SparkSession, dir: String, variant: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"sim:ann:$variant:$dir") {
+      variant match {
+        case "lsh" => lshTopKBody(s, dir)
+        case "ivf" => ivfTopK(s, dir, kCentroids = 16, nprobe = 2,
+          lloydIters = 3)
+      }
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact baseline: 10 query vectors × all candidates, top-10 by cosine
+    "sim_topk" -> ((s, dir) =>
+      exactTopK(s, dir).orderBy("qid", "rank")),
 
     // scale path: multi-table random-hyperplane LSH — 2 independent tables
     // of 8 sign bits each; a vector lands in one bucket per table, a query
@@ -71,28 +91,8 @@ object SimilarityQueries extends QueryGroup {
     // path left in the ANN family. (The kernel's hyperplane family is a
     // different random draw than the old SQL form's — see the kernel
     // scaladoc; rows-only operator, contracts unaffected.)
-    "sim_ann_lsh" -> ((s, dir) => {
-      val planes = 8
-      val tables = 2
-      val e = embs(s, dir)
-        .select(col("vec_id"), col("label"), col("v"), col("nrm"),
-          posexplode(VectorFunctions.rphBuckets(col("v"), tables, planes))
-            .as(Seq("tbl", "bucket")))
-      val q = e.filter(col("vec_id") < 10)
-        .toDF("qid", "qlabel", "q", "qn", "tbl", "bucket")
-      val w = Window.partitionBy("qid")
-        .orderBy(col("cosine").desc, col("vec_id"))
-      broadcast(q).join(e, Seq("tbl", "bucket"))
-        .filter(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id"), col("label"), col("q"), col("v"),
-          col("qn"), col("nrm"))
-        .distinct() // candidate seen in >1 table counts once
-        .select(col("qid"), col("vec_id"), col("label"),
-          (dot(col("q"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .orderBy("qid", "rank")
-    }),
+    "sim_ann_lsh" -> ((s, dir) =>
+      annTopK(s, dir, "lsh").orderBy("qid", "rank")),
 
     // scale path 2: IVF (inverted-file) ANN — coarse-quantize vectors to
     // k=16 centroids (deterministic seeds + three Lloyd re-centering
@@ -102,8 +102,31 @@ object SimilarityQueries extends QueryGroup {
     // partition-pruned reads, the full corpus is never scanned per query.
     // Rows-only (k-means assignment has no SQL-oracle twin); recall
     // contracts in DedupSimilaritySpec (≥ 0.5 at nprobe=4).
-    "sim_ann_ivf" -> ((s, dir) =>
-      ivfTopK(s, dir, kCentroids = 16, nprobe = 2, lloydIters = 3)),
+    "sim_ann_ivf" -> ((s, dir) => annTopK(s, dir, "ivf")),
+
+    // recall@10 of each ANN variant against the exact brute-force top-10,
+    // reported per query — the graded, VISIBLE form of the recall
+    // contracts DedupSimilaritySpec asserts. Rows-only (the ANN sides are
+    // Spark-hash-specific, so no DuckDB twin), but deterministic: fixed
+    // seeds, fixed tie-breaks. The join reuses the session-cached exact
+    // and ANN results, so within a bench rep this entry costs only the
+    // (100-row) comparison joins. Zero-hit queries report 0.0 — a
+    // groupBy over hits alone would silently drop them.
+    "sim_ann_recall" -> ((s, dir) => {
+      val exact = exactTopK(s, dir).select(col("qid"), col("vec_id"))
+      def recallOf(variant: String): DataFrame = {
+        val hits = annTopK(s, dir, variant)
+          .select(col("qid"), col("vec_id"), lit(1).as("_hit"))
+        exact.join(hits, Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg((sum(coalesce(col("_hit"), lit(0)))
+            / count(lit(1))).as("recall_at_10"))
+          .select(lit(variant).as("variant"), col("qid"),
+            col("recall_at_10"))
+      }
+      recallOf("lsh").union(recallOf("ivf"))
+        .orderBy("variant", "qid")
+    }),
 
     // the PERSISTED form of the same index: build → write (centroids +
     // cid-partitioned inverted lists) → probe via partition-pruned read.
@@ -166,6 +189,31 @@ object SimilarityQueries extends QueryGroup {
         .orderBy("la", "lb")
     }))
 
+
+  /** The `sim_ann_lsh` plan (see the entry's comment for the design):
+    * multi-table random-hyperplane buckets, bucket-join candidates,
+    * exact-cosine re-rank to top-10. Hoisted so [[annTopK]] can cache it. */
+  private def lshTopKBody(s: SparkSession, dir: String): DataFrame = {
+    val planes = 8
+    val tables = 2
+    val e = embs(s, dir)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        posexplode(VectorFunctions.rphBuckets(col("v"), tables, planes))
+          .as(Seq("tbl", "bucket")))
+    val q = e.filter(col("vec_id") < 10)
+      .toDF("qid", "qlabel", "q", "qn", "tbl", "bucket")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(q).join(e, Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("label"), col("q"), col("v"),
+        col("qn"), col("nrm"))
+      .distinct() // candidate seen in >1 table counts once
+      .select(col("qid"), col("vec_id"), col("label"),
+        (dot(col("q"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+  }
 
   /** IVF ANN, parametrized: coarse-quantize to `kCentroids` (deterministic
     * spread seeds + `lloydIters` re-centering rounds, fixed-point means),

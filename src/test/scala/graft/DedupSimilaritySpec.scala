@@ -137,6 +137,67 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
+  test("sim_ann_recall reports the true per-query recall@10 and clears " +
+      "the usable floors") {
+    val exact = SimilarityQueries.queries("sim_topk")(spark, sfDir)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val reported = SimilarityQueries.queries("sim_ann_recall")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(reported.keys.map(_._1).toSet == Set("lsh", "ivf"))
+    // every (variant, qid) row must equal the recall recomputed from the
+    // graded entries themselves — the report is a twin, not a new truth
+    for (variant <- Seq("lsh", "ivf")) {
+      val ann = SimilarityQueries
+        .queries(s"sim_ann_$variant")(spark, sfDir)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.foreach { case (qid, truth) =>
+        val got = ann.getOrElse(qid, Set.empty)
+        val expect = got.intersect(truth).size.toDouble / truth.size
+        assert(reported((variant, qid)) == expect,
+          s"$variant qid=$qid: reported ${reported((variant, qid))}" +
+            s" != recomputed $expect")
+      }
+    }
+    // usable-floor contracts (same floors as the direct recall tests)
+    def mean(v: String) = {
+      val vs = reported.collect { case ((`v`, _), r) => r }
+      vs.sum / vs.size
+    }
+    assert(mean("ivf") >= 0.3, s"mean IVF recall too low: ${mean("ivf")}")
+    // no LSH floor at this SF: with 2^8 buckets over the tiny sf0.001
+    // corpus the buckets are near-empty and top-10 recall is legitimately
+    // ~0 — what IS contractual is coverage: a zero-hit query must still
+    // appear with recall 0.0, not silently drop out of the report
+    val qids = exact.keySet
+    for (v <- Seq("lsh", "ivf"); q <- qids)
+      assert(reported.contains((v, q)), s"missing report row ($v, $q)")
+  }
+
+  test("dedup_lsh_quality accounting closes against the graded pair " +
+      "tables") {
+    val q = DedupQueries.queries("dedup_lsh_quality")(spark, sfDir)
+      .collect()
+    assert(q.length == 1)
+    val r = q.head
+    val lsh = pairs("dedup_minhash_lsh")
+    val exact = pairs("dedup_ngram_jaccard")
+    assert(r.getAs[Long]("n_verified") == lsh.size)
+    assert(r.getAs[Long]("n_exact") == exact.size)
+    assert(r.getAs[Long]("n_true_positive") == lsh.intersect(exact).size)
+    assert(r.getAs[Long]("n_candidates") >= r.getAs[Long]("n_verified"),
+      "verify can only shrink the candidate set")
+    val prec = r.getAs[Double]("candidate_precision")
+    assert(prec > 0.0 && prec <= 1.0, s"precision out of range: $prec")
+    // same floor as the subset/recall test above: 8×4 banding at τ=0.5
+    assert(r.getAs[Double]("recall_vs_exact") >= 0.9,
+      s"LSH recall vs exact below floor: ${r.getAs[Double]("recall_vs_exact")}")
+  }
+
   test("df-cap kills stop-shingle candidate blowup without losing true pairs") {
     import spark.implicits._
     // 60 unrelated docs that all share one boilerplate shingle (df=60),

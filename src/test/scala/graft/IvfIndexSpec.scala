@@ -30,10 +30,16 @@ class IvfIndexSpec extends SparkSpec {
       try SparkEntry.queries("sim_ann_ivf_saved")(spark, sfDir)
         .queryExecution.executedPlan
       finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // match on the file index's UNTRUNCATED rootPaths: the rendered plan
+    // string elides long locations (spark.sql.maxMetadataStringLength is
+    // 100), and the per-process SHA-suffixed tmp path is long enough that
+    // ".../lists" falls past the cut depending on the pid's digit count —
+    // a toString match here flakes with the JVM's pid
     val listsScan = plan.collect {
-      case f: FileSourceScanExec if f.toString.contains("lists") => f
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("/lists")) => f
     }
-    assert(listsScan.nonEmpty, "no file scan over the lists directory")
+    assert(listsScan.nonEmpty, s"no file scan over the lists directory:\n$plan")
     // static partition pruning: the IN over probe cids must land on the
     // partition column, not as a post-scan data filter
     val s = listsScan.head.toString
