@@ -27,6 +27,16 @@ object Dec {
   def d2(c: Column): Column = c.cast(DecimalType(12, 2))
   /** Exact small rate (discount/tax): DECIMAL(4,2). */
   def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  /** Decimal → double via a STRING round-trip: `CAST(CAST(x AS VARCHAR)
+    * AS DOUBLE)` on the oracle side. The direct decimal→double cast is
+    * correctly rounded only while the decimal's UNSCALED value fits in
+    * 2^53 — beyond that each engine converts int→double (one rounding)
+    * then divides by 10^scale (another), and the two roundings can land
+    * one ulp apart between engines (observed at sf1: `sum_charge`'s
+    * scale-6 sum has unscaled ≈2.7e16). Rendering the exact decimal as a
+    * string and parsing it is correctly rounded in BOTH engines (IEEE
+    * strtod semantics), so the doubles agree at any corpus scale. */
+  def toDbl(c: Column): Column = c.cast("string").cast("double")
   /** Timestamp literal matching the parquet columns' TIMESTAMP_NTZ type
     * (naive, session pinned UTC — same wall clock as DuckDB TIMESTAMP). */
   def tsn(s: String): org.apache.spark.sql.Column =

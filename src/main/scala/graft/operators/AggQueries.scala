@@ -22,14 +22,17 @@ object AggQueries extends QueryGroup {
       val tax = Dec.rate(col("l_tax"))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(qty).cast("double").as("sum_qty"),
-          sum(price).cast("double").as("sum_base_price"),
-          sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
-          sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double")
+          // Dec.toDbl, not a direct cast: the scale-6 sum_charge sum's
+          // unscaled value passes 2^53 at sf1 and the direct decimal→
+          // double conversion stops being cross-engine bit-identical
+          Dec.toDbl(sum(qty)).as("sum_qty"),
+          Dec.toDbl(sum(price)).as("sum_base_price"),
+          Dec.toDbl(sum(price * (lit(1) - disc))).as("sum_disc_price"),
+          Dec.toDbl(sum(price * (lit(1) - disc) * (lit(1) + tax)))
             .as("sum_charge"),
-          (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
-          (sum(price).cast("double") / count(lit(1))).as("avg_price"),
-          (sum(disc).cast("double") / count(lit(1))).as("avg_disc"),
+          (Dec.toDbl(sum(qty)) / count(lit(1))).as("avg_qty"),
+          (Dec.toDbl(sum(price)) / count(lit(1))).as("avg_price"),
+          (Dec.toDbl(sum(disc)) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -89,6 +92,35 @@ object AggQueries extends QueryGroup {
       daily.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("users_est"),
         count(lit(1)).as("n_shards"))
+    }),
+
+    // sketch-quality report: the two distinct-count sketches next to
+    // their exact answers, with relative error as a column — the graded,
+    // visible form of AggContractsSpec's ≤5% contracts (same pattern as
+    // dedup_lsh_quality / sim_ann_recall). Rows-only (the sketch side is
+    // engine-specific). The exact sides are single-shuffle countDistinct
+    // aggregates — the comparison itself stays 100 TB-shaped; CMS heavy
+    // hitters already self-report (agg_heavy_hitters_cms carries
+    // exact_cnt and est_cnt side by side) and the quantile sketch's
+    // exact twin is the order-statistics pass agg_median_exact grades.
+    "agg_sketch_quality" -> ((s, dir) => {
+      val cust = Tables.scan(s, dir, "orders").agg(
+        countDistinct(col("o_custkey")).as("exact_cust"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+      val users = Tables.scan(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("hll_est_users"))
+      val exactUsers = Tables.scan(s, dir, "events")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      cust.crossJoin(exactUsers).crossJoin(users).select(
+        col("exact_cust"), col("approx_cust"),
+        (abs(col("approx_cust") - col("exact_cust")).cast("double")
+          / col("exact_cust")).as("cust_rel_err"),
+        col("exact_users"), col("hll_est_users"),
+        (abs(col("hll_est_users") - col("exact_users")).cast("double")
+          / col("exact_users")).as("users_rel_err"))
     }),
 
     // approx_percentile (mergeable quantile sketch — the distributed way
@@ -406,16 +438,16 @@ object AggQueries extends QueryGroup {
   val oracles: Map[String, String] = Map(
     "agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
         |       * (1 - CAST(l_discount AS DECIMAL(4,2)))
-        |       * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |       * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

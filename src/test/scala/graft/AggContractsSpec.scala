@@ -47,6 +47,30 @@ class AggContractsSpec extends SparkSpec {
     assert(e2 <= 0.05, s"sf0.1 relative error $e2 exceeds 5%")
   }
 
+  test("agg_sketch_quality report: exact sides are truly exact, error " +
+      "columns close, and both clear the 5% contract") {
+    val r = AggQueries.queries("agg_sketch_quality")(spark, sfDir)
+      .collect().head
+    val exactCust = Tables.scan(spark, sfDir, "orders")
+      .select(countDistinct(col("o_custkey")).as("n"))
+      .collect().head.getLong(0)
+    val exactUsers = Tables.scan(spark, sfDir, "events")
+      .select(countDistinct(col("user_id")).as("n"))
+      .collect().head.getLong(0)
+    assert(r.getAs[Long]("exact_cust") == exactCust)
+    assert(r.getAs[Long]("exact_users") == exactUsers)
+    // the error columns must BE the relative errors of the values beside
+    // them — the report is a twin of the contract, not a new number
+    def relOf(est: Long, exact: Long) =
+      math.abs(est - exact).toDouble / exact
+    assert(r.getAs[Double]("cust_rel_err") ==
+      relOf(r.getAs[Long]("approx_cust"), exactCust))
+    assert(r.getAs[Double]("users_rel_err") ==
+      relOf(r.getAs[Long]("hll_est_users"), exactUsers))
+    assert(r.getAs[Double]("cust_rel_err") <= 0.05)
+    assert(r.getAs[Double]("users_rel_err") <= 0.05)
+  }
+
   private def pctErr(dir: String): (Double, Double) = {
     val row = AggQueries.queries("agg_approx_percentile")(spark, dir)
       .collect().head
