@@ -324,6 +324,16 @@ object DedupQueries extends QueryGroup {
         .filter(col("run") + 3 >= 12)
         .select(col("db").as("doc_id"), col("pb0").as("s0"),
           (col("pb0") + col("run") + 3).as("e0"))
+        // DISTINCT before the islands pass: a doc duplicated k times
+        // yields the same span from k-1 pairs, and duplicate (s0, e0)
+        // rows make the islands window's ORDER BY non-total — the
+        // pmax-NULL first row can land anywhere among its ties, which
+        // splits one island into several under engines that evaluate
+        // the two window steps over different tie orders (observed:
+        // DuckDB multi-threaded runs of the oracle disagreed with
+        // themselves at sf1). Distinct spans ⇒ total order ⇒ one
+        // deterministic islands assignment — and strictly less work.
+        .distinct()
       val wIv = Window.partitionBy("doc_id").orderBy(col("s0"), col("e0"))
       val merged = spans
         .withColumn("pmax",
@@ -708,7 +718,7 @@ object DedupQueries extends QueryGroup {
         |  FROM m),
         |r2 AS (SELECT da, db, diag, COUNT(*) AS run, MIN(pb) AS pb0
         |  FROM runs GROUP BY da, db, diag, pa - rn),
-        |spans AS (SELECT db AS doc_id, pb0 AS s0, pb0 + run + 3 AS e0
+        |spans AS (SELECT DISTINCT db AS doc_id, pb0 AS s0, pb0 + run + 3 AS e0
         |  FROM r2 WHERE run + 3 >= 12),
         |isl AS (SELECT doc_id, s0, e0,
         |    SUM(CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0 END)
