@@ -146,7 +146,7 @@ object AggQueries extends QueryGroup {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .withColumn("yr", year(col("o_orderdate")).cast("long"))
         .rollup(col("n_name"), col("yr"))
-        .agg(sum(Dec.d2(col("o_totalprice"))).cast("double").as("revenue"),
+        .agg(Dec.toDbl(sum(Dec.d2(col("o_totalprice")))).as("revenue"),
           count(lit(1)).as("n_orders"))
         .select(
           coalesce(col("n_name"), lit("ALL")).as("n_name"),
@@ -160,7 +160,7 @@ object AggQueries extends QueryGroup {
       Tables.scan(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(Dec.d2(col("o_totalprice"))).cast("double").as("revenue"))
+          Dec.toDbl(sum(Dec.d2(col("o_totalprice")))).as("revenue"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
@@ -178,7 +178,7 @@ object AggQueries extends QueryGroup {
           Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
           col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(Dec.d2(col("o_totalprice"))).cast("double").as("revenue"))
+          Dec.toDbl(sum(Dec.d2(col("o_totalprice")))).as("revenue"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
@@ -268,7 +268,7 @@ object AggQueries extends QueryGroup {
         .filter(col("total_dec") > 5000)
         .select(
           col("window.start").cast("timestamp_ntz").as("ws"),
-          col("total_dec").cast("double").as("total"), col("n"))
+          Dec.toDbl(col("total_dec")).as("total"), col("n"))
         .orderBy("ws")
     }),
 
@@ -284,7 +284,7 @@ object AggQueries extends QueryGroup {
         Tables.scan(s, dir, "lineitem"),
         col("l_suppkey"), Dec.d2(col("l_quantity")), salts = 16)
         .select(col("k").as("l_suppkey"),
-          col("total").cast("double").as("total_qty"), col("n"))
+          Dec.toDbl(col("total")).as("total_qty"), col("n"))
         .orderBy("l_suppkey")
     }),
 
@@ -515,7 +515,7 @@ object AggQueries extends QueryGroup {
     "agg_rollup" ->
       """SELECT COALESCE(n_name, 'ALL') AS n_name,
         |  COALESCE(yr, -1) AS yr,
-        |  CAST(SUM(sum_dec) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(sum_dec) AS VARCHAR) AS DOUBLE) AS revenue,
         |  CAST(SUM(cnt) AS BIGINT) AS n_orders
         |FROM (
         |  SELECT n_name, year(o_orderdate) AS yr,
@@ -532,13 +532,13 @@ object AggQueries extends QueryGroup {
       """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
         |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "agg_threshold" ->
-      """SELECT ws, CAST(total_dec AS DOUBLE) AS total, n FROM (
+      """SELECT ws, CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS total, n FROM (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - i * INTERVAL 1 HOUR AS ws,
         |    SUM(CAST(value AS DECIMAL(12,2))) AS total_dec,
         |    COUNT(*) AS n
@@ -552,16 +552,16 @@ object AggQueries extends QueryGroup {
       """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
         |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-        |    AS revenue
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "agg_skew_salted" ->
       """SELECT l_suppkey,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-        |    AS total_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS DOUBLE) AS total_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 

@@ -214,7 +214,7 @@ object CdcQueries extends QueryGroup {
         .join(cust, state("o_custkey") === cust("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum(Dec.d2(col("o_totalprice"))).cast("double").as("revenue"),
+          Dec.toDbl(sum(Dec.d2(col("o_totalprice")))).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")
     }))
@@ -344,8 +344,8 @@ object CdcQueries extends QueryGroup {
 
     "cdc_revenue_by_segment" ->
       """SELECT c_mktsegment,
-        |  CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
-        |       AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |       AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 7 <> 0

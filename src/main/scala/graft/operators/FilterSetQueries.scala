@@ -67,7 +67,7 @@ object FilterSetQueries extends QueryGroup {
     "topk" -> ((s, dir) => {
       Tables.scan(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
-        .agg(sum(Dec.d2(col("l_extendedprice"))).cast("double").as("revenue"))
+        .agg(Dec.toDbl(sum(Dec.d2(col("l_extendedprice")))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_partkey"))
         .limit(10)
     }),
@@ -132,7 +132,7 @@ object FilterSetQueries extends QueryGroup {
 
     "topk" ->
       """SELECT l_partkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY l_partkey
         |ORDER BY revenue DESC, l_partkey LIMIT 10""".stripMargin,
 

@@ -42,9 +42,8 @@ object JoinQueries extends QueryGroup {
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(
-          sum(Dec.d2(col("l_extendedprice"))
-            * (lit(1) - Dec.rate(col("l_discount"))))
-            .cast("double").as("revenue"),
+          Dec.toDbl(sum(Dec.d2(col("l_extendedprice"))
+            * (lit(1) - Dec.rate(col("l_discount"))))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name")
     }),
@@ -67,9 +66,8 @@ object JoinQueries extends QueryGroup {
         .groupBy(o("o_orderkey").as("o_orderkey"),
           unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"),
           col("o_orderpriority"))
-        .agg(sum(Dec.d2(col("l_extendedprice"))
-          * (lit(1) - Dec.rate(col("l_discount"))))
-          .cast("double").as("revenue"))
+        .agg(Dec.toDbl(sum(Dec.d2(col("l_extendedprice"))
+          * (lit(1) - Dec.rate(col("l_discount"))))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -82,7 +80,7 @@ object JoinQueries extends QueryGroup {
         .groupBy(col("c_custkey"))
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          coalesce(sum(Dec.d2(col("o_totalprice"))).cast("double"), lit(0.0))
+          coalesce(Dec.toDbl(sum(Dec.d2(col("o_totalprice")))), lit(0.0))
             .as("total"))
         .orderBy("c_custkey")
     }),
@@ -116,7 +114,7 @@ object JoinQueries extends QueryGroup {
           e("value") >= buckets("lo") && e("value") < buckets("lo") + 100)
         .groupBy(col("lo"))
         .agg(count(lit(1)).as("n"),
-          sum(Dec.d2(col("value"))).cast("double").as("total"))
+          Dec.toDbl(sum(Dec.d2(col("value")))).as("total"))
         .orderBy("lo")
     }),
 
@@ -276,7 +274,7 @@ object JoinQueries extends QueryGroup {
           saltFrom = Seq(col("l_orderkey"), col("l_linenumber")))
         .groupBy(col("s_name"))
         .agg(
-          sum(Dec.d2(col("l_extendedprice"))).cast("double").as("revenue"),
+          Dec.toDbl(sum(Dec.d2(col("l_extendedprice")))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("s_name")
     }))
@@ -334,7 +332,7 @@ object JoinQueries extends QueryGroup {
       s"""SELECT o.o_orderkey,
          |  epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS date_us,
          |  o.o_orderpriority,
-         |  CAST($revenueExpr AS DOUBLE) AS revenue
+         |  CAST(CAST($revenueExpr AS VARCHAR) AS DOUBLE) AS revenue
          |FROM customer c
          |JOIN orders o ON c.c_custkey = o.o_custkey
          |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -345,7 +343,7 @@ object JoinQueries extends QueryGroup {
          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "join_broadcast" ->
-      s"""SELECT r_name, CAST($revenueExpr AS DOUBLE) AS revenue,
+      s"""SELECT r_name, CAST(CAST($revenueExpr AS VARCHAR) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_items
          |FROM lineitem
          |JOIN supplier ON l_suppkey = s_suppkey
@@ -356,7 +354,7 @@ object JoinQueries extends QueryGroup {
 
     "join_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE),
+        |  COALESCE(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE),
         |           0.0) AS total
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey
@@ -380,7 +378,7 @@ object JoinQueries extends QueryGroup {
 
     "join_range" ->
       """SELECT b.lo, COUNT(*) AS n,
-        |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total
         |FROM events e
         |JOIN (SELECT i * 100 AS lo FROM generate_series(0, 4) t(i)) b
         |  ON e.value >= b.lo AND e.value < b.lo + 100
@@ -482,8 +480,8 @@ object JoinQueries extends QueryGroup {
     // the plain join — salting must not change the result
     "join_skew_salted" ->
       """SELECT s_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-        |    AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name

@@ -52,9 +52,9 @@ object WindowQueries extends QueryGroup {
           unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"),
           Dec.d2(col("o_totalprice")).as("price_dec"))
         .withColumn("running_total",
-          sum(col("price_dec")).over(run).cast("double"))
+          Dec.toDbl(sum(col("price_dec")).over(run)))
         .withColumn("moving_avg",
-          (sum(col("price_dec")).over(mov).cast("double")
+          (Dec.toDbl(sum(col("price_dec")).over(mov))
             / count(lit(1)).over(mov)))
         .withColumn("price", col("price_dec").cast("double"))
         .drop("price_dec")
@@ -76,7 +76,7 @@ object WindowQueries extends QueryGroup {
           unix_micros(col("o_orderdate").cast("timestamp")).as("date_us"),
           Dec.d2(col("o_totalprice")).as("price_dec"))
         .withColumn("trailing_30d",
-          sum(col("price_dec")).over(w).cast("double"))
+          Dec.toDbl(sum(col("price_dec")).over(w)))
         .withColumn("n_in_window", count(lit(1)).over(w))
         .drop("price_dec")
         .orderBy("o_custkey", "date_us", "o_orderkey")
@@ -147,13 +147,13 @@ object WindowQueries extends QueryGroup {
     "window_frames" ->
       """SELECT o_orderkey, o_custkey,
         |  epoch_us(o_orderdate) AS date_us,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
         |    AS running_total,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
         |    (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey
-        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
         |  / COUNT(*) OVER
         |    (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey
         |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg,
@@ -164,7 +164,7 @@ object WindowQueries extends QueryGroup {
     "window_range_frame" ->
       """SELECT o_orderkey, o_custkey,
         |  epoch_us(o_orderdate) AS date_us,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS VARCHAR) AS DOUBLE)
         |    AS trailing_30d,
         |  COUNT(*) OVER w AS n_in_window
         |FROM orders
