@@ -55,14 +55,111 @@ object DedupQueries extends QueryGroup {
         .distinct()
     }
 
+  /** Exact-duplicate text groups: one row per DISTINCT normalized text —
+    * `(rep, sz, members)` with `rep = min(doc_id)`. The pre-pass every
+    * production near-dup pipeline runs before the expensive stage: a
+    * corpus where each template has k copies pays the inverted-index
+    * join per DISTINCT text (k× fewer rows, k²× fewer candidate pairs)
+    * instead of per copy — the sf1 sweep corpus (10×-replicated docs)
+    * made the difference measurable at ~100× candidate work. Grouping
+    * key is the normalized text itself (exact — no hash-collision
+    * caveat on a graded path); the one text-width shuffle it costs is
+    * smaller than the shingle-explode shuffle it deletes. */
+  private[graft] def textGroups(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"dedup:groups:$dir") {
+      textGroupsOf(Tables.scanPar(s, dir, "documents"))
+    }
+
+  /** [[textGroups]] over an arbitrary (doc_id, text, …) frame. Callers
+    * applying a doc-level gate MUST group the GATED frame, not restrict
+    * the corpus groups: a gate can depend on non-text columns (`lang`),
+    * so identical texts may gate differently and a corpus group can mix
+    * gated and ungated members. */
+  private[graft] def textGroupsOf(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(lower(trim(col("text"))).as("_t"))
+      .agg(min(col("doc_id")).as("rep"),
+        count(lit(1)).as("sz"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .select("rep", "sz", "members")
+
+  /** GROUP-level verified near-dup pairs over the exact-dup quotient:
+    * `(da, db, jaccard)` where da/db are group REPS — `da < db` rows are
+    * cross-group pairs (exact Jaccard over the reps' shingle sets), and
+    * `da == db` rows mark groups of ≥2 identical texts that share at
+    * least one sub-cap shingle (Jaccard exactly 1.0).
+    *
+    * Semantics-preserving vs the doc-level build the oracles state: the
+    * df-cap counts documents, so the quotient index weights each rep's
+    * shingles by its group size (Σsz over groups containing s ≡ df over
+    * docs); identical texts have identical shingle sets, so the verified
+    * Jaccard of the reps is the Jaccard of any member pair; and a
+    * duplicate group is candidate-visible iff one of its shingles is
+    * sub-cap — exactly the self-join (ga == gb) row of the same index. */
+  private[graft] def groupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"dedup:gpairs:$dir") {
+      groupedPairBuild(textGroups(s, dir), shingles(s, dir))
+    }
+
+  /** The [[groupPairs]] engine, parameterized so other corpora (the
+    * pipeline's gated subset) reuse it: `g` is a text-group table
+    * (rep, sz, members), `shAll` a (doc_id, s) shingle table from which
+    * the reps' shingles are taken. */
+  private[graft] def groupedPairBuild(
+      g: DataFrame, shAll: DataFrame): DataFrame = {
+    val repSh = shAll
+      .join(g.select(col("rep").as("doc_id"), col("sz")), Seq("doc_id"))
+    val idx = repSh
+      .withColumn("_df", sum(col("sz")).over(Window.partitionBy("s")))
+      .filter(col("_df") <= maxShingleDf)
+      .select(col("doc_id"), col("s"))
+    val cand = idx.toDF("ga", "s").join(idx.toDF("gb", "s"), Seq("s"))
+      .filter(col("ga") <= col("gb"))
+      .select("ga", "gb").distinct()
+    val cross = verifyJaccard(
+      cand.filter(col("ga") < col("gb")).toDF("da", "db"),
+      repSh.select("doc_id", "s"), 0.5)
+    val self = cand.filter(col("ga") === col("gb"))
+      .join(g.filter(col("sz") >= 2).select(col("rep")),
+        col("ga") === col("rep"))
+      .select(col("ga").as("da"), col("gb").as("db"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(self)
+  }
+
+  /** Member expansion of a group-level pair table back to doc-level
+    * (da, db, jaccard) — the inverse of the quotient. */
+  private[graft] def expandPairs(g: DataFrame, gp: DataFrame): DataFrame = {
+    val mem = g.select(col("rep"), col("members"))
+    val cross = gp.filter(col("da") < col("db"))
+      .join(mem.toDF("_ga", "ma"), col("da") === col("_ga"))
+      .join(mem.toDF("_gb", "mb"), col("db") === col("_gb"))
+      .select(explode(col("ma")).as("a"), col("mb"), col("jaccard"))
+      .select(col("a"), explode(col("mb")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("da"),
+        greatest(col("a"), col("b")).as("db"), col("jaccard"))
+    val intra = gp.filter(col("da") === col("db"))
+      .join(mem, col("da") === col("rep"))
+      .select(col("members"), col("jaccard"))
+      .select(explode(col("members")).as("da"), col("members"),
+        col("jaccard"))
+      .select(col("da"), explode(col("members")).as("db"), col("jaccard"))
+      .filter(col("da") < col("db"))
+    cross.unionByName(intra)
+  }
+
   /** Verified near-dup pair table (Jaccard ≥ 0.5 over [[shingles]]) —
     * materialized once per (session, corpus). This is the shared "silver"
     * artifact of the dedup family: `dedup_ngram_jaccard` IS this table,
-    * `dedup_clusters` runs connected components over it. The first
-    * consumer pays the candidate-generation + verify cost. */
+    * `dedup_clusters` runs connected components over it. Built as the
+    * member expansion of [[groupPairs]]: a cross-group row fans out to
+    * all |ga|×|gb| member pairs carrying the group Jaccard, a self row to
+    * the group's C(sz,2) identical pairs at 1.0 — output identical to
+    * the direct doc-level build (the oracle states that form), but the
+    * candidate/verify work upstream is per distinct text. */
   private[graft] def sharedPairs(s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"dedup:jpairs:$dir") {
-      jaccardPairs(shingles(s, dir), 0.5)
+      expandPairs(textGroups(s, dir), groupPairs(s, dir))
     }
 
   /** LSH candidate pairs, materialized once per (session, corpus) — shared
@@ -424,15 +521,29 @@ object DedupQueries extends QueryGroup {
     // Jaccard pair graph (see [[connectedComponents]]). Oracle:
     // recursive-CTE transitive closure (viable in DuckDB because the
     // pair graph is small; the Spark form is the one that scales).
+    // CC runs on the GROUP-level quotient graph ([[groupPairs]]) and the
+    // components fan out to members afterwards — identical partitioning
+    // (identical texts are mutually connected whenever any of them is,
+    // and the quotient label min(rep) IS min(doc_id) since each rep is
+    // its group's minimum), but propagation never touches the k² edges
+    // inside a k-copy duplicate cluster.
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = sharedPairs(s, dir)
-        .select(col("da"), col("db"))
-      val (labels, _) = connectedComponents(pairs)
-      labels.groupBy(col("lbl").as("component"))
-        .agg(count(lit(1)).as("size"),
+      val gp = groupPairs(s, dir)
+      val edges = gp.filter(col("da") < col("db")).select("da", "db")
+      val (labels, _) = connectedComponents(edges)
+      val reps = gp
+        .select(explode(array(col("da"), col("db"))).as("rep")).distinct()
+      val comp = reps
+        .join(labels, reps("rep") === labels("v"), "left")
+        // intra-only groups have no quotient edge → own component
+        .select(col("rep"), coalesce(col("lbl"), col("rep")).as("component"))
+      comp.join(textGroups(s, dir), Seq("rep"))
+        .groupBy("component")
+        .agg(sum(col("sz")).as("size"),
           // joined to a string: the driver's pandas compare cannot hash
           // array-typed output columns
-          array_join(sort_array(collect_list(col("v"))), ",").as("members"))
+          array_join(array_sort(flatten(collect_list(col("members")))), ",")
+            .as("members"))
         .orderBy("component")
     }),
 

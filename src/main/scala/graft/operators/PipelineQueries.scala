@@ -60,12 +60,17 @@ object PipelineQueries extends QueryGroup {
     // table, so the cap semantics (and the oracle's HAVING over the gated
     // corpus) are unchanged.
     val pairs = graft.BoundedDfCache.getOrPersist(s, s"pipeline:jpairs:$dir") {
-      // no broadcast hint: the gated set is a corpus FRACTION (the same
-      // reason pipeline_contamination must not broadcast its split) — AQE
-      // picks broadcast at runtime when the id set is genuinely small
-      val sh = DedupQueries.shingles(s, dir)
-        .join(docs.select("doc_id"), Seq("doc_id"), "left_semi")
-      DedupQueries.jaccardPairs(sh, 0.5)
+      // grouped build (DedupQueries.groupedPairBuild) over the GATED
+      // corpus's own text groups — NOT the corpus groups restricted by
+      // rep: the lang gate reads a non-text column, so identical texts
+      // can gate differently and a corpus group can mix gated and
+      // ungated members (the sf1 sweep caught exactly that). Candidate
+      // generation and verify then run per DISTINCT gated text, and the
+      // weighted df-cap counts gated documents — the same cap the
+      // oracle's HAVING states over the gated corpus.
+      val g = DedupQueries.textGroupsOf(docs)
+      DedupQueries.expandPairs(g,
+        DedupQueries.groupedPairBuild(g, DedupQueries.shingles(s, dir)))
     }
     (docs, pairs)
   }
