@@ -127,6 +127,32 @@ object DedupQueries extends QueryGroup {
     cross.unionByName(self)
   }
 
+  /** Near-dup components computed on the group QUOTIENT graph, fanned
+    * out to members after labeling — identical partitioning to CC over
+    * the expanded doc pairs (identical texts are mutually connected
+    * whenever any of them is, and the quotient label min(rep) IS
+    * min(doc_id) since each rep is its group's minimum), but propagation
+    * never touches the k² edges inside a k-copy duplicate cluster. */
+  private[graft] def clustersViaQuotient(
+      g: DataFrame, gp: DataFrame): DataFrame = {
+    val edges = gp.filter(col("da") < col("db")).select("da", "db")
+    val (labels, _) = connectedComponents(edges)
+    val reps = gp
+      .select(explode(array(col("da"), col("db"))).as("rep")).distinct()
+    val comp = reps
+      .join(labels, reps("rep") === labels("v"), "left")
+      // intra-only groups have no quotient edge → own component
+      .select(col("rep"), coalesce(col("lbl"), col("rep")).as("component"))
+    comp.join(g, Seq("rep"))
+      .groupBy("component")
+      .agg(sum(col("sz")).as("size"),
+        // joined to a string: the driver's pandas compare cannot hash
+        // array-typed output columns
+        array_join(array_sort(flatten(collect_list(col("members")))), ",")
+          .as("members"))
+      .orderBy("component")
+  }
+
   /** Member expansion of a group-level pair table back to doc-level
     * (da, db, jaccard) — the inverse of the quotient. */
   private[graft] def expandPairs(g: DataFrame, gp: DataFrame): DataFrame = {
@@ -157,9 +183,25 @@ object DedupQueries extends QueryGroup {
     * the group's C(sz,2) identical pairs at 1.0 — output identical to
     * the direct doc-level build (the oracle states that form), but the
     * candidate/verify work upstream is per distinct text. */
+  /** Duplication-ratio decision for the quotient path: one bounded
+    * control-plane aggregate (a single row) over the group table. Below
+    * the threshold the corpus is essentially dup-free and the quotient's
+    * extra stages (group join, weighted window, member expansion) cost
+    * ~2 s per family entry without deleting any candidate work — the
+    * direct doc-level build is strictly better there. The oracle states
+    * the doc-level form, and QuotientEquivalence in DedupSimilaritySpec
+    * proves the two paths row-identical on a dup-heavy corpus, so the
+    * branch can never change results, only cost. */
+  private[graft] def quotientPays(g: DataFrame): Boolean = {
+    val r = g.agg(sum(col("sz")).as("d"), count(lit(1)).as("g")).head()
+    r.getLong(0).toDouble / r.getLong(1) >= 1.05
+  }
+
   private[graft] def sharedPairs(s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"dedup:jpairs:$dir") {
-      expandPairs(textGroups(s, dir), groupPairs(s, dir))
+      val g = textGroups(s, dir)
+      if (quotientPays(g)) expandPairs(g, groupPairs(s, dir))
+      else jaccardPairs(shingles(s, dir), 0.5)
     }
 
   /** LSH candidate pairs, materialized once per (session, corpus) — shared
@@ -528,23 +570,19 @@ object DedupQueries extends QueryGroup {
     // its group's minimum), but propagation never touches the k² edges
     // inside a k-copy duplicate cluster.
     "dedup_clusters" -> ((s, dir) => {
-      val gp = groupPairs(s, dir)
-      val edges = gp.filter(col("da") < col("db")).select("da", "db")
-      val (labels, _) = connectedComponents(edges)
-      val reps = gp
-        .select(explode(array(col("da"), col("db"))).as("rep")).distinct()
-      val comp = reps
-        .join(labels, reps("rep") === labels("v"), "left")
-        // intra-only groups have no quotient edge → own component
-        .select(col("rep"), coalesce(col("lbl"), col("rep")).as("component"))
-      comp.join(textGroups(s, dir), Seq("rep"))
-        .groupBy("component")
-        .agg(sum(col("sz")).as("size"),
-          // joined to a string: the driver's pandas compare cannot hash
-          // array-typed output columns
-          array_join(array_sort(flatten(collect_list(col("members")))), ",")
-            .as("members"))
-        .orderBy("component")
+      val g = textGroups(s, dir)
+      if (quotientPays(g)) clustersViaQuotient(g, groupPairs(s, dir))
+      else {
+        val pairs = sharedPairs(s, dir).select(col("da"), col("db"))
+        val (labels, _) = connectedComponents(pairs)
+        labels.groupBy(col("lbl").as("component"))
+          .agg(count(lit(1)).as("size"),
+            // joined to a string: the driver's pandas compare cannot
+            // hash array-typed output columns
+            array_join(sort_array(collect_list(col("v"))), ",")
+              .as("members"))
+          .orderBy("component")
+      }
     }),
 
     // op 45d: embedding-cosine near-dup pairs — exact, oracle-verified.

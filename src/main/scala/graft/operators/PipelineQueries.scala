@@ -68,9 +68,18 @@ object PipelineQueries extends QueryGroup {
       // generation and verify then run per DISTINCT gated text, and the
       // weighted df-cap counts gated documents — the same cap the
       // oracle's HAVING states over the gated corpus.
+      // adaptive (same rule as DedupQueries.sharedPairs): on an
+      // essentially dup-free gated corpus the quotient's extra stages
+      // cost more than they save — fall back to the direct doc-level
+      // build over the gate-restricted shared shingle table.
       val g = DedupQueries.textGroupsOf(docs)
-      DedupQueries.expandPairs(g,
-        DedupQueries.groupedPairBuild(g, DedupQueries.shingles(s, dir)))
+      if (DedupQueries.quotientPays(g))
+        DedupQueries.expandPairs(g,
+          DedupQueries.groupedPairBuild(g, DedupQueries.shingles(s, dir)))
+      else
+        DedupQueries.jaccardPairs(
+          DedupQueries.shingles(s, dir)
+            .join(docs.select("doc_id"), Seq("doc_id"), "left_semi"), 0.5)
     }
     (docs, pairs)
   }

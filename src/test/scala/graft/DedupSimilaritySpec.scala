@@ -198,6 +198,50 @@ class DedupSimilaritySpec extends SparkSpec {
       s"LSH recall vs exact below floor: ${r.getAs[Double]("recall_vs_exact")}")
   }
 
+  test("quotient pair build and clusters are row-identical to the " +
+      "direct doc-level build on a dup-heavy corpus") {
+    import org.apache.spark.sql.functions._
+    // the sf1-sweep shape in miniature: the corpus ∪ two key-shifted
+    // replicas, so every text sits in a 3-copy duplicate group
+    val base = graft.sources.Tables.scan(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val docs = (0 to 2).map(i => base.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.VectorFunctions
+        .wordShingles(lower(trim(col("text"))), 4)).as("s")).distinct()
+    val g = DedupQueries.textGroupsOf(docs)
+    assert(DedupQueries.quotientPays(g), "3-copy corpus must take the " +
+      "quotient path")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+          r.getAs[Double]("jaccard"))).toSet
+    val direct = pairSet(DedupQueries.jaccardPairs(sh, 0.5))
+    val gp = DedupQueries.groupedPairBuild(g, sh)
+    val quotient = pairSet(DedupQueries.expandPairs(g, gp))
+    assert(quotient == direct,
+      s"pair sets differ: only-quotient=${(quotient -- direct).take(3)} " +
+        s"only-direct=${(direct -- quotient).take(3)}")
+    assert(direct.nonEmpty)
+    // clusters: quotient CC + member fan-out ≡ CC over expanded pairs
+    def clusterSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getAs[Long]("component"), r.getAs[Long]("size"),
+          r.getAs[String]("members"))).toSet
+    val (labels, _) = DedupQueries.connectedComponents(
+      DedupQueries.expandPairs(g, gp).select(col("da"), col("db")))
+    val directClusters = clusterSet(
+      labels.groupBy(col("lbl").as("component"))
+        .agg(count(lit(1)).as("size"),
+          array_join(sort_array(collect_list(col("v"))), ",")
+            .as("members")))
+    val quotientClusters =
+      clusterSet(DedupQueries.clustersViaQuotient(g, gp))
+    assert(quotientClusters == directClusters)
+  }
+
   test("df-cap kills stop-shingle candidate blowup without losing true pairs") {
     import spark.implicits._
     // 60 unrelated docs that all share one boilerplate shingle (df=60),
