@@ -311,12 +311,22 @@ object CdcOps {
         // window, and then the racer's complete archive is exactly what
         // must survive. A failed rename means a committed root stands:
         // discard staging (lost race).
-        if (fs.exists(root)) fs.delete(root, true) // stale incomplete dir
-        if (fs.rename(staging, root)) {
-          val nested = new Path(root, staging.getName)
-          if (fs.exists(nested)) fs.delete(nested, true)
+        // Re-probe the commit marker IMMEDIATELY before touching root
+        // (round-8 ADVICE): a racer completing its publish between the
+        // two probes has a complete archive that must survive — without
+        // this the delete below would remove committed data and the
+        // "stale incomplete only" invariant documented above would rest
+        // on both stagings holding identical content.
+        if (fs.exists(done)) {
+          fs.delete(staging, true) // lost the race inside the window
         } else {
-          fs.delete(staging, true)
+          if (fs.exists(root)) fs.delete(root, true) // stale incomplete dir
+          if (fs.rename(staging, root)) {
+            val nested = new Path(root, staging.getName)
+            if (fs.exists(nested)) fs.delete(nested, true)
+          } else {
+            fs.delete(staging, true)
+          }
         }
       }
     }

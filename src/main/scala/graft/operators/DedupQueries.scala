@@ -194,7 +194,9 @@ object DedupQueries extends QueryGroup {
     * branch can never change results, only cost. */
   private[graft] def quotientPays(g: DataFrame): Boolean = {
     val r = g.agg(sum(col("sz")).as("d"), count(lit(1)).as("g")).head()
-    r.getLong(0).toDouble / r.getLong(1) >= 1.05
+    // sum over an empty group table (empty or all-filtered corpus) is
+    // null — take the direct path rather than NPE (round-8 ADVICE)
+    !r.isNullAt(0) && r.getLong(0).toDouble / r.getLong(1) >= 1.05
   }
 
   private[graft] def sharedPairs(s: SparkSession, dir: String): DataFrame =
@@ -526,12 +528,17 @@ object DedupQueries extends QueryGroup {
         .crossJoin(ver.agg(count(lit(1)).as("n_verified")))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
         .crossJoin(tp.agg(count(lit(1)).as("n_true_positive")))
+      // zero-denominator guards (round-8 ADVICE): on a dup-free corpus
+      // there is nothing to find and nothing was falsely proposed —
+      // report a perfect 1.0, not null/NaN, so the row stays well-defined
       counts.select(col("n_candidates"), col("n_verified"), col("n_exact"),
         col("n_true_positive"),
-        (col("n_verified").cast("double") / col("n_candidates"))
-          .as("candidate_precision"),
-        (col("n_true_positive").cast("double") / col("n_exact"))
-          .as("recall_vs_exact"))
+        when(col("n_candidates") > 0,
+          col("n_verified").cast("double") / col("n_candidates"))
+          .otherwise(lit(1.0)).as("candidate_precision"),
+        when(col("n_exact") > 0,
+          col("n_true_positive").cast("double") / col("n_exact"))
+          .otherwise(lit(1.0)).as("recall_vs_exact"))
     }),
 
     // op 45c: SimHash — tf-weighted 64-bit signature; pairs at Hamming ≤ 3
