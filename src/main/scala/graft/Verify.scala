@@ -21,13 +21,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errDir = Paths.get(s"$outDir/_errors")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // FAIL LOUDLY: a query that throws at construction/analysis must
+        // still appear in the graded surface. Write a one-row sentinel
+        // parquet (hash-mismatches any oracle → shows red, never vanishes)
+        // plus the full message under _errors/ for diagnosis.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("graft_query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          Files.createDirectories(errDir)
+          Files.writeString(errDir.resolve(s"$name.txt"), msg)
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+        }
       }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

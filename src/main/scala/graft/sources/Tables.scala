@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Batch scans over the harness star schema (/root/repo/TESTDATA.md).
@@ -22,14 +23,29 @@ object Tables {
 
   def scan(spark: SparkSession, sfDir: String, table: String): DataFrame =
     if (table == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-      // (PARQUET_TYPE_ILLEGAL) unless read as a raw long; normalize to
-      // µs-truncated TIMESTAMP_NTZ to match every other table (and DuckDB's
-      // CAST(ts AS TIMESTAMP), which also truncates ns → µs).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$table.parquet")
-        .withColumn("ts",
-          timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and plain
+      // timestamp[us] across harness generations, so adapt to the file:
+      //  - µs/ms data reads as a timestamp directly → just normalize to NTZ;
+      //  - NANOS data makes Spark 4 throw at schema inference
+      //    (PARQUET_TYPE_ILLEGAL) unless read as a raw long, so only THAT
+      //    path enables the legacy nanosAsLong conf (keeping the session
+      //    conf untouched for the common case) and µs-truncates — matching
+      //    DuckDB's CAST(ts AS TIMESTAMP), which also truncates ns → µs.
+      val path = s"$sfDir/$table.parquet"
+      val df =
+        try spark.read.parquet(path)
+        catch {
+          case _: Throwable =>
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(path)
+        }
+      df.schema("ts").dataType match {
+        case LongType => // nanos-as-long epoch value
+          df.withColumn("ts",
+            timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+        case _ =>
+          df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     } else spark.read.parquet(s"$sfDir/$table.parquet")
 
   /** [[scan]] repartitioned to the session's parallelism — for per-row
