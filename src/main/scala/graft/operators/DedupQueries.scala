@@ -221,6 +221,34 @@ object DedupQueries extends QueryGroup {
       verifyJaccard(lshCandidates(s, dir), shingles(s, dir), 0.5)
     }
 
+  /** SimHash near-dup pairs `(da, db, hamming ≤ 3)` — materialized once
+    * per (session, corpus) and shared by `dedup_simhash` and its quality
+    * report. Features are the same 4-word shingles as the Jaccard/MinHash
+    * variants, so Hamming distance approximates shingle-set overlap
+    * (unigram features would measure vocabulary similarity instead and
+    * flag same-topic docs as dups). Signatures come from the codegen'd
+    * one-pass kernel (graft.functions.SimHash64); pairs at Hamming ≤ 3
+    * are found via the 4×16-bit block pigeonhole join — any pair within
+    * radius 3 agrees on ≥1 block exactly, so the block equi-join sees
+    * exactly those pairs without an all-pairs compare. */
+  private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"dedup:shpairs:$dir") {
+      val sigs = shingleArray(s, dir)
+        .select(col("doc_id"),
+          VectorFunctions.simhash64(col("sh_feats")).as("sh"))
+      val blocks = sigs.select(col("doc_id"), col("sh"),
+        expr("explode(transform(sequence(0, 3), " +
+          "k -> struct(k, shiftright(sh, k * 16) & 65535 AS blk)))").as("e"))
+        .select(col("doc_id"), col("sh"), col("e.k"), col("e.blk"))
+      blocks.toDF("da", "sha", "k", "blk")
+        .join(blocks.toDF("db", "shb", "k", "blk"), Seq("k", "blk"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"),
+          bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    }
+
   /** Shared-span run table for the positional (substring) dedup family:
     * one row per maximal run of consecutively-matching 4-word shingles
     * on an alignment diagonal — `(da, db, diag, run, pb0)` with `run`
@@ -543,27 +571,51 @@ object DedupQueries extends QueryGroup {
 
     // op 45c: SimHash — tf-weighted 64-bit signature; pairs at Hamming ≤ 3
     // found via 4×16-bit block pigeonhole join (exact for that radius).
-    "dedup_simhash" -> ((s, dir) => {
-      // features = the same 4-word shingles as the Jaccard/MinHash variants,
-      // so Hamming distance approximates shingle-set overlap (unigram
-      // features would measure vocabulary similarity instead and flag
-      // same-topic docs as dups)
-      val sigs = shingleArray(s, dir)
-        .select(col("doc_id"),
-          // codegen'd one-pass kernel (graft.functions.SimHash64)
-          VectorFunctions.simhash64(col("sh_feats")).as("sh"))
-      val blocks = sigs.select(col("doc_id"), col("sh"),
-        expr("explode(transform(sequence(0, 3), " +
-          "k -> struct(k, shiftright(sh, k * 16) & 65535 AS blk)))").as("e"))
-        .select(col("doc_id"), col("sh"), col("e.k"), col("e.blk"))
-      blocks.toDF("da", "sha", "k", "blk")
-        .join(blocks.toDF("db", "shb", "k", "blk"), Seq("k", "blk"))
-        .filter(col("da") < col("db"))
-        .select(col("da"), col("db"),
-          bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("da", "db")
+    "dedup_simhash" -> ((s, dir) =>
+      simhashPairs(s, dir).orderBy("da", "db")),
+
+    // op 45c': hamming-vs-Jaccard quality histogram for the SimHash stage
+    // — the `dedup_lsh_quality` analog: does Hamming distance actually
+    // track shingle overlap on this corpus, and what τ does radius 3 buy?
+    // One row per Hamming distance found (0..3): pair count, how many are
+    // true near-dups (∈ the exact Jaccard-≥0.5 pair table), per-bucket
+    // precision, the Jaccard spread (mean/min/max, exact full-set values
+    // — a pair with NO shared shingle scores 0.0, not null), and the
+    // CUMULATIVE recall of the exact pairs at radius ≤ h (the last row is
+    // the stage's total recall — the number a deployment tuning the
+    // radius reads). Rows-only (xxhash64-based signatures are
+    // Spark-specific); the report ≡ recomputed-from-pair-tables contract
+    // is asserted in DedupSimilaritySpec. Cheap in a bench rep: both pair
+    // tables are session-cached artifacts other graded entries already
+    // pay for; the only new work is one candidate-bounded verify at τ=0
+    // and a ≤4-row aggregate.
+    "dedup_simhash_quality" -> ((s, dir) => {
+      val pairs = simhashPairs(s, dir)
+      val jac = verifyJaccard(pairs.select("da", "db"), shingles(s, dir), 0.0)
+      val exact = sharedPairs(s, dir)
+        .select(col("da"), col("db"), lit(1).as("_ex"))
+      val graded = pairs
+        .join(jac, Seq("da", "db"), "left")
+        .withColumn("jaccard", coalesce(col("jaccard"), lit(0.0)))
+        .join(exact, Seq("da", "db"), "left")
+      val hist = graded.groupBy("hamming").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("_ex").isNotNull, 1L).otherwise(0L)).as("n_exact_dup"),
+        avg(col("jaccard")).as("mean_jaccard"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+      // ≤4 rows from here on: the unpartitioned cumulative window and the
+      // crossJoin'd total are control-plane sized, never corpus sized
+      hist.crossJoin(exact.agg(count(lit(1)).as("n_exact_total")))
+        .select(col("hamming"), col("n_pairs"), col("n_exact_dup"),
+          (col("n_exact_dup").cast("double") / col("n_pairs"))
+            .as("precision"),
+          col("mean_jaccard"), col("min_jaccard"), col("max_jaccard"),
+          when(col("n_exact_total") > 0,
+            sum(col("n_exact_dup")).over(Window.orderBy("hamming"))
+              .cast("double") / col("n_exact_total"))
+            .otherwise(lit(1.0)).as("recall_cum"))
+        .orderBy("hamming")
     }),
 
     // op 45e: near-dup clusters — connected components over the exact
@@ -617,143 +669,119 @@ object DedupQueries extends QueryGroup {
     }))
 
   /** Connected components over an undirected pair graph `(da, db)` by
-    * iterative min-label propagation; returns `(labels (v, lbl), rounds)`
-    * where `lbl` is the component id (= min member).
+    * the ALTERNATING large-star / small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14); returns
+    * `(labels (v, lbl), rounds)` where `lbl` is the component id
+    * (= min member).
     *
-    * Scale design: every round is one distributed join + aggregate;
-    * rounds ≈ graph diameter, which for near-dup graphs is tiny. The
-    * driver only orchestrates — nothing row-sized is ever collected.
+    * Why star-contraction instead of min-label propagation: propagation
+    * keeps joining the FULL edge set every round — on a dup-dense corpus
+    * (k-copy template clusters, k² edges each) that is O(|E|) per round
+    * for the whole run. LS/SS rewrites the edge set itself each round:
     *
-    * Exactly ONE Spark action per round: the round's labels carry an
-    * `observe` metric counting changed labels, and a single `count()` on
-    * the cached result both materializes the round (so the next
-    * iteration — and the convergence decision — never recompute it
-    * through lineage) and delivers the convergence metric as a
-    * side-effect. The old shape (lazy `next` + separate probe
-    * join/count) computed every round twice.
+    *  - large-star: every node's strictly-larger neighbors re-attach to
+    *    the minimum of its neighborhood (including itself) —
+    *    `emit (v, min(Γ(u) ∪ u)) for v ∈ Γ(u), v > u`;
+    *  - small-star: every node's smaller-or-equal neighbors (plus the
+    *    node) re-attach to the smallest of them —
+    *    `emit (v, min(Γ≤(u) ∪ u)) for v ∈ Γ≤(u) ∪ u`.
     *
-    * Rounds beyond the first two ALSO compress labels one hop
-    * (`lbl ← lbl(lbl)`, the pointer-jumping half of star-contraction CC):
-    * labels always point at a vertex of the same component, so the
-    * compressed label stays in component, and min-labels then travel
-    * geometrically instead of one edge per round — rounds ≈ log(diameter),
-    * not diameter. On a 100 TB near-dup graph a single chain-shaped
-    * component of length d would otherwise pin the whole job to d rounds.
-    * The jump is gated to round ≥ 3 because it costs one extra same-size
-    * join per round: near-dup graphs converge in 2-3 rounds for the
-    * typical tight clusters, so the common case never pays, while a deep
-    * chain — the only shape still unconverged by round 3 — gets the
-    * geometric acceleration exactly when it matters. Rounds ≥ 4 jump
-    * TWICE (compose the pointer table with itself through the hop
-    * result): label distance then multiplies ~3× per round instead of
-    * ~2×, cutting round count further on the deep-chain tail.
+    * Both are one groupBy(min) + one join back, map-side combinable and
+    * skew-tolerant under AQE. A k-clique collapses to a k-star in ONE
+    * round (each member's neighborhood min is the clique min), so the
+    * per-round edge set shrinks geometrically on exactly the dense
+    * near-dup graphs where propagation stalls; chains converge in
+    * O(log d) alternations. At convergence every component is a star
+    * rooted at its minimum, so the star edges ARE the labels.
     *
-    * Edge contraction (the star-contraction half, à la large-star/
-    * small-star CC): every truncation round also rewrites the edge set
-    * to the label-quotient graph — each edge's endpoints are replaced by
-    * their current labels, self-loops (endpoints already co-labeled)
-    * drop, duplicates collapse. Near-dup graphs are dense tight
-    * clusters, so most edges become self-loops within the first rounds
-    * and the per-round join cost shrinks geometrically instead of
-    * staying O(|E|) for the whole run; vertices whose edges contracted
-    * away still resolve through the jump steps (their labels chase the
-    * representative's label), and the convergence check spans ALL
-    * vertices, so the loop cannot exit while any stale pointer
-    * remains. */
+    * Per round: three Spark actions — two eager `localCheckpoint`s (one
+    * per star step: each output is consumed twice downstream and the
+    * checkpoint also truncates lineage, which otherwise compounds
+    * geometrically because large-star references the edge set twice) and
+    * one single-row fingerprint aggregate `(count, sum(xxhash64))` whose
+    * fixpoint is the convergence test (star steps never cycle: the
+    * potential Σ height strictly decreases, so an unchanged fingerprint
+    * means an unchanged edge set up to a 2⁻⁶⁴ hash-sum collision). The
+    * driver only ever sees that one fingerprint row — no labels are
+    * collected. */
   private[graft] def connectedComponents(
       pairs: DataFrame): (DataFrame, Int) = {
-    // materialize the symmetrized edge list once — every round would
-    // otherwise recompute the candidate-pair engine through lineage
-    // (var: truncation rounds re-bind it to the contracted quotient graph)
+    // canonical undirected edge list (u < v), self-loops dropped;
+    // materialized once so rounds never recompute the candidate-pair
+    // engine through lineage
     var edges = pairs
-      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+      .select(least(col("da"), col("db")).as("u"),
+        greatest(col("da"), col("db")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint()
-    val verts = edges.select(col("da").as("v")).distinct()
-    var labels = verts.withColumn("lbl", col("v"))
-    var cachedPrev: DataFrame = null
-    var converged = false
+    // label surface = every vertex that appeared in `pairs`, including
+    // self-loop-only vertices whose edges were just dropped
+    val verts = pairs.select(col("da").as("v0"))
+      .unionByName(pairs.select(col("db").as("v0")))
+      .distinct()
+
+    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+      // hash-SUM not hash-XOR so a swap of two edges can't cancel; summed
+      // as decimal(38,0) because an ANSI-mode BIGINT sum of 2⁶³-scale
+      // hashes overflows after a handful of rows
+      val r = e.agg(count(lit(1)).as("c"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h")).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+
+    var fp = fingerprint(edges)
+    var converged = fp._1 == 0L
     var rounds = 0
     while (!converged && rounds < 40) {
-      val nbrMin = edges
-        .join(labels, edges("db") === labels("v"))
-        .groupBy(edges("da").as("v2"))
-        .agg(min(col("lbl")).as("nbl"))
-      // neighbor-min step (one edge hop) …
-      val hop = labels.join(nbrMin, labels("v") === col("v2"), "left")
-        .select(labels("v").as("v"),
-          least(labels("lbl"), coalesce(col("nbl"), labels("lbl")))
-            .as("lbl"),
-          labels("lbl").as("_old"))
-      // … then, once past the cheap rounds, pointer-jump: adopt the
-      // label OF the label when smaller; from round 4 jump a second time
-      // through the same pointer table (see scaladoc)
-      val jumped =
-        if (rounds < 2) hop
-        else {
-          val nJumps = if (rounds < 3) 1 else 2
-          var acc = hop
-          for (_ <- 1 to nJumps) {
-            val ptr = labels.select(col("v").as("pv"), col("lbl").as("plbl"))
-            acc = acc.join(ptr, acc("lbl") === col("pv"), "left")
-              .select(acc("v").as("v"),
-                least(acc("lbl"), coalesce(col("plbl"), acc("lbl")))
-                  .as("lbl"),
-                col("_old"))
-          }
-          acc
-        }
-      // Each round references the previous round's labels plan 2-3 times,
-      // so the LOGICAL plan grows geometrically across rounds — cache()
-      // does not truncate lineage, and past ~10 rounds plan bookkeeping
-      // alone (explain strings, optimizer passes) blows up. Every 5th
-      // round is therefore a TRUNCATION round: eager localCheckpoint cuts
-      // the plan to a leaf (its materialization is that round's single
-      // action) and convergence is simply re-checked next round.
-      val next =
-        if (rounds % 5 == 4) {
-          val ckpt = jumped.drop("_old").localCheckpoint() // eager: 1 action
-          // contraction round: rewrite the edge set as the label-quotient
-          // graph. Endpoints already co-labeled become self-loops and
-          // vanish; parallel quotient edges collapse under distinct. The
-          // surviving graph connects only still-unmerged representatives,
-          // so the remaining rounds join against a geometrically smaller
-          // edge set (the star-contraction half of LS/SS CC). Quotient
-          // labels are vertex ids, so propagation over quotient edges
-          // keeps feeding the same `labels` frame; contracted-away
-          // vertices resolve via the jump steps.
-          val la = ckpt.select(col("v").as("_ca"), col("lbl").as("_la"))
-          val lb = ckpt.select(col("v").as("_cb"), col("lbl").as("_lb"))
-          edges = edges
-            .join(la, edges("da") === col("_ca"))
-            .join(lb, edges("db") === col("_cb"))
-            .select(col("_la").as("da"), col("_lb").as("db"))
-            .filter(col("da") =!= col("db"))
-            .distinct()
-            .localCheckpoint() // eager: the round's 2nd (bounded) action
-          converged = false
-          ckpt
-        } else {
-          val obs = org.apache.spark.sql.Observation()
-          val n = jumped
-            .observe(obs, sum(when(col("lbl") =!= col("_old"), 1L)
-              .otherwise(0L)).as("changed"))
-            .drop("_old")
-            .cache()
-          n.count() // the round's single action (metric rides along)
-          converged = (obs.get.get("changed") match {
-            case Some(c: Long) => c
-            case _             => 0L // empty vertex set → no metric row
-          }) == 0L
-          n
-        }
-      // frees CACHED rounds; for a checkpointed round the call is a no-op
-      // (no CacheManager entry) and its RDD blocks are instead reclaimed
-      // by the ContextCleaner once later rounds drop the last reference
-      if (cachedPrev != null) cachedPrev.unpersist()
-      cachedPrev = next
-      labels = next
+      // Both steps work directly on the CANONICAL orientation — no
+      // symmetrize-union. (Besides halving the groupBy input, this
+      // sidesteps a Catalyst constraint-rewrite crash on self-unions of
+      // one checkpointed plan with swapped columns.)
+      //
+      // large-star: node x's strictly-larger neighbors are exactly the
+      // v's of edges (x, v), and m(x) = min(Γ(x) ∪ x) can only come from
+      // x itself or a SMALLER neighbor — i.e. the u's of edges (u, x) —
+      // so one groupBy over the big endpoint yields every node's m.
+      // Every canonical edge (u, v) then re-attaches v to m(u); since
+      // m(u) ≤ u < v the output is already canonical, and every edge is
+      // emitted exactly once (from its smaller endpoint) so connectivity
+      // is preserved while tall trees flatten.
+      val lsMin = edges.groupBy(col("v").as("n")).agg(min(col("u")).as("mn"))
+      val ls = edges.join(lsMin, edges("u") === col("n"), "left")
+        .select(coalesce(col("mn"), edges("u")).as("u"), edges("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // small-star: node v's smaller-or-equal neighbors are exactly the
+      // u's of (u, v); their joint min m = min(Γ≤(v) ∪ v) = min of the
+      // u's. Re-attach each u AND v itself to m — emitted per-edge (the
+      // (m, v) edge repeats once per neighbor; distinct collapses it).
+      // Dense clusters collapse to a star here. m ≤ u < v keeps both
+      // outputs canonical.
+      val ssMin = ls.groupBy(col("v").as("n")).agg(min(col("u")).as("mn"))
+      val ss = ls.join(ssMin, ls("v") === col("n"))
+        .select(explode(array(
+          struct(col("mn").as("a"), ls("u").as("b")),
+          struct(col("mn").as("a"), ls("v").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val fp2 = fingerprint(ss)
+      converged = fp2 == fp
+      fp = fp2
+      edges = ss
       rounds += 1
     }
+    // converged edge set = disjoint stars rooted at each component's
+    // minimum: the edges are the labels. min() is belt-and-braces (at a
+    // true fixpoint each non-root vertex has exactly one root pointer);
+    // vertices with no surviving edge are their own component.
+    val roots = edges.groupBy(col("v").as("vv")).agg(min(col("u")).as("rt"))
+    val labels = verts.join(roots, col("v0") === col("vv"), "left")
+      .select(col("v0").as("v"), coalesce(col("rt"), col("v0")).as("lbl"))
     (labels, rounds)
   }
 

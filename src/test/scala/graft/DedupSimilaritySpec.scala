@@ -198,6 +198,47 @@ class DedupSimilaritySpec extends SparkSpec {
       s"LSH recall vs exact below floor: ${r.getAs[Double]("recall_vs_exact")}")
   }
 
+  test("dedup_simhash_quality histogram closes against the graded pair " +
+      "tables") {
+    val report = DedupQueries.queries("dedup_simhash_quality")(spark, sfDir)
+      .collect()
+    assert(report.nonEmpty, "simhash finds pairs on this corpus")
+    // recompute the histogram from the graded entries themselves — the
+    // report is a twin of dedup_simhash + dedup_ngram_jaccard, not a new
+    // truth
+    val sh = DedupQueries.queries("dedup_simhash")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Int]("hamming")).toMap
+    val exact = pairs("dedup_ngram_jaccard")
+    val byHam = sh.groupBy(_._2).view
+      .mapValues(_.keys.toSet).toMap
+    assert(report.map(_.getAs[Int]("hamming")).toSet == byHam.keySet)
+    var cum = 0L
+    report.sortBy(_.getAs[Int]("hamming")).foreach { r =>
+      val h = r.getAs[Int]("hamming")
+      val inBucket = byHam(h)
+      assert(r.getAs[Long]("n_pairs") == inBucket.size)
+      val tp = inBucket.intersect(exact).size.toLong
+      assert(r.getAs[Long]("n_exact_dup") == tp)
+      assert(r.getAs[Double]("precision") == tp.toDouble / inBucket.size)
+      cum += tp
+      assert(r.getAs[Double]("recall_cum") == cum.toDouble / exact.size,
+        s"hamming=$h cumulative recall mismatch")
+      val (mn, mx) = (r.getAs[Double]("min_jaccard"),
+        r.getAs[Double]("max_jaccard"))
+      assert(mn >= 0.0 && mx <= 1.0 && mn <= mx)
+      assert(r.getAs[Double]("mean_jaccard") >= mn
+        && r.getAs[Double]("mean_jaccard") <= mx)
+    }
+    // the whole point of the report: low Hamming radius over shingle
+    // features must actually find near-dups — true-dup mass, not noise
+    val totalPairs = report.map(_.getAs[Long]("n_pairs")).sum
+    val totalTp = report.map(_.getAs[Long]("n_exact_dup")).sum
+    assert(totalTp.toDouble / totalPairs >= 0.5,
+      s"simhash radius-3 precision collapsed: $totalTp/$totalPairs")
+  }
+
   test("quotient pair build and clusters are row-identical to the " +
       "direct doc-level build on a dup-heavy corpus") {
     import org.apache.spark.sql.functions._
@@ -296,8 +337,8 @@ class DedupSimilaritySpec extends SparkSpec {
     import spark.implicits._
     // a 200-vertex path — diameter 199. Hop-only min-label propagation
     // moves the min ONE edge per round, so this would slam into the
-    // 20-round safety cap and return unconverged labels; the round-gated
-    // pointer jump (lbl ← lbl(lbl)) moves it geometrically instead.
+    // round safety cap and return unconverged labels; alternating
+    // large-star/small-star halves tree height per round instead.
     val n = 200L
     val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("da", "db")
     val (labels, rounds) =
@@ -306,13 +347,10 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lbls.length == n)
     assert(lbls.forall(_._2 == 0L), "chain must collapse to one component")
     info(s"200-vertex chain converged in $rounds rounds")
-    // double pointer jumping (round ≥ 4) + quotient-graph contraction at
-    // truncation rounds: distance multiplies ~3× per late round, so the
-    // diameter-199 path stays well under the old ≤15 bound
     assert(rounds <= 10, s"deep chain took $rounds rounds (expected ~log d)")
   }
 
-  test("connected components: one Spark action per propagation round") {
+  test("connected components: bounded actions per star round") {
     import spark.implicits._
     // two chains + a pair: path 20-21-22-23 forces multiple rounds
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
@@ -335,10 +373,12 @@ class DedupSimilaritySpec extends SparkSpec {
       var last = -1
       var cur = actions.get
       while (cur != last) { Thread.sleep(500); last = cur; cur = actions.get }
-      assert(rounds >= 3, s"path graph should need several rounds: $rounds")
-      // one count per round, plus at most bookkeeping for the edge-list
-      // checkpoint — the old lazy-probe shape was ≥ 2 per round
-      assert(cur <= rounds + 2, s"$cur actions for $rounds rounds")
+      assert(rounds >= 2, s"path graph should need several rounds: $rounds")
+      // the LS/SS contract: exactly two eager checkpoints + one
+      // single-row fingerprint per round, plus the initial edge-list
+      // checkpoint and fingerprint — driver work stays O(rounds), never
+      // O(|V|) or O(|E|)
+      assert(cur <= 3 * rounds + 2, s"$cur actions for $rounds rounds")
       val comps = labels.collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
