@@ -1,12 +1,23 @@
 #!/usr/bin/env python3
 """Local pre-check mimicking the driver's correctness gate.
 
-Usage: tools/check.py [sf_dir] [out_dir] [--only name1,name2]
+Usage: tools/check.py [sf_dir] [out_dir] [--only name1,name2] [--sf1]
 
 Assumes `graft.Verify` already ran:  sbt "runMain graft.Verify <sf_dir> <out_dir>"
 Then for each entry in <out_dir>/oracle_sql.json, runs the oracle in DuckDB
 over the same parquet tables and compares against the Spark parquet dump:
 column set (sorted by name), then row-sorted exact values.
+
+--sf1 (or --bounded-cc): evaluate the two connected-components oracles
+(dedup_clusters, pipeline_clean_corpus_cc) with BOUNDED-ITERATION min-label
+propagation over the same pair tables instead of their recursive-CTE
+transitive closure. The committed CTE enumerates paths — ~40 min of DuckDB
+CPU EACH on the dup-dense sf1 corpus — while propagation is
+O(diameter) joins over the edge list (seconds). Same fixpoint, so the
+comparison is unchanged; use for sf1-scale sweeps:
+    tools/make_sf1.py                                  # -> /tmp/graft_sf1
+    sbt "runMain graft.Verify /tmp/graft_sf1 /tmp/graft_verify_sf1"
+    tools/check.py /tmp/graft_sf1 /tmp/graft_verify_sf1 --sf1
 """
 import duckdb, json, math, sys, os, glob
 from datetime import datetime
@@ -38,12 +49,75 @@ def rows_of(rel):
     return sorted(cols), sorted(out)
 
 
+def iterative_cc(con, pairs_sql, max_rounds=256):
+    """Min-label propagation over the undirected pair graph into temp table
+    cc_lbl(v, l) — the bounded-iteration twin of the committed oracles'
+    recursive-CTE closure (same fixpoint: l = min doc_id of v's component;
+    vertex set = pair endpoints, exactly the CTE's). Each round is ONE
+    vectorized join+aggregate in DuckDB, and rounds = graph diameter, vs
+    the CTE's path enumeration (combinatorial on dup-dense corpora)."""
+    con.sql(f"""CREATE OR REPLACE TEMP TABLE cc_e AS
+        WITH p AS ({pairs_sql})
+        SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p""")
+    con.sql("CREATE OR REPLACE TEMP TABLE cc_lbl AS "
+            "SELECT DISTINCT u AS v, u AS l FROM cc_e")
+    for _ in range(max_rounds):
+        con.sql("""CREATE OR REPLACE TEMP TABLE cc_nl AS
+            SELECT v, MIN(l) AS l FROM (
+              SELECT v, l FROM cc_lbl
+              UNION ALL
+              SELECT e.v AS v, b.l FROM cc_e e JOIN cc_lbl b ON e.u = b.v
+            ) GROUP BY v""")
+        changed = con.sql(
+            "SELECT count(*) FROM cc_nl n JOIN cc_lbl o USING (v) "
+            "WHERE n.l <> o.l").fetchone()[0]
+        con.sql("CREATE OR REPLACE TEMP TABLE cc_lbl AS "
+                "SELECT v, l FROM cc_nl")
+        if changed == 0:
+            return
+    raise RuntimeError(f"CC did not converge in {max_rounds} rounds")
+
+
+# The committed oracle text for both CC queries is `WITH ... jp AS (...),
+# e AS (...), reach(...) ...` — everything through jp (the verified pair
+# table) is reused VERBATIM by slicing the SQL at the `e AS (` seam, so
+# the bounded path can never drift from the committed pair semantics.
+CC_SEAM = ",\ne AS (SELECT"
+
+# name -> final select over the propagated labels (cc_lbl) appended to the
+# oracle's own CTE prefix. DuckDB only evaluates CTEs a query references,
+# so the pipeline form's reuse of the prefix for g2 does not re-pay jp.
+CC_FINAL = {
+    "dedup_clusters": """
+        SELECT l AS component, COUNT(*) AS size,
+          array_to_string(list_sort(list(v)), ',') AS members
+        FROM cc_lbl GROUP BY l ORDER BY component""",
+    "pipeline_clean_corpus_cc": None,  # prefix-dependent, built below
+}
+
+
+def bounded_cc(con, name, sql):
+    if CC_SEAM not in sql:
+        raise RuntimeError(f"{name}: oracle SQL has no `e AS` seam")
+    prefix = sql[:sql.index(CC_SEAM)]  # WITH ... jp AS (...)
+    iterative_cc(con, prefix + "\nSELECT da, db FROM jp")
+    if name == "dedup_clusters":
+        return con.sql(CC_FINAL[name])
+    if name == "pipeline_clean_corpus_cc":
+        return con.sql(prefix + """
+            SELECT doc_id, lang, n_tokens FROM g2
+            WHERE doc_id NOT IN (SELECT v FROM cc_lbl WHERE l <> v)
+            ORDER BY doc_id""")
+    raise RuntimeError(f"no bounded form for {name}")
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out = args[1] if len(args) > 1 else "/tmp/graft_verify"
     only = None
     argv = sys.argv[1:]
+    bounded = any(a in ("--sf1", "--bounded-cc") for a in argv)
     for i, a in enumerate(argv):
         if a.startswith("--only"):
             val = a.split("=", 1)[1] if "=" in a else (
@@ -69,7 +143,10 @@ def main():
             n_fail += 1
             continue
         try:
-            ecols, erows = rows_of(con.sql(oracle[name]))
+            if bounded and name in CC_FINAL:
+                ecols, erows = rows_of(bounded_cc(con, name, oracle[name]))
+            else:
+                ecols, erows = rows_of(con.sql(oracle[name]))
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
