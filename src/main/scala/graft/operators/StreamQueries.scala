@@ -57,6 +57,21 @@ object StreamQueries extends QueryGroup {
       ev.unionByName(ev)
         .dropDuplicates("event_id")
         .orderBy("event_id")
+    }),
+
+    // op 20' (the `for: 5m` half of alerting): sustained-condition alert
+    // runs — hourly event counts per type that meet the threshold for ≥ 3
+    // CONTIGUOUS hours (a spike alone never fires). Batch twin of the
+    // standing evaluator [[graft.streaming.AlertRules.sustainedAlerts]];
+    // the islands form here is also the backfill path a deployment runs
+    // to score historical rule coverage.
+    "alert_sustained" -> ((s, dir) => {
+      graft.streaming.AlertRules.sustainedRuns(
+        Tables.scan(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n")),
+        keyCol = "event_type", threshold = 4L, minRun = 3)
+        .orderBy("event_type", "run_start")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -90,5 +105,20 @@ object StreamQueries extends QueryGroup {
     "stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type, value
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "alert_sustained" ->
+      """WITH m AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM m WHERE n >= 4),
+        |g AS (SELECT *, CAST(epoch(h) AS BIGINT) // 3600 - rn AS grp
+        |  FROM f)
+        |SELECT event_type, MIN(h) AS run_start, MAX(h) AS run_end,
+        |  COUNT(*) AS n_hours, MAX(n) AS peak
+        |FROM g GROUP BY event_type, grp
+        |HAVING COUNT(*) >= 3
+        |ORDER BY event_type, run_start""".stripMargin)
 }

@@ -1,0 +1,102 @@
+package graft
+
+import graft.streaming.AlertRules
+import graft.streaming.AlertRules.{Alert, Bucket}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+/** Sustained-condition (`for: 5m`-style) alert evaluation: the batch
+  * islands form and the standing flatMapGroupsWithState evaluator must
+  * agree — one `firing` transition per sustained run, `resolved` on the
+  * first clear, spikes never fire. */
+class AlertRulesSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def hour(i: Int): Timestamp = ts(f"2024-01-01 $i%02d:00:00")
+
+  // lag(key=a): hours 0..4 violating (run of 5), hour 5 clear, hours
+  // 7..8 violating but split from 9 by a missing hour (gap at 6 relative
+  // to nothing — 7..8 is len 2, never fires); key=b: a single spike.
+  private val fixture = Seq(
+    Bucket("a", hour(0), 9), Bucket("a", hour(1), 7), Bucket("a", hour(2), 5),
+    Bucket("a", hour(3), 6), Bucket("a", hour(4), 8), Bucket("a", hour(5), 1),
+    Bucket("a", hour(7), 9), Bucket("a", hour(8), 9),
+    Bucket("b", hour(2), 42))
+
+  test("batch sustainedRuns finds exactly the contiguous ≥minRun islands") {
+    import spark.implicits._
+    val runs = AlertRules.sustainedRuns(
+      fixture.toDS().toDF("event_type", "h", "n"),
+      keyCol = "event_type", threshold = 5L, minRun = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4)))
+    // only a's 0..4 run qualifies: 7..8 is two hours, b is a spike
+    assert(runs.toSeq == Seq(("a", hour(0), hour(4), 5L, 9L)))
+  }
+
+  test("streaming evaluator fires once per sustained run and resolves " +
+      "on the first clear, across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Bucket]
+    val q = AlertRules.sustainedAlerts(in.toDS(), threshold = 5L, minRun = 3)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split mid-run: state must carry the open run across batches
+      in.addData(fixture.filter(_.h.before(hour(3))): _*)
+      q.processAllAvailable()
+      in.addData(fixture.filterNot(_.h.before(hour(3))): _*)
+      q.processAllAvailable()
+      val alerts = spark.table("alerts").as[Alert].collect()
+        .sortBy(a => (a.key, a.at.getTime))
+        .map(a => (a.key, a.status, a.run_start, a.at, a.n_buckets))
+      assert(alerts.toSeq == Seq(
+        // fires at the 3rd contiguous violating hour (pending→firing),
+        // NOT again at hours 3/4; resolves at the hour-5 clear reporting
+        // the run it closes; the 7..8 rump and b's spike never fire
+        ("a", "firing", hour(0), hour(2), 3L),
+        ("a", "resolved", hour(0), hour(5), 5L)))
+    } finally q.stop()
+  }
+
+  test("graded alert_sustained twin: islands over real hourly buckets " +
+      "match an independent per-key scan") {
+    // sf0.01, not the suite default sf0.001: ~1 event/hour there keeps
+    // the n≥4 condition vacuously false (the driver's gate runs sf0.01)
+    val sf01 = "/root/testdata/sf0.01"
+    val out = operators.StreamQueries.queries("alert_sustained")(spark, sf01)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty, "threshold must be non-vacuous on this corpus")
+    // recompute naively from the bucket table on the driver (small:
+    // types × hours) — the islands window must agree with a linear scan
+    val buckets = graft.sources.Tables.scan(spark, sf01, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val expected = buckets.groupBy(_._1).toSeq.flatMap { case (k, bs) =>
+      val sorted = bs.sortBy(_._2.getTime)
+      val runs = scala.collection.mutable.ListBuffer
+        .empty[scala.collection.mutable.ListBuffer[(Timestamp, Long)]]
+      var lastIdx = Long.MinValue
+      for ((_, h, n) <- sorted if n >= 4) {
+        val idx = h.getTime / 3600000L
+        if (idx != lastIdx + 1 || runs.isEmpty)
+          runs += scala.collection.mutable.ListBuffer((h, n))
+        else runs.last += ((h, n))
+        lastIdx = idx
+      }
+      runs.filter(_.size >= 3).map(r =>
+        (k, r.head._1, r.last._1, r.size.toLong, r.map(_._2).max))
+    }
+    assert(out.toSet == expected.toSet)
+    assert(out.length == expected.length)
+  }
+}
