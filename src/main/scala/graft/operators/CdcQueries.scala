@@ -159,7 +159,14 @@ object CdcQueries extends QueryGroup {
     // is exactly what the hash gate checks.
     "cdc_ivm_view" -> ((s, dir) => {
       import graft.streaming.IncrementalView
-      val parsed = CdcOps.parsedOrders(s, dir)
+      // the narrow delta projection + at-least-once dedup is computed
+      // ONCE per (session, corpus) and sliced per micro-batch — the
+      // slices partition by `op`, which is in the dedup key, so global
+      // dedup is row-identical to per-batch dedup (eventsOf contract);
+      // the per-batch work left is a tiny filter → groupBy → merge
+      val events = graft.BoundedDfCache.getOrPersist(
+        s, s"cdc:ivmevents:$dir")(
+        IncrementalView.eventsOf(CdcOps.parsedOrders(s, dir)))
       // fixed per-(corpus, process) path, wiped up front: a fresh
       // createTempDirectory per invocation would leak snapshot parquet on
       // every Verify/Bench rep; the wipe also keeps applyBatch's
@@ -170,12 +177,14 @@ object CdcQueries extends QueryGroup {
       val root = new org.apache.hadoop.fs.Path(tmp)
       val fs = root.getFileSystem(s.sessionState.newHadoopConf())
       if (fs.exists(root)) fs.delete(root, true)
-      IncrementalView.applyBatch(
-        parsed.filter(col("env.op").isin("c", "r")), 0L, tmp)
-      IncrementalView.applyBatch(
-        parsed.filter(col("env.op") === "u"), 1L, tmp)
-      IncrementalView.applyBatch(
-        parsed.filter(col("env.op") === "d" || col("_tombstone")), 2L, tmp)
+      // tombstones carry no row and never reach a delta (eventsOf drops
+      // them), so the op = 'd' slice is the whole delete batch
+      IncrementalView.applyBatchEvents(
+        events.filter(col("op").isin("c", "r")), 0L, tmp)
+      IncrementalView.applyBatchEvents(
+        events.filter(col("op") === "u"), 1L, tmp)
+      IncrementalView.applyBatchEvents(
+        events.filter(col("op") === "d"), 2L, tmp)
       IncrementalView.readView(s, tmp).get.orderBy("o_orderstatus")
     }),
 

@@ -57,11 +57,20 @@ object IncrementalView {
     * the wide envelope — and the shuffle then carries four scalar
     * columns instead of two full row structs (at changelog scale the
     * dedup exchange is this operator's dominant cost). */
-  def delta(parsed: DataFrame): DataFrame = {
-    def cents(row: org.apache.spark.sql.Column) =
-      (row.getField("o_totalprice").cast(DecimalType(12, 2)) * 100)
-        .cast(LongType)
-    val events = parsed
+  def delta(parsed: DataFrame): DataFrame = deltaOfEvents(eventsOf(parsed))
+
+  /** The narrow deduped event projection [[delta]] folds — exposed so a
+    * caller replaying SEVERAL batches out of one parsed changelog (the
+    * backfill shape: `cdc_ivm_view` slices one archive into three
+    * micro-batches by op) can compute the projection + dedup ONCE and
+    * slice it per batch, instead of paying the dedup exchange per batch.
+    * Safe to share across op-sliced batches because the dedup key
+    * includes `op`: global dedup over the changelog is row-identical to
+    * per-slice dedup whenever the slices partition by any dedup-key
+    * column. A caller slicing by something OUTSIDE the key must dedup
+    * per batch (use [[delta]]). */
+  def eventsOf(parsed: DataFrame): DataFrame =
+    parsed
       .filter(!col("_corrupt") && !col("_tombstone"))
       .select(col("env.op").as("op"),
         col("env.before.o_orderstatus").as("b_status"),
@@ -81,6 +90,9 @@ object IncrementalView {
       // batch-local at-least-once dedup: a duplicated delivery has an
       // identical (key, position, op) triple
       .dropDuplicates("k", "op", "lsn", "file", "pos", "ts")
+
+  /** Signed per-group deltas over an [[eventsOf]] projection. */
+  def deltaOfEvents(events: DataFrame): DataFrame = {
     val minus = events.filter(col("op").isin("u", "d") && col("b_def"))
       .select(col("b_status").as("o_orderstatus"),
         (-col("b_cents")).as("d_cents"), lit(-1L).as("d_rows"))
@@ -92,6 +104,10 @@ object IncrementalView {
       .agg(sum("d_cents").as("d_cents"), sum("d_rows").as("d_rows"))
   }
 
+  private def cents(row: org.apache.spark.sql.Column) =
+    (row.getField("o_totalprice").cast(DecimalType(12, 2)) * 100)
+      .cast(LongType)
+
   /** Apply one micro-batch: previous committed snapshot ⊎ batch delta →
     * snapshot `batch=<batchId>`. Replay-safe (see class doc); prunes all
     * but the latest two committed versions. */
@@ -102,8 +118,14 @@ object IncrementalView {
     *   listing every merge. A caller maintaining an unusually wide view
     *   raises it. */
   def applyBatch(parsed: DataFrame, batchId: Long, path: String,
+      writePartitions: Int = 1): Unit =
+    applyBatchEvents(eventsOf(parsed), batchId, path, writePartitions)
+
+  /** [[applyBatch]] over a pre-projected [[eventsOf]] frame — the batch
+    * must already be deduped (see the [[eventsOf]] sharing contract). */
+  def applyBatchEvents(events: DataFrame, batchId: Long, path: String,
       writePartitions: Int = 1): Unit = {
-    val spark = parsed.sparkSession
+    val spark = events.sparkSession
     val snaps = committed(spark, path)
     // a batchId BELOW the highest committed snapshot means the stream
     // restarted against this view path with a fresh/missing checkpoint
@@ -120,7 +142,7 @@ object IncrementalView {
     // version, and merging on top of it would double-apply the delta
     val prev = snaps.filter(_._1 < batchId).lastOption
       .map { case (_, p) => readSnapshot(spark, p) }
-    val d = delta(parsed)
+    val d = deltaOfEvents(events)
     val merged = prev match {
       case Some(p) =>
         p.join(d, Seq("o_orderstatus"), "full")
