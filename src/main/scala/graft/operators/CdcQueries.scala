@@ -148,6 +148,36 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // A5: schema evolution graded end-to-end — the registry starts at the
+    // PRE-DDL shape (o_custkey still INT), three DDLs evolve it (DROP
+    // o_orderpriority, widen o_custkey int→bigint, ADD note), and the
+    // PRE-DDL insert envelopes are parsed under the EVOLVED schema. The
+    // forward-compat contract is the result: every envelope still parses
+    // (row count = orders count — nothing dead-lettered), the widened
+    // column reads its narrow values losslessly (sum matches the base
+    // table), the added column is null everywhere (n_notes = 0), and the
+    // dropped column is gone from the output schema. The oracle states
+    // all of that declaratively over `orders`.
+    "cdc_schema_evolution" -> ((s, dir) => {
+      import graft.sources.{Debezium, SchemaEvolution}
+      import org.apache.spark.sql.types.{IntegerType, StructType}
+      val narrow = StructType(Debezium.ordersRowSchema.fields.map(f =>
+        if (f.name == "o_custkey") f.copy(dataType = IntegerType) else f))
+      val evolved = SchemaEvolution.evolve(
+        Map("orders" -> narrow),
+        Seq("ALTER TABLE orders DROP COLUMN o_orderpriority",
+          "ALTER TABLE orders ALTER COLUMN o_custkey TYPE bigint",
+          "ALTER TABLE orders ADD COLUMN note text"))("orders")
+      Debezium.parseEnvelope(CdcOps.synthOrdersChangelog(s, dir), evolved)
+        .filter(col("env.op") === "c")
+        .select(col("env.after.*"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_custkey")).as("sum_custkey"),
+          count(col("note")).as("n_notes"))
+        .orderBy("o_orderstatus")
+    }),
+
     // incremental view maintenance: the parsed change log applied in
     // three sequential micro-batches (inserts, then updates incl. the
     // at-least-once replay, then deletes + tombstones) through
@@ -337,6 +367,13 @@ object CdcQueries extends QueryGroup {
       """SELECT o_orderkey, 40 AS payload_chars
         |FROM orders WHERE o_orderkey % 97 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "cdc_schema_evolution" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
+        |  CAST(0 AS BIGINT) AS n_notes
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "cdc_ivm_view" ->
       """WITH fin AS (SELECT
