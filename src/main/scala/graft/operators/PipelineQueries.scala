@@ -29,17 +29,21 @@ object PipelineQueries extends QueryGroup {
   private val minTokens = 20
   private val maxStopRatio = 0.45
 
-  private def gated(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
-    // scanPar: the gate regexes + downstream shingling are per-row heavy
-    Tables.scanPar(s, dir, "documents")
-      .withColumn("n_tokens", size(toks))
-      .withColumn("n_stop", regexp_count(lower(col("text")),
-        lit("\\b(the|a|of|and|to|in|is|it)\\b")))
-      .filter(col("n_tokens") >= minTokens
-        && col("n_stop").cast("double") / col("n_tokens") <= maxStopRatio
-        && col("lang").isin("en", "de", "es", "fr"))
-  }
+  private def gated(s: SparkSession, dir: String): DataFrame =
+    // session-cached like the pair table below: the gate regexes run over
+    // the full corpus and BOTH cleaning policies (and both of their uses —
+    // pair-build input and final anti-join) read the same gated frame
+    graft.BoundedDfCache.getOrPersist(s, s"pipeline:gated:$dir") {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      // scanPar: the gate regexes + downstream shingling are per-row heavy
+      Tables.scanPar(s, dir, "documents")
+        .withColumn("n_tokens", size(toks))
+        .withColumn("n_stop", regexp_count(lower(col("text")),
+          lit("\\b(the|a|of|and|to|in|is|it)\\b")))
+        .filter(col("n_tokens") >= minTokens
+          && col("n_stop").cast("double") / col("n_tokens") <= maxStopRatio
+          && col("lang").isin("en", "de", "es", "fr"))
+    }
 
   /** Gated docs + their near-dup pairs (shared by both cleaning policies).
     * The pair engine is DedupQueries' df-capped inverted index: candidate
