@@ -148,6 +148,33 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // A7/A10: the idempotent upsert-by-key SINK graded end-to-end — the
+    // changelog driven through Sinks.upsertBatch in two micro-batches
+    // (inserts, then the update/delete tail incl. the at-least-once
+    // replays) into the hash-bucketed keyed state table, then read back.
+    // Highest-position wins per key, so a delete's __deleted rewrite row
+    // (the key's max lsn) IS the winner for deleted keys and the live
+    // filter at read time yields exactly the compacted current state —
+    // the same oracle as cdc_compact, reached through the SINK layout
+    // (bucket pruning, two-phase publish) instead of the in-query window.
+    "cdc_sink_upsert" -> ((s, dir) => {
+      import graft.streaming.Sinks
+      val un = CdcOps.ordersUnwrapped(s, dir).filter(!col("_tombstone"))
+      val tmp = graft.TmpPaths.perProcess("graft-sink-upsert", dir)
+      val root = new org.apache.hadoop.fs.Path(tmp)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(root)) fs.delete(root, true)
+      Sinks.upsertBatch(un.filter(col("_op") === "c"),
+        0L, tmp, "o_orderkey", "_lsn", nBuckets = 64)
+      Sinks.upsertBatch(un.filter(col("_op") =!= "c"),
+        1L, tmp, "o_orderkey", "_lsn", nBuckets = 64)
+      Sinks.readState(s, tmp)
+        .filter(col("__deleted") =!= "true")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate_us", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // A5: schema evolution graded end-to-end — the registry starts at the
     // PRE-DDL shape (o_custkey still INT), three DDLs evolve it (DROP
     // o_orderpriority, widen o_custkey int→bigint, ADD note), and the
@@ -367,6 +394,14 @@ object CdcQueries extends QueryGroup {
       """SELECT o_orderkey, 40 AS payload_chars
         |FROM orders WHERE o_orderkey % 97 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "cdc_sink_upsert" -> (baseCte +
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate_us, o_orderpriority
+        |FROM base WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin),
 
     "cdc_schema_evolution" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,

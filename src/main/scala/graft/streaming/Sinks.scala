@@ -55,8 +55,9 @@ object Sinks {
       }
 
   /** One micro-batch of the bucketed upsert (see [[upsertByKey]]);
-    * factored out so batch callers / tests can drive it directly. */
-  private[streaming] def upsertBatch(
+    * factored out so batch callers / tests / the graded backfill twin
+    * (`cdc_sink_upsert`) can drive it directly. */
+  private[graft] def upsertBatch(
       batch: DataFrame,
       batchId: Long,
       path: String,
