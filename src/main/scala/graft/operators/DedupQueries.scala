@@ -233,21 +233,33 @@ object DedupQueries extends QueryGroup {
     * exactly those pairs without an all-pairs compare. */
   private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"dedup:shpairs:$dir") {
-      val sigs = shingleArray(s, dir)
-        .select(col("doc_id"),
-          VectorFunctions.simhash64(col("sh_feats")).as("sh"))
-      val blocks = sigs.select(col("doc_id"), col("sh"),
-        expr("explode(transform(sequence(0, 3), " +
-          "k -> struct(k, shiftright(sh, k * 16) & 65535 AS blk)))").as("e"))
-        .select(col("doc_id"), col("sh"), col("e.k"), col("e.blk"))
-      blocks.toDF("da", "sha", "k", "blk")
-        .join(blocks.toDF("db", "shb", "k", "blk"), Seq("k", "blk"))
-        .filter(col("da") < col("db"))
-        .select(col("da"), col("db"),
-          bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
+      simhashPairsOf(shingleArray(s, dir))
     }
+
+  /** The [[simhashPairs]] engine over an arbitrary `(doc_id, sh_feats)`
+    * feature frame (unit-testable seam). */
+  private[graft] def simhashPairsOf(fa: DataFrame): DataFrame = {
+    // shingle-less docs (under 4 words) must not reach the signature:
+    // every empty feature set hashes to the same 64-bit constant, so
+    // ALL such docs would pair with each other at Hamming 0 — a
+    // quadratic blowup among exactly the documents that cannot be
+    // near-dups by shingle (same guard as the MinHash/LSH path)
+    val sigs = fa
+      .filter(size(col("sh_feats")) > 0)
+      .select(col("doc_id"),
+        VectorFunctions.simhash64(col("sh_feats")).as("sh"))
+    val blocks = sigs.select(col("doc_id"), col("sh"),
+      expr("explode(transform(sequence(0, 3), " +
+        "k -> struct(k, shiftright(sh, k * 16) & 65535 AS blk)))").as("e"))
+      .select(col("doc_id"), col("sh"), col("e.k"), col("e.blk"))
+    blocks.toDF("da", "sha", "k", "blk")
+      .join(blocks.toDF("db", "shb", "k", "blk"), Seq("k", "blk"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
 
   /** Shared-span run table for the positional (substring) dedup family:
     * one row per maximal run of consecutively-matching 4-word shingles

@@ -198,6 +198,26 @@ class DedupSimilaritySpec extends SparkSpec {
       s"LSH recall vs exact below floor: ${r.getAs[Double]("recall_vs_exact")}")
   }
 
+  test("simhash: shingle-less docs never pair (no sentinel-signature " +
+      "blowup)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 40 sub-4-word docs (empty shingle sets — all would share the
+    // constant empty-fold signature and emit C(40,2) hamming-0 pairs
+    // without the guard) + one true near-dup pair of long docs
+    val long1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val long2 = (1 to 30).map(i => if (i == 30) "zz" else s"w$i").mkString(" ")
+    val docs = ((1L to 40L).map(i => (i, "too short")) ++
+      Seq((100L, long1), (101L, long2))).toDF("doc_id", "text")
+    val fa = docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.wordShingles(
+        lower(trim(col("text"))), 4).as("sh_feats"))
+    val pairs = DedupQueries.simhashPairsOf(fa)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((100L, 101L)),
+      s"expected only the true near-dup pair, got ${pairs.length} pairs")
+  }
+
   test("dedup_simhash_quality histogram closes against the graded pair " +
       "tables") {
     val report = DedupQueries.queries("dedup_simhash_quality")(spark, sfDir)
