@@ -787,6 +787,16 @@ object DedupQueries extends QueryGroup {
       edges = ss
       rounds += 1
     }
+    // the 40-round cap is a safety net far above any observed depth
+    // (O(log d) alternations; sf1 converges in <10) — but an UNCONVERGED
+    // edge set is not a star forest, so deriving labels from it would
+    // silently return a wrong clustering. Fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fingerprint fixpoint after $rounds " +
+          "large-star/small-star rounds — refusing to derive labels from " +
+          "a non-star edge set (raise the cap if the graph is legitimately " +
+          "this deep)")
     // converged edge set = disjoint stars rooted at each component's
     // minimum: the edges are the labels. min() is belt-and-braces (at a
     // true fixpoint each non-root vertex has exactly one root pointer);

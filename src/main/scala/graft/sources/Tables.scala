@@ -32,12 +32,27 @@ object Tables {
       //    conf untouched for the common case) and µs-truncates — matching
       //    DuckDB's CAST(ts AS TIMESTAMP), which also truncates ns → µs.
       val path = s"$sfDir/$table.parquet"
+      // Retry ONLY on the NANOS schema-inference failure; any other error
+      // (missing file, corrupt footer, permissions) must surface as itself,
+      // and the session-wide legacy conf must not leak if the retry fails.
+      def isNanosFailure(e: Throwable): Boolean = e match {
+        case a: org.apache.spark.sql.AnalysisException =>
+          a.getErrorClass == "PARQUET_TYPE_ILLEGAL" ||
+            Option(a.getMessage).exists(m =>
+              m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("NANOS"))
+        case _ => false
+      }
       val df =
         try spark.read.parquet(path)
         catch {
-          case _: Throwable =>
+          case e: Throwable if isNanosFailure(e) =>
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            spark.read.parquet(path)
+            try spark.read.parquet(path)
+            catch {
+              case retryErr: Throwable =>
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                throw retryErr
+            }
         }
       df.schema("ts").dataType match {
         case LongType => // nanos-as-long epoch value

@@ -108,7 +108,17 @@ object AlertRules {
     for (b <- incoming.toSeq.sortBy(_.h.getTime)) {
       val us = b.h.getTime * 1000
       val idx = us / HourUs
-      val contiguous = idx == st.lastIdx + 1
+      if (idx <= st.lastIdx && st.lastIdx != Long.MinValue) {
+        // re-delivered bucket for an hour already folded: the input
+        // contract says buckets are FINALIZED, so this carries no new
+        // information — ignore it rather than treating it as a gap
+        // (which would spuriously resolve a fired run and reset the
+        // counter, flapping the alert on a duplicate)
+      } else {
+      // a run extends only when one is ACTIVE (len > 0) and this bucket is
+      // the very next hour; after a clear bucket len is 0 (its idx is kept
+      // purely for duplicate detection) so the next violation starts fresh
+      val contiguous = idx == st.lastIdx + 1 && st.len > 0
       if (b.n >= threshold) {
         if (contiguous) st = st.copy(lastIdx = idx, len = st.len + 1)
         else {
@@ -125,7 +135,10 @@ object AlertRules {
       } else {
         if (st.fired)
           out += Alert(key, "resolved", ts(st.startUs), ts(us), st.len)
-        st = RunState(0L, Long.MinValue, 0L, fired = false)
+        // remember the hour we just folded so a re-delivery of it is
+        // still recognized as a duplicate, not a fresh bucket
+        st = RunState(0L, idx, 0L, fired = false)
+      }
       }
     }
     state.update(st)

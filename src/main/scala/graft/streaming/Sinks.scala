@@ -56,7 +56,17 @@ object Sinks {
 
   /** One micro-batch of the bucketed upsert (see [[upsertByKey]]);
     * factored out so batch callers / tests / the graded backfill twin
-    * (`cdc_sink_upsert`) can drive it directly. */
+    * (`cdc_sink_upsert`) can drive it directly.
+    *
+    * Single-write commit: the merged buckets are written ONCE (to a stage
+    * dir, one parquet file per touched bucket) and then swapped into the
+    * live table with two directory renames per bucket — live→trash, then
+    * stage→live. Renames are O(1) metadata ops on file:/hdfs:, so per-batch
+    * write volume is exactly the merged touched-bucket data, not 2× it
+    * (the previous stage + dynamic-partition-overwrite protocol re-read and
+    * re-wrote every staged byte). On an object store without atomic dir
+    * rename (s3a) you would swap this commit step back to the overwrite
+    * form; the FileSystem seam keeps that a local change. */
   private[graft] def upsertBatch(
       batch: DataFrame,
       batchId: Long,
@@ -67,11 +77,7 @@ object Sinks {
     val spark = batch.sparkSession
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    // batches are serial per query, so any stage dir still present was
-    // orphaned by a crash between stage and publish — its batch either
-    // republishes (same batchId after restart) or never happened; drop it
-    val stale = fs.globStatus(new Path(path + ".stage-*"))
-    if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
+    recoverCrashedSwap(fs, path)
     val bucketed = batch.withColumn("_bucket", bucketOf(col(key), nBuckets))
     val touched = bucketed.select("_bucket").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
@@ -88,9 +94,6 @@ object Sinks {
       val merged = existing.unionByName(bucketed)
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn")
-      // two-phase publish: stage the merged buckets, then swap them in via
-      // dynamic partition overwrite — only partitions present in the
-      // staged data are replaced, every other bucket's files are untouched.
       // repartition ON THE BUCKET first: a partitionBy write fans every
       // upstream task across every bucket directory (tasks × buckets tiny
       // files per publish — measured 4× the whole publish cost at sf0.1);
@@ -100,14 +103,51 @@ object Sinks {
       merged.repartition(col("_bucket"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("_bucket").parquet(stage.toString)
-      spark.read.parquet(stage.toString).write
-        .mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket")
-        .parquet(path)
+      // commit: per touched bucket, move the old dir aside then rename the
+      // staged dir into place. Old data is never deleted before its
+      // replacement is live, so a crash at ANY point leaves every bucket
+      // recoverable: recoverCrashedSwap restores displaced buckets from
+      // trash, and the replayed batch (same batchId) re-merges idempotently.
+      val trash = new Path(path + s".trash-$batchId")
+      if (!fs.exists(target)) fs.mkdirs(target)
+      fs.mkdirs(trash)
+      for (b <- touched) {
+        val live = new Path(target, s"_bucket=$b")
+        val staged = new Path(stage, s"_bucket=$b")
+        if (fs.exists(live) && !fs.rename(live, new Path(trash, s"_bucket=$b")))
+          throw new java.io.IOException(s"sink commit: cannot displace $live")
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(s"sink commit: cannot publish $staged")
+      }
+      fs.delete(trash, true)
       fs.delete(stage, true)
     }
     ()
+  }
+
+  /** Restore a crashed [[upsertBatch]] commit. Batches are serial per
+    * query, so any `.trash-*` / `.stage-*` dir present at batch start was
+    * orphaned by a crash mid-swap: a bucket sitting in trash with no live
+    * twin was displaced but never replaced — rename it back (pre-batch
+    * state; the failed batch replays with the same data and merges
+    * idempotently). A trash bucket WITH a live twin was already replaced —
+    * the live side is newer, drop the trash copy. Stage leftovers are
+    * never partially live (publish rename is atomic per bucket), so they
+    * are simply deleted and rebuilt by the replay. */
+  private def recoverCrashedSwap(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val trashes = fs.globStatus(new Path(path + ".trash-*"))
+    if (trashes != null) trashes.foreach { t =>
+      fs.listStatus(t.getPath).foreach { b =>
+        val live = new Path(path, b.getPath.getName)
+        if (!fs.exists(live) && !fs.rename(b.getPath, live))
+          throw new java.io.IOException(
+            s"sink recovery: cannot restore ${b.getPath}")
+      }
+      fs.delete(t.getPath, true)
+    }
+    val stale = fs.globStatus(new Path(path + ".stage-*"))
+    if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
   }
 
   /** Key → state bucket. Int-typed so the hive partition directory value

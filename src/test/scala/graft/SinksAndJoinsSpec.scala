@@ -75,6 +75,88 @@ class SinksAndJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertByKey writes each touched bucket exactly once per batch " +
+    "(single-write commit: one part file per bucket dir, no rewrite pass)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val nBuckets = 4
+    val dir = Files.createTempDirectory("graft_swsink").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val in = MemoryStream[(Long, Long, String)]
+    val q = Sinks.upsertByKey(
+      in.toDF().toDF("k", "lsn", "v"), dir, "k", "lsn", nBuckets)
+      .start()
+    try {
+      in.addData((1L to 40L).map(k => (k, k, s"v$k")): _*)
+      q.processAllAvailable()
+      in.addData((1L to 40L).map(k => (k, k + 100, s"w$k")): _*)
+      q.processAllAvailable()
+      // the staged file IS the published file: every bucket dir holds
+      // exactly one parquet part file (the merged state), not a staged
+      // copy plus an overwrite-pass copy and not per-task fragments
+      val bucketDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bucket="))
+      assert(bucketDirs.nonEmpty)
+      bucketDirs.foreach { d =>
+        val parts = fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        assert(parts.length == 1,
+          s"${d.getPath.getName} has ${parts.length} part files, expected 1")
+      }
+      // no commit scaffolding left behind
+      assert(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir + ".stage-*")).isEmpty)
+      assert(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir + ".trash-*")).isEmpty)
+      val state = Sinks.readState(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(state == (1L to 40L).map(k => (k, k + 100, s"w$k")).toSet)
+    } finally q.stop()
+  }
+
+  test("upsertBatch recovers a crash between displace and publish " +
+    "(bucket in trash, missing from live) without losing state") {
+    import spark.implicits._
+    val nBuckets = 4
+    val dir = Files.createTempDirectory("graft_crsink").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // batch 0: seed two keys in different buckets
+    val buckets = spark.createDataset(1L to 50L).toDF("k")
+      .withColumn("b",
+        pmod(xxhash64(col("k")), lit(nBuckets.toLong)).cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val kA = buckets.keys.min
+    val kB = buckets.keys.filter(buckets(_) != buckets(kA)).min
+    Sinks.upsertBatch(
+      Seq((kA, 10L, "a"), (kB, 20L, "b")).toDF("k", "lsn", "v"),
+      0L, dir, "k", "lsn", nBuckets)
+    // simulate a crash mid-swap of batch 1: bucket bA was displaced to
+    // trash but its staged replacement never landed, and a stale stage
+    // dir is still lying around
+    val bA = buckets(kA)
+    val liveA = new org.apache.hadoop.fs.Path(s"$dir/_bucket=$bA")
+    val trash = new org.apache.hadoop.fs.Path(dir + ".trash-1")
+    fs.mkdirs(trash)
+    assert(fs.rename(liveA, new org.apache.hadoop.fs.Path(trash, s"_bucket=$bA")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + ".stage-1/_bucket=9"))
+    assert(!fs.exists(liveA))
+    // the replayed batch (same data, same batchId) must first restore the
+    // displaced bucket, then merge on top of the restored state
+    Sinks.upsertBatch(
+      Seq((kA, 15L, "a2")).toDF("k", "lsn", "v"),
+      1L, dir, "k", "lsn", nBuckets)
+    val state = Sinks.readState(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(state == Set((kA, 15L, "a2"), (kB, 20L, "b")),
+      "recovery lost or duplicated sink state")
+    assert(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir + ".trash-*")).isEmpty)
+    assert(fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir + ".stage-*")).isEmpty)
+  }
+
   test("upsertByKey accumulates state on a file:-URI path (Hadoop FS probe)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
