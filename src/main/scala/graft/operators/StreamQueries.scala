@@ -72,6 +72,51 @@ object StreamQueries extends QueryGroup {
           .agg(count(lit(1)).as("n")),
         keyCol = "event_type", threshold = 4L, minRun = 3)
         .orderBy("event_type", "run_start")
+    }),
+
+    // op 43' (the reference's two AVAILABILITY alert rules — reference:
+    // helm-charts/cdc-system/templates/monitoring/prometheus-rules.yaml:21-37:
+    // `up == 0 for 2m` → KafkaConnectDown, `state != RUNNING for 1m` →
+    // ConnectorNotRunning — instantiated over a synthesized scrape):
+    // a monitoring scrape has a sample for EVERY evaluation interval,
+    // so the status stream is a dense per-connector bucket grid over the
+    // monitoring span — absence of events IS the down signal. Evaluation
+    // interval here is 1 hour (the corpus's natural cadence; the
+    // reference's 2m/1m `for:` durations are 2-buckets/1-bucket of its
+    // 1m interval, mapped 1:1 onto minRun). Grid size is
+    // connectors × span-buckets — monitoring-series cardinality,
+    // independent of event volume, so the crossJoin stays tiny at any
+    // data scale.
+    "alert_availability" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      val perHour = ev
+        .groupBy(col("event_type").as("connector"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_ev"), max(col("value")).as("max_v"))
+      val span = ev.agg(date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+      val hours = span
+        .select(explode(expr("sequence(t0, t1, interval 1 hour)")).as("h"))
+      val status = ev.select(col("event_type").as("connector")).distinct()
+        .crossJoin(hours)
+        .join(perHour, Seq("connector", "h"), "left")
+        // up: the connector produced anything this interval; state: a
+        // poison sample (value ≥ 200, a fixed liveness threshold) marks
+        // the task FAILED even though the process is up
+        .withColumn("up", when(col("n_ev").isNull, 0L).otherwise(1L))
+        .withColumn("state", when(col("n_ev").isNull, lit("DOWN"))
+          .when(col("max_v") >= 200.0, lit("FAILED"))
+          .otherwise(lit("RUNNING")))
+      def runs(cond: org.apache.spark.sql.Column, minRun: Int, rule: String) =
+        graft.streaming.AlertRules.sustainedRuns(
+          status.select(col("connector"), col("h"),
+            when(cond, 1L).otherwise(0L).as("n")),
+          keyCol = "connector", threshold = 1L, minRun = minRun)
+          .select(lit(rule).as("rule"), col("connector"),
+            col("run_start"), col("run_end"), col("n_hours"))
+      runs(col("up") === 0L, 2, "ConnectDown")
+        .unionByName(runs(col("state") =!= "RUNNING", 1, "ConnectorNotRunning"))
+        .orderBy("rule", "connector", "run_start")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +165,40 @@ object StreamQueries extends QueryGroup {
         |  COUNT(*) AS n_hours, MAX(n) AS peak
         |FROM g GROUP BY event_type, grp
         |HAVING COUNT(*) >= 3
-        |ORDER BY event_type, run_start""".stripMargin)
+        |ORDER BY event_type, run_start""".stripMargin,
+
+    "alert_availability" ->
+      """WITH span AS (SELECT date_trunc('hour', MIN(ts)) AS t0,
+        |    date_trunc('hour', MAX(ts)) AS t1 FROM events),
+        |hrs AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+        |  FROM span),
+        |conns AS (SELECT DISTINCT event_type AS connector FROM events),
+        |ph AS (SELECT event_type AS connector, date_trunc('hour', ts) AS h,
+        |    COUNT(*) AS n_ev, MAX(value) AS max_v
+        |  FROM events GROUP BY 1, 2),
+        |status AS (SELECT g.connector, g.h,
+        |    CASE WHEN p.n_ev IS NULL THEN 0 ELSE 1 END AS up,
+        |    CASE WHEN p.n_ev IS NULL THEN 'DOWN'
+        |         WHEN p.max_v >= 200.0 THEN 'FAILED'
+        |         ELSE 'RUNNING' END AS state
+        |  FROM (SELECT connector, h FROM conns CROSS JOIN hrs) g
+        |  LEFT JOIN ph p USING (connector, h)),
+        |r1 AS (SELECT connector, h,
+        |    row_number() OVER (PARTITION BY connector ORDER BY h) AS rn
+        |  FROM status WHERE up = 0),
+        |r1o AS (SELECT 'ConnectDown' AS rule, connector,
+        |    MIN(h) AS run_start, MAX(h) AS run_end, COUNT(*) AS n_hours
+        |  FROM (SELECT *, CAST(epoch(h) AS BIGINT) // 3600 - rn AS grp
+        |    FROM r1)
+        |  GROUP BY connector, grp HAVING COUNT(*) >= 2),
+        |r2 AS (SELECT connector, h,
+        |    row_number() OVER (PARTITION BY connector ORDER BY h) AS rn
+        |  FROM status WHERE state != 'RUNNING'),
+        |r2o AS (SELECT 'ConnectorNotRunning' AS rule, connector,
+        |    MIN(h) AS run_start, MAX(h) AS run_end, COUNT(*) AS n_hours
+        |  FROM (SELECT *, CAST(epoch(h) AS BIGINT) // 3600 - rn AS grp
+        |    FROM r2)
+        |  GROUP BY connector, grp HAVING COUNT(*) >= 1)
+        |SELECT * FROM r1o UNION ALL SELECT * FROM r2o
+        |ORDER BY rule, connector, run_start""".stripMargin)
 }

@@ -64,6 +64,75 @@ class AlertRulesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming evaluator ignores re-delivered buckets (no flap) and " +
+      "starts a fresh run right after a clear hour") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Bucket]
+    val q = AlertRules.sustainedAlerts(in.toDS(), threshold = 5L, minRun = 3)
+      .writeStream.format("memory").queryName("alerts_dup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hours 0..2 violating → fires at hour 2
+      in.addData(Bucket("a", hour(0), 9), Bucket("a", hour(1), 7),
+        Bucket("a", hour(2), 6))
+      q.processAllAvailable()
+      // hour 2 RE-DELIVERED (finalized bucket replayed): already folded,
+      // must be a no-op — no spurious resolved, no run reset
+      in.addData(Bucket("a", hour(2), 6))
+      q.processAllAvailable()
+      // hour 3 still violating: the run continues (would have restarted
+      // at len 1 if the duplicate had reset state — caught below because
+      // a reset run would re-fire at hour 5)
+      in.addData(Bucket("a", hour(3), 8))
+      q.processAllAvailable()
+      // hour 4 clear → resolved; hours 5..7 violating → a NEW run that
+      // fires at hour 7 with run_start hour 5 (exercises the
+      // clear-then-adjacent-violation path where lastIdx is retained for
+      // dup detection but must not seed run start/length)
+      in.addData(Bucket("a", hour(4), 1), Bucket("a", hour(5), 9),
+        Bucket("a", hour(6), 9), Bucket("a", hour(7), 9))
+      q.processAllAvailable()
+      val alerts = spark.table("alerts_dup").as[Alert].collect()
+        .sortBy(_.at.getTime)
+        .map(a => (a.status, a.run_start, a.at, a.n_buckets))
+      assert(alerts.toSeq == Seq(
+        ("firing", hour(0), hour(2), 3L),
+        ("resolved", hour(0), hour(4), 4L),
+        ("firing", hour(5), hour(7), 3L)))
+    } finally q.stop()
+  }
+
+  test("alert_availability: both availability rules fire non-vacuously " +
+      "and every run respects its rule's condition and minRun") {
+    val sf01 = "/root/testdata/sf0.01"
+    val out = operators.StreamQueries.queries("alert_availability")(spark, sf01)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4)))
+    val byRule = out.groupBy(_._1)
+    assert(byRule.keySet == Set("ConnectDown", "ConnectorNotRunning"),
+      "both availability rules must fire on this corpus")
+    // ConnectDown is `for: 2 buckets`: every run spans ≥ 2 hours and its
+    // span equals its bucket count (contiguity)
+    byRule("ConnectDown").foreach { case (_, _, s, e, n) =>
+      assert(n >= 2, "ConnectDown fired on a single down bucket")
+      assert(e.getTime - s.getTime == (n - 1) * 3600000L,
+        "run span must equal its contiguous bucket count")
+    }
+    byRule("ConnectorNotRunning").foreach { case (_, _, s, e, n) =>
+      assert(n >= 1)
+      assert(e.getTime - s.getTime == (n - 1) * 3600000L)
+    }
+    // every ConnectDown run is also not-RUNNING (DOWN ⊂ ¬RUNNING): each
+    // down run must be contained in some not-running run of the same key
+    byRule("ConnectDown").foreach { case (_, c, s, e, _) =>
+      assert(byRule("ConnectorNotRunning").exists { case (_, c2, s2, e2, _) =>
+        c2 == c && !s2.after(s) && !e2.before(e)
+      }, s"down run [$s,$e] of $c not covered by a not-RUNNING run")
+    }
+  }
+
   test("graded alert_sustained twin: islands over real hourly buckets " +
       "match an independent per-key scan") {
     // sf0.01, not the suite default sf0.001: ~1 event/hour there keeps
