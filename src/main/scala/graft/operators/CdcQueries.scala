@@ -213,6 +213,111 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderstatus")
     }),
 
+    // Op 41, Spark-4 form, graded end-to-end: the same changelog driven
+    // through [[graft.streaming.TwsCompaction]] (transformWithState over
+    // the RocksDB state store — the state path a 100 TB keyed-state
+    // deployment runs) as four real micro-batches, then the Update-mode
+    // emissions folded to final state. Same oracle predicate as
+    // cdc_compact, reached through the modern stateful API instead of the
+    // in-query window — proving the two compaction paths agree on real
+    // data, not just the spec fixtures.
+    "cdc_compact_tws" -> ((s, dir) => {
+      import graft.streaming.{KeyedChange, TwsCompaction}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      import s.implicits._
+      val payloadCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate_us", "o_orderpriority")
+      // keyed subset (o_orderkey % 5 = 0, same rationale as
+      // cdc_sink_upsert): MemoryStream is driver-fed by construction —
+      // the production feed is the Kafka source — so the graded slice is
+      // bounded; tombstones carry no row and are dropped before keying
+      val changes = CdcOps.ordersUnwrapped(s, dir)
+        .filter(!col("_tombstone") && col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("key"), col("_lsn").as("lsn"),
+          (col("__deleted") === "true").as("deleted"),
+          to_json(struct(payloadCols.map(col): _*)).as("payload"))
+        .as[KeyedChange].collect().sortBy(_.lsn)
+      val prev =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        implicit val sqlCtx = s.sqlContext
+        val sinkName = "graft_tws_compact"
+        s.catalog.dropTempView(sinkName)
+        val in = MemoryStream[KeyedChange]
+        val q = TwsCompaction.compact(in.toDS())
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode(OutputMode.Update).start()
+        try {
+          changes.grouped(math.max(1, changes.length / 4 + 1)).foreach {
+            b => in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+        // fold Update-mode emissions to final state: max (lsn, deleted)
+        // per key — the processor's own rank — then drop deleted keys
+        s.table(sinkName)
+          .groupBy(col("key"))
+          .agg(max(struct(col("lsn"), col("deleted"), col("payload")))
+            .as("st"))
+          .filter(!col("st.deleted"))
+          .select(from_json(col("st.payload"),
+            graft.sources.Debezium.ordersRowSchema).as("row"))
+          .select(payloadCols.map(c => col(s"row.$c")): _*)
+          .orderBy("o_orderkey")
+      } finally prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
+
+    // A5 continued: RENAME COLUMN + narrowing rejection graded end-to-end.
+    // The DDL stream renames o_totalprice → o_amount and then attempts a
+    // NARROWING o_custkey bigint→int, which the registry must
+    // log-and-ignore (asserted inline — a silently applied narrowing
+    // would throw here and the entry would grade red). Pre-DDL insert
+    // envelopes still carry the OLD field name — a rename is metadata in
+    // the source database, old events are never rewritten — so parsing
+    // under the evolved registry augments the schema with the
+    // original-name twin from [[SchemaEvolution.renameLineage]] and
+    // coalesces new ← old. The oracle states the contract over `orders`:
+    // every old envelope's o_totalprice value flows into o_amount.
+    "cdc_schema_rename" -> ((s, dir) => {
+      import graft.sources.{Debezium, SchemaEvolution}
+      import org.apache.spark.sql.types.{LongType, StructType}
+      val ddls = Seq(
+        "ALTER TABLE orders RENAME COLUMN o_totalprice TO o_amount",
+        "ALTER TABLE orders ALTER COLUMN o_custkey TYPE int")
+      val evolved = SchemaEvolution.evolve(
+        Map("orders" -> Debezium.ordersRowSchema), ddls)("orders")
+      require(evolved("o_custkey").dataType == LongType,
+        "narrowing DDL must be rejected, not applied")
+      require(evolved.fieldNames.contains("o_amount")
+        && !evolved.fieldNames.contains("o_totalprice"))
+      val lineage = SchemaEvolution.renameLineage(ddls)("orders")
+      val withOldNames = StructType(evolved.fields ++ lineage.collect {
+        case (to, from) if from != to =>
+          evolved.fields.find(_.name == to).get.copy(name = from)
+      })
+      val parsed = Debezium
+        .parseEnvelope(CdcOps.synthOrdersChangelog(s, dir), withOldNames)
+        .filter(col("env.op") === "c")
+        .select(col("env.after.*"))
+      val aliased = lineage.foldLeft(parsed) { case (df, (to, from)) =>
+        if (from == to) df
+        else df.withColumn(to, coalesce(col(to), col(from))).drop(from)
+      }
+      aliased.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_amount").cast("decimal(12,2)") * 100).cast("long"))
+            .as("amount_cents"),
+          sum(col("o_custkey")).as("sum_custkey"))
+        .orderBy("o_orderstatus")
+    }),
+
     // incremental view maintenance: the parsed change log applied in
     // three sequential micro-batches (inserts, then updates incl. the
     // at-least-once replay, then deletes + tombstones) through
@@ -415,6 +520,23 @@ object CdcQueries extends QueryGroup {
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey,
         |  CAST(0 AS BIGINT) AS n_notes
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "cdc_compact_tws" -> (baseCte +
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate_us, o_orderpriority
+        |FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "cdc_schema_rename" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        |    AS VARCHAR) AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    AS amount_cents,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 

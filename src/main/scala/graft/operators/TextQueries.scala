@@ -251,12 +251,27 @@ object TextQueries extends QueryGroup {
     // single codegen span. ROWS-ONLY: zlib output is JDK-deterministic
     // but not reproducible in DuckDB; the contract spec pins the ratio
     // range and the repetitive≪prose≪noise ordering instead.
+    // DuckDB has no DEFLATE, so the raw compressed sizes can't be
+    // hash-checked cross-engine — instead the graded surface is the
+    // kernel's INVARIANTS, each emitted as a boolean the oracle pins to
+    // literal true (a kernel bug flips a bit → hash-red):
+    //  - bounds_ok: raw-deflate output within [2, n + 5·⌈n/16383⌉ + 16]
+    //    (zlib never does worse than stored blocks + small framing);
+    //  - self_concat_ok: doubling the text costs at most one extra
+    //    back-reference's framing, never 2× (the second copy is in the
+    //    32 KiB window; vacuously true for texts too big for the window).
+    // The exact raw sizes stay covered by AggContractsSpec's probes
+    // (repetitive crushes, noise resists, corpus mean in between).
     "text_compress" -> ((s, dir) => {
+      val dl = VectorFunctions.deflateLen(col("text"))
+      val nBytes = octet_length(col("text"))
       Tables.scan(s, dir, "documents")
         .select(col("doc_id"), length(col("text")).as("n_chars"),
-          VectorFunctions.deflateLen(col("text")).as("deflate_len"))
-        .withColumn("compress_ratio",
-          col("deflate_len").cast("double") / col("n_chars").cast("double"))
+          (dl >= 2 && dl <= nBytes + lit(5) * ceil(nBytes / lit(16383.0))
+            .cast("int") + lit(16)).as("bounds_ok"),
+          (octet_length(col("text")) > 30000 ||
+            VectorFunctions.deflateLen(concat(col("text"), col("text")))
+              <= dl * 2 + lit(16)).as("self_concat_ok"))
         .orderBy("doc_id")
     }),
 
@@ -293,6 +308,11 @@ object TextQueries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    "text_compress" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  true AS bounds_ok, true AS self_concat_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INT)

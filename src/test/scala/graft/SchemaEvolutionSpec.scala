@@ -127,4 +127,44 @@ class SchemaEvolutionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     assert(rows == Set((1L, None), (2L, Some("gift"))))
   }
+
+  test("RENAME COLUMN evolves the registry; collisions and unknown " +
+      "sources are no-ops; lineage collapses chains and ends on drop") {
+    import org.apache.spark.sql.types._
+    val base = Map("t" -> StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType))))
+    // plain rename keeps the type under the new name
+    val r1 = SchemaEvolution.evolve(base,
+      Seq("ALTER TABLE t RENAME COLUMN a TO a2"))("t")
+    assert(r1.fieldNames.toSeq == Seq("a2", "b")
+      && r1("a2").dataType == LongType)
+    // renaming onto an existing name or from an unknown column: ignored
+    assert(SchemaEvolution.evolve(base,
+      Seq("ALTER TABLE t RENAME COLUMN a TO b"))("t") == base("t"))
+    assert(SchemaEvolution.evolve(base,
+      Seq("ALTER TABLE t RENAME COLUMN nope TO x"))("t") == base("t"))
+    // optional COLUMN keyword (MySQL table-rename shape is NOT matched:
+    // `RENAME TO` has no source column and must stay unsupported)
+    assert(SchemaEvolution.parseDdl("ALTER TABLE t RENAME a TO c")
+      .contains(SchemaEvolution.RenameCol("t", "a", "c")))
+    // lineage: a→b then b→c collapses to c→a; dropping c ends it
+    val chain = Seq("ALTER TABLE t RENAME COLUMN a TO b2",
+      "ALTER TABLE t RENAME COLUMN b2 TO c")
+    assert(SchemaEvolution.renameLineage(chain) == Map("t" -> Map("c" -> "a")))
+    assert(SchemaEvolution.renameLineage(
+      chain :+ "ALTER TABLE t DROP COLUMN c") == Map.empty)
+  }
+
+  test("graded cdc_schema_rename twin: renamed column carries pre-DDL " +
+      "values and the narrowing DDL is rejected inline") {
+    val out = graft.operators.CdcQueries
+      .queries("cdc_schema_rename")(spark, "/root/testdata/sf0.001")
+    // the renamed column is in the output schema under its NEW name via
+    // the aggregate; sums are non-null => old envelopes' o_totalprice
+    // flowed into o_amount through the lineage coalesce
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r.isNullAt(2) && r.getLong(2) > 0L),
+      "pre-DDL values did not flow into the renamed column")
+  }
 }
