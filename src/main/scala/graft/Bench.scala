@@ -62,12 +62,35 @@ object Bench {
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
     }
-    val runs = (1 to reps).map { i =>
+    // co-tenant noise probe: a fixed single-threaded busy-loop timed
+    // before each rep. Its wall time is a host constant on a quiet
+    // machine and stretches under co-tenant CPU pressure, so the per-rep
+    // probe times let the judge separate "engine got slower" from "host
+    // was contended during this rep" (round-10: 2 of 5 reps ran 1.5× the
+    // min on identical work). Pure arithmetic — no allocation, no I/O —
+    // and the result is consumed so JIT cannot elide it.
+    def noiseProbe(): Double = {
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 200_000_000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (x == 42L) System.err.println("") // consume x
+      dt
+    }
+    noiseProbe() // JIT warm-up; first measurement would read compile time
+    val probed = (1 to reps).map { i =>
+      val noise = noiseProbe()
       val r = runOnce()
       System.err.println(
-        f"[bench] run $i/$reps total ${r.values.flatten.sum}%.1f s")
-      r
+        f"[bench] run $i/$reps total ${r.values.flatten.sum}%.1f s " +
+          f"(probe ${noise}%.2f s)")
+      (noise, r)
     }
+    val noises = probed.map(_._1)
+    val runs = probed.map(_._2)
     val names = SparkEntry.queries.keys.toSeq
     // per-query minimum over SUCCESSFUL reps only (failed reps' fast-fail
     // elapsed must not read as a fast query); null when every rep failed
@@ -93,14 +116,15 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ts = totals.map(fmt).mkString("[", ",", "]")
+    val ns = noises.map(fmt).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","queries":$qs,"failed":$fs,"runs":$ts,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","queries":$qs,"failed":$fs,"runs":$ts,"noise":$ns,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
     // a SHORT summary line without the ~2 KB per-query map: the driver
     // captures only a bounded tail of stdout, and in rounds 4 and 5 the
     // long line's HEAD was clipped (recorded "parsed": null). The short
     // line carries everything the gate needs and is printed LAST.
     val short =
-      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","failed":$fs,"runs":$ts,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","failed":$fs,"runs":$ts,"noise":$ns,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
     // belt-and-braces: persist both lines to a file (env-overridable path)
     // so the result is machine-readable even if the stdout tail is clipped
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
