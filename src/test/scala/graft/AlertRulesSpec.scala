@@ -133,6 +133,48 @@ class AlertRulesSpec extends SparkSpec {
     }
   }
 
+  test("availability rules: the standing streaming evaluator agrees with " +
+      "the graded batch islands on the real scrape grid") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    // rebuild one connector's dense hourly down-grid exactly as
+    // alert_availability does (bounded: span-hours for one series)
+    val ev = graft.sources.Tables.scan(spark, sf01, "events")
+    val conn = "click"
+    val perHour = ev.filter(col("event_type") === conn)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_ev"))
+    val span = ev.agg(date_trunc("hour", min(col("ts"))).as("t0"),
+      date_trunc("hour", max(col("ts"))).as("t1"))
+    val downBuckets = span
+      .select(explode(expr("sequence(t0, t1, interval 1 hour)")).as("h"))
+      .join(perHour, Seq("h"), "left")
+      .select(lit(conn).as("key"), col("h").cast("timestamp").as("h"),
+        when(col("n_ev").isNull, 1L).otherwise(0L).as("n"))
+      .as[Bucket].collect().sortBy(_.h.getTime)
+    val in = MemoryStream[Bucket]
+    val q = AlertRules.sustainedAlerts(in.toDS(), threshold = 1L, minRun = 2)
+      .writeStream.format("memory").queryName("avail_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches split mid-span: runs must survive the boundary
+      val (a, b) = downBuckets.splitAt(downBuckets.length / 2)
+      in.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      val firings = spark.table("avail_stream").as[Alert].collect()
+        .filter(_.status == "firing").map(_.run_start).toSet
+      // batch form over the same buckets: ≥2-bucket down islands
+      val expected = graft.streaming.AlertRules.sustainedRuns(
+        spark.createDataset(downBuckets.toIndexedSeq)
+          .toDF("key", "h", "n"), "key", threshold = 1L, minRun = 2)
+        .select("run_start").collect().map(_.getTimestamp(0)).toSet
+      assert(expected.nonEmpty, "no ≥2h outage on this corpus — vacuous")
+      assert(firings == expected,
+        s"streaming firings $firings != batch islands $expected")
+    } finally q.stop()
+  }
+
   test("graded alert_sustained twin: islands over real hourly buckets " +
       "match an independent per-key scan") {
     // sf0.01, not the suite default sf0.001: ~1 event/hour there keeps

@@ -259,4 +259,18 @@ class PlanSpec extends SparkSpec {
     assert(partitioned.head.partitionSpec.mkString.contains("bucket"),
       s"the per-document rank must be partitioned by bucket:\n$plan")
   }
+
+  test("alert_availability: every islands window is partitioned by the " +
+      "rule key — monitoring series never funnel into one task") {
+    val (_, plan) = staticPlan("alert_availability")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty &&
+        w.partitionSpec.mkString.contains("connector"),
+        s"islands row_number must partition by connector:\n$plan")
+    }
+  }
 }
