@@ -49,10 +49,19 @@ object AggQueries extends QueryGroup {
           .as("n_status_prio"))
     }),
 
-    // approx_count_distinct: Spark's HLL++ has no DuckDB twin → rows-only
+    // approx_count_distinct: Spark's HLL++ has no DuckDB twin, so the
+    // graded surface is the ESTIMATE'S CONTRACT — the exact distinct
+    // count (recomputable) plus a ≤5% relative-error boolean the oracle
+    // pins to literal true (the text_compress invariant pattern; raw
+    // estimates stay visible in agg_sketch_quality, numeric bounds in
+    // AggContractsSpec)
     "agg_approx_distinct" -> ((s, dir) => {
       Tables.scan(s, dir, "orders")
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+        .agg(countDistinct(col("o_custkey")).as("exact_cust"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("a"))
+        .select(col("exact_cust"),
+          (abs(col("a") - col("exact_cust")).cast("double")
+            / col("exact_cust") <= 0.05).as("approx_ok"))
     }),
 
     // ordered string aggregation (listagg/string_agg): the report-shaped
@@ -83,15 +92,26 @@ object AggQueries extends QueryGroup {
     // raw events, and sketch union is lossless (same lgK), so the merged
     // estimate is bit-identical to the sketch built over the whole table
     // in one pass (AggContractsSpec asserts exactly that, plus a ≤5%
-    // error contract vs the exact count). Rows-only: Spark's DataSketches
-    // HLL has no DuckDB twin.
+    // error contract vs the exact count). The sketch itself has no DuckDB
+    // twin, so the graded columns are the recomputable facts (shard
+    // count, exact distinct users) plus the two contracts as booleans the
+    // oracle pins to true: merge losslessness (merged estimate ==
+    // single-pass estimate, exact equality) and ≤5% estimate error.
     "agg_hll_merge" -> ((s, dir) => {
-      val daily = Tables.scan(s, dir, "events")
+      val ev = Tables.scan(s, dir, "events")
+      val merged = ev
         .groupBy(to_date(col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      daily.agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("users_est"),
-        count(lit(1)).as("n_shards"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("m"),
+          count(lit(1)).as("n_shards"))
+      val single = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("sg"),
+        countDistinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(single).select(
+        col("n_shards"), col("exact_users"),
+        (col("m") === col("sg")).as("merge_lossless"),
+        (abs(col("m") - col("exact_users")).cast("double")
+          / col("exact_users") <= 0.05).as("est_ok"))
     }),
 
     // sketch-quality report: the two distinct-count sketches next to
@@ -124,16 +144,26 @@ object AggQueries extends QueryGroup {
     }),
 
     // approx_percentile (mergeable quantile sketch — the distributed way
-    // to get percentiles without a global sort): no DuckDB twin →
-    // rows-only; AggContractsSpec bounds the sketch against the exact
-    // percentile at two scale factors
+    // to get percentiles without a global sort): no DuckDB twin, so the
+    // graded columns are the ≤2%-of-exact contracts as oracle-pinned
+    // booleans (the exact side is Spark's own order-statistics
+    // `percentile`, computed in the same plan — cross-engine float
+    // interpolation never enters the hash); AggContractsSpec keeps the
+    // numeric bounds at two scale factors
     "agg_approx_percentile" -> ((s, dir) => {
       Tables.scan(s, dir, "lineitem")
-        .agg(
+        .agg(count(lit(1)).as("n_rows"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("p50_approx"),
+            .as("p50a"),
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
-            .as("p99_approx"))
+            .as("p99a"),
+          expr("percentile(l_extendedprice, 0.5D)").as("p50e"),
+          expr("percentile(l_extendedprice, 0.99D)").as("p99e"))
+        .select(col("n_rows"),
+          (abs(col("p50a") - col("p50e")) / col("p50e") <= 0.02)
+            .as("p50_ok"),
+          (abs(col("p99a") - col("p99e")) / col("p99e") <= 0.02)
+            .as("p99_ok"))
     }),
 
     // op 19: rollup with subtotal rows (keys coalesced to sentinels so the
@@ -396,8 +426,15 @@ object AggQueries extends QueryGroup {
         .orderBy(col("exact_cnt").desc, col("l_suppkey")).limit(10)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       import s.implicits._
-      top.map { case (k, exact) => (k, exact, cms.estimateCount(k)) }
-        .toSeq.toDF("l_suppkey", "exact_cnt", "est_cnt")
+      // exact top-10 + exact counts are DuckDB-recomputable; the
+      // engine-specific estimate grades as CMS's one-sided contract
+      // (exact ≤ est ≤ exact + eps·N, N from the sketch itself) pinned
+      // to true by the oracle — AggContractsSpec keeps the raw numbers
+      val epsN = math.ceil(0.001 * cms.totalCount()).toLong
+      top.map { case (k, exact) =>
+        val est = cms.estimateCount(k)
+        (k, exact, est >= exact && est <= exact + epsN)
+      }.toSeq.toDF("l_suppkey", "exact_cnt", "est_ok")
         .orderBy("l_suppkey")
     }),
 
@@ -511,6 +548,30 @@ object AggQueries extends QueryGroup {
         |  COUNT(DISTINCT o_orderpriority) AS n_prio,
         |  COUNT(DISTINCT (o_orderstatus, o_orderpriority)) AS n_status_prio
         |FROM orders""".stripMargin,
+
+    "agg_approx_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+        |  true AS approx_ok
+        |FROM orders""".stripMargin,
+
+    "agg_hll_merge" ->
+      """SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_shards,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS merge_lossless, true AS est_ok
+        |FROM events""".stripMargin,
+
+    "agg_approx_percentile" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  true AS p50_ok, true AS p99_ok
+        |FROM lineitem""".stripMargin,
+
+    "agg_heavy_hitters_cms" ->
+      """WITH t AS (SELECT l_suppkey, COUNT(*) AS exact_cnt
+        |  FROM lineitem GROUP BY l_suppkey
+        |  ORDER BY exact_cnt DESC, l_suppkey LIMIT 10)
+        |SELECT l_suppkey, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        |  true AS est_ok
+        |FROM t ORDER BY l_suppkey""".stripMargin,
 
     "agg_rollup" ->
       """SELECT COALESCE(n_name, 'ALL') AS n_name,
