@@ -81,23 +81,27 @@ object MultimodalQueries extends QueryGroup {
 
     // audio feature extraction over the stub seam: per-frame energies
     // (mean |signed byte| per 32-byte frame — the MFCC/energy extractor
-    // shape). Rows-only: byte-level signed arithmetic has no tractable
-    // DuckDB twin; MediaPipelineSpec pins frame counts + energy values.
+    // shape, one row per frame). FULL oracle: the corpus is pure ASCII,
+    // so payload byte i == codepoint of char i, and each frame energy is
+    // an exact integer sum (≤ 32×127, every partial double sum exactly
+    // representable) divided by the frame length — bit-identical between
+    // engines with no float-summation-order hazard (which is why the
+    // graded shape is per-frame, not the per-doc mean whose double
+    // accumulation order DuckDB doesn't pin). MediaPipelineSpec keeps the
+    // per-doc mean/peak contracts against the stub directly.
     "mm_audio" -> ((s, dir) => {
       import s.implicits._
       MediaPipeline.mediaTable(s, dir)
         .filter(col("media_kind") === 1) // audio rows only
         .as[graft.multimodal.MediaRecord]
         .mapPartitions { it =>
-          it.map { m =>
-            val e = MediaPipeline.audioFeaturesStub(m)
-            (m.media_id, e.length,
-              if (e.isEmpty) 0.0 else e.sum / e.length,
-              if (e.isEmpty) 0.0 else e.max)
+          it.flatMap { m =>
+            MediaPipeline.audioFeaturesStub(m).iterator.zipWithIndex
+              .map { case (e, i) => (m.media_id, i, e) }
           }
         }
-        .toDF("media_id", "n_frames", "mean_energy", "peak_energy")
-        .orderBy("media_id")
+        .toDF("media_id", "frame_idx", "energy")
+        .orderBy("media_id", "frame_idx")
     }),
 
     // REAL image decode under a FULL hash oracle: a 500-image PNG corpus
@@ -238,6 +242,22 @@ object MultimodalQueries extends QueryGroup {
         |  CAST(8 AS INT) AS r_width, CAST(4 AS INT) AS r_height
         |FROM documents WHERE doc_id < 500
         |ORDER BY media_id""".stripMargin,
+
+    // frame energies recomputed from codepoints (ASCII corpus ⇒ byte ==
+    // codepoint): integer sum per ≤32-byte frame, double division — keep
+    // in lockstep with MediaPipeline.audioFeaturesStub's frameLen
+    "mm_audio" ->
+      """WITH a AS (SELECT doc_id AS media_id, text, length(text) AS len
+        |    FROM documents WHERE n_chars % 3 = 1),
+        |f AS (SELECT media_id, len, text,
+        |    unnest(range(CAST(ceil(len / 32.0) AS BIGINT))) AS frame_idx
+        |  FROM a)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(list_sum(list_transform(
+        |      range(LEAST(32, len - frame_idx * 32)),
+        |      i -> ascii(substr(text, CAST(frame_idx * 32 + i + 1 AS INT), 1))))
+        |    AS DOUBLE) / LEAST(32, len - frame_idx * 32) AS energy
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
     "mm_dedup" ->
       """WITH p AS (SELECT doc_id, md5(hex(encode(text))) AS checksum

@@ -53,25 +53,31 @@ class MediaPipelineSpec extends SparkSpec {
     n.foreach(r => assert(r.getSeq[Double](1).forall(e => e >= 0 && e <= 255)))
   }
 
-  test("mm_audio contract: frame counts and energies match direct compute") {
+  test("mm_audio contract: frame energies, counts, mean and peak match " +
+    "direct compute") {
     val out = operators.MultimodalQueries.queries("mm_audio")(spark, sfDir)
       .collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3))))
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
       .toMap
     assert(out.nonEmpty)
     val direct = MediaPipeline.mediaTable(spark, sfDir)
       .collect().filter(_.media_kind == 1)
-      .map { m =>
-        val e = MediaPipeline.audioFeaturesStub(m)
-        m.media_id -> ((e.length, e.sum / e.length, e.max))
-      }.toMap
-    assert(out.keySet == direct.keySet)
-    out.foreach { case (id, (n, mean, peak)) =>
-      val (dn, dmean, dpeak) = direct(id)
-      assert(n == dn)
-      assert(math.abs(mean - dmean) < 1e-9)
-      assert(math.abs(peak - dpeak) < 1e-9)
-      // n_frames = ceil(payload_len / 32) is implied by dn's construction
+      .map(m => m.media_id -> MediaPipeline.audioFeaturesStub(m))
+      .toMap
+    // per-frame: exact equality — the graded columns are integer-sum/len
+    // divisions, bit-reproducible by construction
+    val expected = direct.toSeq.flatMap { case (id, es) =>
+      es.zipWithIndex.map { case (e, i) => (id, i) -> e }
+    }.toMap
+    assert(out == expected)
+    // the per-doc aggregates the old graded shape carried stay contracted
+    // here: frame count, mean and peak energy per audio doc
+    direct.filter(_._2.nonEmpty).foreach { case (id, es) =>
+      val frames = out.collect { case ((d, i), e) if d == id => i -> e }
+      assert(frames.size == es.length)
+      val mean = frames.values.sum / frames.size
+      assert(math.abs(mean - es.sum / es.length) < 1e-9)
+      assert(math.abs(frames.values.max - es.max) < 1e-9)
     }
   }
 
