@@ -81,15 +81,23 @@ object Bench {
       dt
     }
     noiseProbe() // JIT warm-up; first measurement would read compile time
+    // probe BOTH sides of each rep: a burst that starts mid-rep is
+    // invisible to a pre-probe alone but usually still running when the
+    // rep ends, so bracketing halves the blind window; "noise" reports
+    // the worse of the pair per rep (a mid-rep burst that ends before the
+    // post-probe remains undetectable — flat probes are evidence of a
+    // quiet host, not proof)
     val probed = (1 to reps).map { i =>
-      val noise = noiseProbe()
+      val pre = noiseProbe()
       val r = runOnce()
+      val post = noiseProbe()
       System.err.println(
         f"[bench] run $i/$reps total ${r.values.flatten.sum}%.1f s " +
-          f"(probe ${noise}%.2f s)")
-      (noise, r)
+          f"(probes ${pre}%.2f/${post}%.2f s)")
+      ((pre, post), r)
     }
-    val noises = probed.map(_._1)
+    val noises = probed.map(p => math.max(p._1._1, p._1._2))
+    val noisePairs = probed.map(_._1)
     val runs = probed.map(_._2)
     val names = SparkEntry.queries.keys.toSeq
     // per-query minimum over SUCCESSFUL reps only (failed reps' fast-fail
@@ -117,8 +125,11 @@ object Bench {
     val fs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ts = totals.map(fmt).mkString("[", ",", "]")
     val ns = noises.map(fmt).mkString("[", ",", "]")
+    val nps = noisePairs
+      .map { case (a, b) => s"[${fmt(a)},${fmt(b)}]" }
+      .mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","queries":$qs,"failed":$fs,"runs":$ts,"noise":$ns,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","queries":$qs,"failed":$fs,"runs":$ts,"noise":$ns,"noise_pre_post":$nps,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
     // a SHORT summary line without the ~2 KB per-query map: the driver
     // captures only a bounded tail of stdout, and in rounds 4 and 5 the
     // long line's HEAD was clipped (recorded "parsed": null). The short

@@ -297,7 +297,9 @@ object CdcQueries extends QueryGroup {
         "narrowing DDL must be rejected, not applied")
       require(evolved.fieldNames.contains("o_amount")
         && !evolved.fieldNames.contains("o_totalprice"))
-      val lineage = SchemaEvolution.renameLineage(ddls)("orders")
+      val lineage = SchemaEvolution.renameLineage(
+        Map("orders" -> Debezium.ordersRowSchema), ddls)
+        .getOrElse("orders", Map.empty)
       val withOldNames = StructType(evolved.fields ++ lineage.collect {
         case (to, from) if from != to =>
           evolved.fields.find(_.name == to).get.copy(name = from)

@@ -88,25 +88,33 @@ object StreamQueries extends QueryGroup {
     // independent of event volume, so the crossJoin stays tiny at any
     // data scale.
     "alert_availability" -> ((s, dir) => {
-      val ev = Tables.scan(s, dir, "events")
-      val perHour = ev
-        .groupBy(col("event_type").as("connector"),
-          date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("n_ev"), max(col("value")).as("max_v"))
-      val span = ev.agg(date_trunc("hour", min(col("ts"))).as("t0"),
-        date_trunc("hour", max(col("ts"))).as("t1"))
-      val hours = span
-        .select(explode(expr("sequence(t0, t1, interval 1 hour)")).as("h"))
-      val status = ev.select(col("event_type").as("connector")).distinct()
-        .crossJoin(hours)
-        .join(perHour, Seq("connector", "h"), "left")
-        // up: the connector produced anything this interval; state: a
-        // poison sample (value ≥ 200, a fixed liveness threshold) marks
-        // the task FAILED even though the process is up
-        .withColumn("up", when(col("n_ev").isNull, 0L).otherwise(1L))
-        .withColumn("state", when(col("n_ev").isNull, lit("DOWN"))
-          .when(col("max_v") >= 200.0, lit("FAILED"))
-          .otherwise(lit("RUNNING")))
+      // the grid is session-cached: both rule evaluations below reference
+      // it, and without the persist the unioned plan would re-run the
+      // full-table per-hour aggregation, the span agg, and the distinct
+      // once PER RULE — the grid itself is connectors × hours (tiny), so
+      // caching it caps the events scans at one per session
+      val status = graft.BoundedDfCache.getOrPersist(
+        s, s"alert:status:$dir") {
+        val ev = Tables.scan(s, dir, "events")
+        val perHour = ev
+          .groupBy(col("event_type").as("connector"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n_ev"), max(col("value")).as("max_v"))
+        val span = ev.agg(date_trunc("hour", min(col("ts"))).as("t0"),
+          date_trunc("hour", max(col("ts"))).as("t1"))
+        val hours = span
+          .select(explode(expr("sequence(t0, t1, interval 1 hour)")).as("h"))
+        ev.select(col("event_type").as("connector")).distinct()
+          .crossJoin(hours)
+          .join(perHour, Seq("connector", "h"), "left")
+          // up: the connector produced anything this interval; state: a
+          // poison sample (value ≥ 200, a fixed liveness threshold) marks
+          // the task FAILED even though the process is up
+          .withColumn("up", when(col("n_ev").isNull, 0L).otherwise(1L))
+          .withColumn("state", when(col("n_ev").isNull, lit("DOWN"))
+            .when(col("max_v") >= 200.0, lit("FAILED"))
+            .otherwise(lit("RUNNING")))
+      }
       def runs(cond: org.apache.spark.sql.Column, minRun: Int, rule: String) =
         graft.streaming.AlertRules.sustainedRuns(
           status.select(col("connector"), col("h"),

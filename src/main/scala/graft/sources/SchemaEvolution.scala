@@ -100,59 +100,80 @@ object SchemaEvolution {
       case _                         => false
     }
 
-  /** Apply supported DDL statements to a registry; unknown statements,
-    * unknown tables/columns, and non-widening type changes are ignored
-    * (the side topic also carries session DDL noise in real deployments).
-    * Duplicate adds/drops are idempotent. */
+  /** Apply supported DDL statements to a registry AND track rename
+    * lineage in the same fold, so the lineage reflects exactly the
+    * renames that were APPLIED — a rename `evolve` rejects (unknown
+    * table/source column, or the target name already exists) records no
+    * lineage, and a column RE-ADDED under a lineage's original name ends
+    * that lineage (the old name now denotes a new real column; coalescing
+    * pre-DDL values into it would mix two different columns' data).
+    * Unknown statements, unknown tables/columns, and non-widening type
+    * changes are ignored (the side topic also carries session DDL noise
+    * in real deployments). Duplicate adds/drops are idempotent. */
+  def evolveWithLineage(
+      registry: Map[String, StructType],
+      ddls: Seq[String])
+    : (Map[String, StructType], Map[String, Map[String, String]]) = {
+    val (reg, lin) = ddls.flatMap(parseDdl)
+      .foldLeft((registry, Map.empty[String, Map[String, String]])) {
+        case ((reg, lin), change) =>
+          reg.get(change.table) match {
+            case None => (reg, lin)
+            case Some(schema) =>
+              val m = lin.getOrElse(change.table, Map.empty[String, String])
+              change match {
+                case AddCol(table, field)
+                    if !schema.fieldNames.contains(field.name) =>
+                  (reg.updated(table, StructType(schema.fields :+ field)),
+                    lin.updated(table,
+                      m.filterNot { case (_, orig) => orig == field.name }))
+                case DropCol(table, column) =>
+                  (reg.updated(table,
+                      StructType(schema.fields.filterNot(_.name == column))),
+                    lin.updated(table, m - column))
+                case AlterColType(table, column, to) =>
+                  schema.fields.find(_.name == column) match {
+                    case Some(f) if widens(f.dataType, to) =>
+                      (reg.updated(table, StructType(schema.fields.map(x =>
+                        if (x.name == column) x.copy(dataType = to) else x))),
+                        lin)
+                    case _ => (reg, lin) // narrowing / unknown: log-and-ignore
+                  }
+                case RenameCol(table, from, to)
+                    if schema.fieldNames.contains(from)
+                      && !schema.fieldNames.contains(to) =>
+                  val orig = m.getOrElse(from, from)
+                  (reg.updated(table, StructType(schema.fields.map(x =>
+                      if (x.name == from) x.copy(name = to) else x))),
+                    lin.updated(table, (m - from).updated(to, orig)))
+                case _ => (reg, lin) // duplicate add / colliding rename
+              }
+          }
+      }
+    // a→b→a round trips collapse to self-maps — no augmentation needed
+    (reg, lin.map { case (t, m) =>
+        t -> m.filterNot { case (k, v) => k == v } }
+      .filter(_._2.nonEmpty))
+  }
+
+  /** Registry evolution only — see [[evolveWithLineage]]. */
   def evolve(
       registry: Map[String, StructType],
       ddls: Seq[String]): Map[String, StructType] =
-    ddls.flatMap(parseDdl).foldLeft(registry) { (reg, change) =>
-      reg.get(change.table) match {
-        case None => reg
-        case Some(schema) => change match {
-          case AddCol(table, field)
-              if !schema.fieldNames.contains(field.name) =>
-            reg.updated(table, StructType(schema.fields :+ field))
-          case DropCol(table, column) =>
-            reg.updated(table,
-              StructType(schema.fields.filterNot(_.name == column)))
-          case AlterColType(table, column, to) =>
-            schema.fields.find(_.name == column) match {
-              case Some(f) if widens(f.dataType, to) =>
-                reg.updated(table, StructType(schema.fields.map(x =>
-                  if (x.name == column) x.copy(dataType = to) else x)))
-              case _ => reg // narrowing / unknown column: log-and-ignore
-            }
-          case RenameCol(table, from, to)
-              if schema.fieldNames.contains(from)
-                && !schema.fieldNames.contains(to) =>
-            reg.updated(table, StructType(schema.fields.map(x =>
-              if (x.name == from) x.copy(name = to) else x)))
-          case _ => reg // duplicate add / unknown or colliding rename
-        }
-      }
-    }
+    evolveWithLineage(registry, ddls)._1
 
-  /** Rename lineage across a DDL sequence: per table, each CURRENT column
-    * name that was ever renamed mapped to its ORIGINAL (pre-DDL) name —
-    * chains (a→b, b→c) collapse to `c → a`, and dropping a renamed column
-    * ends its lineage. Consumers use this to parse pre-DDL envelopes under
-    * the evolved registry: augment the schema with the original-name twin
-    * and coalesce new ← old (a rename is a metadata operation in the
-    * source database — old envelopes still carry the old field name and
-    * must keep parsing without reprocessing). */
-  def renameLineage(ddls: Seq[String]): Map[String, Map[String, String]] =
-    ddls.flatMap(parseDdl)
-      .foldLeft(Map.empty[String, Map[String, String]]) { (acc, change) =>
-        val m = acc.getOrElse(change.table, Map.empty)
-        change match {
-          case RenameCol(t, from, to) =>
-            val orig = m.getOrElse(from, from)
-            acc.updated(t, (m - from).updated(to, orig))
-          case DropCol(t, c) => acc.updated(t, m - c)
-          case _             => acc
-        }
-      }
-      .filter(_._2.nonEmpty)
+  /** Rename lineage across a DDL sequence applied to `registry`: per
+    * table, each CURRENT column name that was renamed mapped to its
+    * ORIGINAL (pre-DDL) name — chains (a→b, b→c) collapse to `c → a`,
+    * dropping a renamed column ends its lineage, and (because the fold is
+    * shared with [[evolve]]) only renames the registry actually accepted
+    * appear. Consumers use this to parse pre-DDL envelopes under the
+    * evolved registry: augment the schema with the original-name twin and
+    * coalesce new ← old (a rename is a metadata operation in the source
+    * database — old envelopes still carry the old field name and must
+    * keep parsing without reprocessing). */
+  def renameLineage(
+      registry: Map[String, StructType],
+      ddls: Seq[String]): Map[String, Map[String, String]] =
+    evolveWithLineage(registry, ddls)._2
 }

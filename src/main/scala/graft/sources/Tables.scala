@@ -35,13 +35,18 @@ object Tables {
       // Retry ONLY on the NANOS schema-inference failure; any other error
       // (missing file, corrupt footer, permissions) must surface as itself,
       // and the session-wide legacy conf must not leak if the retry fails.
-      def isNanosFailure(e: Throwable): Boolean = e match {
-        case a: org.apache.spark.sql.AnalysisException =>
-          a.getErrorClass == "PARQUET_TYPE_ILLEGAL" ||
-            Option(a.getMessage).exists(m =>
-              m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("NANOS"))
-        case _ => false
-      }
+      // The NANOS failure can surface WRAPPED (multi-file footer merge
+      // runs as a job → SparkException with the AnalysisException as its
+      // cause), so walk the cause chain, not just the top-level throwable.
+      def isNanosFailure(e: Throwable): Boolean =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .exists {
+            case a: org.apache.spark.sql.AnalysisException =>
+              a.getErrorClass == "PARQUET_TYPE_ILLEGAL" ||
+                Option(a.getMessage).exists(m =>
+                  m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("NANOS"))
+            case _ => false
+          }
       val df =
         try spark.read.parquet(path)
         catch {

@@ -53,6 +53,23 @@ class MediaPipelineSpec extends SparkSpec {
     n.foreach(r => assert(r.getSeq[Double](1).forall(e => e >= 0 && e <= 255)))
   }
 
+  test("mm_audio oracle precondition: the corpus is pure ASCII — payload " +
+    "byte == codepoint, which the DuckDB twin recomputes from") {
+    import org.apache.spark.sql.functions._
+    // the graded Spark side frames UTF-8 BYTES while the oracle frames
+    // CODEPOINTS; they are the same thing only on an ASCII corpus. If a
+    // harness generation ever ships non-ASCII text, this turns red with
+    // the actual cause instead of the graded entry hash-mismatching
+    // with no hint.
+    val bad = graft.sources.Tables.scan(spark, sfDir, "documents")
+      .filter(octet_length(encode(col("text"), "UTF-8"))
+        =!= length(col("text")))
+      .count()
+    assert(bad == 0L, s"$bad non-ASCII documents break the mm_audio " +
+      "oracle's byte==codepoint equivalence — re-derive the oracle from " +
+      "bytes (hex pairs) or restrict the graded slice")
+  }
+
   test("mm_audio contract: frame energies, counts, mean and peak match " +
     "direct compute") {
     val out = operators.MultimodalQueries.queries("mm_audio")(spark, sfDir)

@@ -150,9 +150,31 @@ class SchemaEvolutionSpec extends SparkSpec {
     // lineage: a→b then b→c collapses to c→a; dropping c ends it
     val chain = Seq("ALTER TABLE t RENAME COLUMN a TO b2",
       "ALTER TABLE t RENAME COLUMN b2 TO c")
-    assert(SchemaEvolution.renameLineage(chain) == Map("t" -> Map("c" -> "a")))
-    assert(SchemaEvolution.renameLineage(
+    assert(SchemaEvolution.renameLineage(base, chain)
+      == Map("t" -> Map("c" -> "a")))
+    assert(SchemaEvolution.renameLineage(base,
       chain :+ "ALTER TABLE t DROP COLUMN c") == Map.empty)
+    // lineage mirrors evolve's guards: a rename the registry REJECTED
+    // (target collision, unknown source, unknown table) records no
+    // lineage — the consumer recipe would otherwise corrupt or crash
+    assert(SchemaEvolution.renameLineage(base,
+      Seq("ALTER TABLE t RENAME COLUMN a TO b")) == Map.empty)
+    assert(SchemaEvolution.renameLineage(base,
+      Seq("ALTER TABLE t RENAME COLUMN nope TO x")) == Map.empty)
+    assert(SchemaEvolution.renameLineage(base,
+      Seq("ALTER TABLE other RENAME COLUMN a TO b")) == Map.empty)
+    // a column RE-ADDED under a lineage's original name ends the lineage
+    // (the old field name now denotes a NEW column — augmenting would
+    // duplicate the field and coalescing would mix two columns' data)
+    val (readded, lin) = SchemaEvolution.evolveWithLineage(base,
+      Seq("ALTER TABLE t RENAME COLUMN a TO a2",
+        "ALTER TABLE t ADD COLUMN a bigint"))
+    assert(readded("t").fieldNames.toSeq == Seq("a2", "b", "a"))
+    assert(lin == Map.empty)
+    // a→b2→a round trip needs no augmentation: self-maps are dropped
+    assert(SchemaEvolution.renameLineage(base,
+      Seq("ALTER TABLE t RENAME COLUMN a TO b2",
+        "ALTER TABLE t RENAME COLUMN b2 TO a")) == Map.empty)
   }
 
   test("graded cdc_schema_rename twin: renamed column carries pre-DDL " +
