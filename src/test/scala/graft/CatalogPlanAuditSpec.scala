@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+/** Catalog-wide scale guard: EVERY graded query must plan without an
+  * unbounded cartesian product. A CartesianProductExec over two
+  * corpus-sized inputs is the canonical 100 TB plan killer, and it can
+  * appear silently — a refactor that drops a join condition, or a
+  * broadcast side growing past the threshold, degrades a hash join to a
+  * cartesian with no API-level signal. The per-query PlanSpec tests pin
+  * the flagship plans in detail; this sweep pins the one property that
+  * must hold for the WHOLE catalog, so a regression anywhere in the 140+
+  * query surface turns a test red instead of an sf1 sweep timing out.
+  *
+  * Scalar-side crossJoins (a 1-row count/total broadcast into every row)
+  * plan as BroadcastNestedLoopJoin, not CartesianProductExec, and are
+  * fine at any scale — this guard does not flag them.
+  *
+  * Whitelisted: the documented id-BOUNDED exact oracle twins of the
+  * ANN/LSH production paths (both sides filtered to constant-size id
+  * ranges before the pairwise compare — VERDICT r10 accepted these as
+  * exact ground-truth twins, and their cost is O(bound²), not O(corpus²)).
+  */
+class CatalogPlanAuditSpec extends SparkSpec {
+
+  /** Bounded-by-construction pairwise compares (exact oracle twins). */
+  private val boundedCartesianOk = Set("dedup_embedding", "text_editdist")
+
+  test("no graded query plans an unbounded cartesian product") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val plan = fn(spark, sfDir).queryExecution.executedPlan
+          val carts = plan.collect { case c: CartesianProductExec => c }
+          if (carts.nonEmpty && !boundedCartesianOk(name)) Some(name)
+          else None
+      }
+      assert(violations.isEmpty,
+        s"unbounded CartesianProductExec in: ${violations.mkString(", ")} " +
+          "— either restore the join condition or, if the inputs are " +
+          "provably id-bounded, whitelist with justification")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
