@@ -1,0 +1,244 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.sources.Tables
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+
+/** Kafka-Connect-shaped REST provisioning facade (SURVEY.md §2.A A12).
+  *
+  * The reference provisions connectors by POSTing Debezium connector JSON
+  * to Kafka Connect's REST API (reference:
+  * k8s-manifests/connectors/postgresql-connector.yaml:26-58 — `curl -X
+  * POST http://kafka-connect:8083/connectors` with `{"name", "config"}`),
+  * and its setup jobs poll `GET /connectors` for readiness. This server
+  * speaks that wire shape over the JDK's built-in [[HttpServer]] (no new
+  * dependencies) and materializes each accepted config as a
+  * [[CdcPipelineConfig]] — the same object the programmatic builder
+  * produces — so an operator can port their provisioning scripts
+  * unchanged: same endpoint paths, same request/response documents, same
+  * 201/404/409 status discipline.
+  *
+  * Endpoints (the subset the reference's jobs use, plus lifecycle):
+  *   - `GET    /connectors`                     → `["name", …]`
+  *   - `POST   /connectors`                     → register, 201 (409 dup)
+  *   - `GET    /connectors/{name}`              → `{"name","config"}`
+  *   - `GET    /connectors/{name}/status`       → Connect status document
+  *   - `PUT    /connectors/{name}/pause|resume` → 202
+  *   - `DELETE /connectors/{name}`              → 204
+  *
+  * The server is a CONTROL-PLANE facade: it validates + registers
+  * configs and reports status; data-plane execution stays in
+  * [[CdcPipeline]] (callers fetch the materialized config with
+  * [[ConnectRest.Server#pipelineConfig]] and run it on any raw frame).
+  * Validation mirrors what the engine actually supports — unknown
+  * `connector.class`, include-list tables absent from the schema
+  * registry, or type-handling modes other than the engine's pinned
+  * `decimal=string` / `time=adaptive_time_microseconds` are a 400 with
+  * the reason, not a silently-degraded pipeline.
+  */
+object ConnectRest {
+
+  /** Registered connector: its materialized pipeline config + state. */
+  final case class Entry(
+      name: String,
+      rawConfig: Map[String, String],
+      pipeline: CdcPipelineConfig,
+      var state: String) // RUNNING | PAUSED
+
+  private val mapper = new ObjectMapper()
+
+  /** Map a Debezium connector `config` map to a [[CdcPipelineConfig]]
+    * against the given schema/key registry (the database-catalog analog:
+    * Debezium reads PKs and column types from the source DB; this engine
+    * reads them from the registry). Left = 400 reason. */
+  def toPipelineConfig(
+      config: Map[String, String],
+      schemas: Map[String, StructType],
+      keys: Map[String, Seq[String]]): Either[String, CdcPipelineConfig] = {
+    val cls = config.getOrElse("connector.class", "")
+    val ordering: Either[String, Seq[String]] =
+      if (cls.contains("postgresql")) Right(Seq("_lsn"))
+      else if (cls.contains("mysql")) Right(Seq("_file_seq", "_pos"))
+      else Left(s"unsupported connector.class '$cls' (postgresql and " +
+        "mysql connectors are supported)")
+    // the engine parses under the reference's pinned type modes; a config
+    // requesting a different mode would NOT get what it asked for
+    val badMode = Seq(
+      "decimal.handling.mode" -> "string",
+      "time.precision.mode" -> "adaptive_time_microseconds").collectFirst {
+      case (k, want) if config.get(k).exists(_ != want) =>
+        s"$k='${config(k)}' unsupported (engine parses with $k=$want)"
+    }
+    // include-list entries route to their LAST segment (the RegexRouter
+    // `$3` replacement the reference configures), which is the registry key
+    val tables = config.getOrElse("table.include.list", "").split(",")
+      .map(_.trim).filter(_.nonEmpty).map(t => t.split("\\.").last).toSeq
+    val missing = tables.filterNot(t =>
+      schemas.contains(t) && keys.contains(t))
+    for {
+      ord <- ordering
+      _ <- badMode.toLeft(())
+      _ <- if (tables.isEmpty) Left("table.include.list is empty")
+           else Right(())
+      _ <- if (missing.nonEmpty)
+             Left(s"tables not in schema registry: ${missing.mkString(",")}")
+           else Right(())
+    } yield CdcPipelineConfig(
+      tables = tables.map(t => t -> schemas(t)).toMap,
+      keyColumns = tables.map(t => t -> keys(t)).toMap,
+      orderingColumns = ord,
+      // transforms.unwrap.delete.handling.mode=rewrite keeps delete rows
+      // with __deleted=true; drop.tombstones=false RETAINS tombstones
+      deleteRewrite =
+        config.getOrElse("transforms.unwrap.delete.handling.mode",
+          "rewrite") == "rewrite",
+      keepTombstones =
+        config.getOrElse("transforms.unwrap.drop.tombstones",
+          "false") == "false")
+  }
+
+  /** Start the facade on `port` (0 = ephemeral). Defaults the registry to
+    * the engine's captured-table analogs ([[Tables.captureMapping]]). */
+  def start(
+      schemas: Map[String, StructType],
+      keys: Map[String, Seq[String]],
+      port: Int = 0): Server = {
+    val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // daemon threads + explicit shutdown in close(): HttpServer.stop()
+    // does NOT stop a user-supplied executor, and lingering non-daemon
+    // pool threads would keep a driver JVM alive after main returns
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => {
+        val t = new Thread(r, "connect-rest")
+        t.setDaemon(true)
+        t
+      })
+    val server = new Server(http, pool, schemas, keys)
+    http.createContext("/connectors", server.handler _)
+    http.setExecutor(pool)
+    http.start()
+    server
+  }
+
+  final class Server(
+      http: HttpServer,
+      pool: java.util.concurrent.ExecutorService,
+      schemas: Map[String, StructType],
+      keys: Map[String, Seq[String]]) {
+
+    private val entries =
+      scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+
+    def port: Int = http.getAddress.getPort
+    def close(): Unit = { http.stop(0); pool.shutdownNow() }
+
+    /** The materialized config of a registered connector (data plane). */
+    def pipelineConfig(name: String): Option[CdcPipelineConfig] =
+      entries.synchronized(entries.get(name).map(_.pipeline))
+
+    private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      // 204 must not carry a body (sendResponseHeaders contract: -1)
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    private def jstr(s: String): String = mapper.writeValueAsString(s)
+
+    private def error(ex: HttpExchange, code: Int, msg: String): Unit =
+      respond(ex, code,
+        s"""{"error_code":$code,"message":${jstr(msg)}}""")
+
+    private def statusDoc(e: Entry): String = {
+      val worker = jstr(s"127.0.0.1:$port")
+      s"""{"name":${jstr(e.name)},"connector":{"state":${jstr(e.state)},
+         |"worker_id":$worker},"tasks":[{"id":0,"state":${jstr(e.state)},
+         |"worker_id":$worker}],"type":"source"}""".stripMargin
+        .replace("\n", "")
+    }
+
+    private def configDoc(e: Entry): String = {
+      val cfg = e.rawConfig.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
+      s"""{"name":${jstr(e.name)},"config":$cfg}"""
+    }
+
+    def handler(ex: HttpExchange): Unit = try {
+      val path = ex.getRequestURI.getPath.stripSuffix("/")
+      val method = ex.getRequestMethod
+      val parts = path.stripPrefix("/connectors") match {
+        case "" => Seq.empty
+        case p  => p.stripPrefix("/").split("/").toSeq
+      }
+      (method, parts) match {
+        case ("GET", Seq()) => entries.synchronized {
+          respond(ex, 200,
+            entries.keys.map(jstr).mkString("[", ",", "]"))
+        }
+        case ("POST", Seq()) =>
+          val body =
+            new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val root =
+            try mapper.readTree(body)
+            catch { case _: Exception => null }
+          if (root == null || !root.hasNonNull("name")
+            || !root.hasNonNull("config"))
+            error(ex, 400, "body must be {\"name\", \"config\"}")
+          else {
+            val name = root.get("name").asText()
+            val cfg = root.get("config").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+            toPipelineConfig(cfg, schemas, keys) match {
+              case Left(reason) => error(ex, 400, reason)
+              case Right(pc) => entries.synchronized {
+                if (entries.contains(name))
+                  error(ex, 409, s"Connector $name already exists")
+                else {
+                  val e2 = Entry(name, cfg, pc, "RUNNING")
+                  entries.put(name, e2)
+                  respond(ex, 201, configDoc(e2))
+                }
+              }
+            }
+          }
+        case ("GET", Seq(name)) => entries.synchronized {
+          entries.get(name) match {
+            case Some(e2) => respond(ex, 200, configDoc(e2))
+            case None => error(ex, 404, s"Connector $name not found")
+          }
+        }
+        case ("GET", Seq(name, "status")) => entries.synchronized {
+          entries.get(name) match {
+            case Some(e2) => respond(ex, 200, statusDoc(e2))
+            case None => error(ex, 404, s"Connector $name not found")
+          }
+        }
+        case ("PUT", Seq(name, action))
+            if action == "pause" || action == "resume" =>
+          entries.synchronized {
+            entries.get(name) match {
+              case Some(e2) =>
+                e2.state = if (action == "pause") "PAUSED" else "RUNNING"
+                respond(ex, 202, "")
+              case None => error(ex, 404, s"Connector $name not found")
+            }
+          }
+        case ("DELETE", Seq(name)) => entries.synchronized {
+          if (entries.remove(name).isDefined) respond(ex, 204, "")
+          else error(ex, 404, s"Connector $name not found")
+        }
+        case _ => error(ex, 405, s"$method $path not supported")
+      }
+    } catch {
+      case e: Exception =>
+        try error(ex, 500, String.valueOf(e.getMessage))
+        catch { case _: Exception => () }
+    }
+  }
+}

@@ -320,6 +320,70 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderstatus")
     }),
 
+    // A12 over the WIRE: provisioning through the Kafka-Connect-shaped
+    // REST facade ([[graft.ConnectRest]]) instead of the programmatic
+    // builder — the exact flow the reference's setup job runs (curl -X
+    // POST :8083/connectors with the Debezium connector JSON, then poll
+    // status). The accepted config materializes the same
+    // CdcPipelineConfig the builder would produce, and the graded result
+    // is that pipeline's compacted `orders` state over a keyed subset of
+    // the fixture changelog (o_orderkey % 5 = 0, the subset that carries
+    // every op kind incl. the %10-keyed updates/replays, selected via the
+    // raw record KEY — a tiny-JSON probe per record, no envelope parse;
+    // the REST path grades the control plane, compaction-at-volume is
+    // cdc_compact's job). Same oracle predicate as cdc_compact
+    // restricted to the subset. ConnectRestSpec covers the endpoint
+    // surface
+    // (list/get/status/pause/resume/delete, 400/404/409 discipline).
+    "cdc_rest_provision" -> ((s, dir) => {
+      import graft.sources.Debezium
+      val server = graft.ConnectRest.start(
+        schemas = Map("orders" -> Debezium.ordersRowSchema),
+        keys = Map("orders" -> Seq("o_orderkey")))
+      try {
+        val body =
+          """{"name": "postgres-orders",
+            | "config": {
+            |  "connector.class": "io.debezium.connector.postgresql.PostgresConnector",
+            |  "table.include.list": "public.orders",
+            |  "topic.prefix": "prod.postgres",
+            |  "decimal.handling.mode": "string",
+            |  "time.precision.mode": "adaptive_time_microseconds",
+            |  "transforms": "route,unwrap",
+            |  "transforms.unwrap.drop.tombstones": "false",
+            |  "transforms.unwrap.delete.handling.mode": "rewrite"
+            |}}""".stripMargin
+        val client = java.net.http.HttpClient.newHttpClient()
+        val post = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(
+            s"http://127.0.0.1:${server.port}/connectors"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        val resp = client.send(post,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 201,
+          s"provisioning failed: ${resp.statusCode()} ${resp.body()}")
+        val status = client.send(
+          java.net.http.HttpRequest.newBuilder().uri(java.net.URI.create(
+            s"http://127.0.0.1:${server.port}/connectors/postgres-orders/status"))
+            .GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(status.statusCode() == 200
+          && status.body().contains("\"RUNNING\""),
+          s"connector not RUNNING: ${status.body()}")
+        val cfg = server.pipelineConfig("postgres-orders")
+          .getOrElse(sys.error("registered connector missing"))
+        val raw = CdcOps.synthOrdersChangelog(s, dir)
+          .filter(get_json_object(col("key"), "$.o_orderkey")
+            .cast("long") % 5 === 0)
+        new graft.CdcPipeline(cfg).table(raw, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate_us", "o_orderpriority")
+          .orderBy("o_orderkey")
+      } finally server.close()
+    }),
+
     // incremental view maintenance: the parsed change log applied in
     // three sequential micro-batches (inserts, then updates incl. the
     // at-least-once replay, then deletes + tombstones) through
@@ -526,6 +590,16 @@ object CdcQueries extends QueryGroup {
         |ORDER BY o_orderstatus""".stripMargin,
 
     "cdc_compact_tws" -> (baseCte +
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate_us, o_orderpriority
+        |FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // same current-state predicate as cdc_compact on the %5 subset — the
+    // REST-provisioned pipeline must land exactly where the builder does
+    "cdc_rest_provision" -> (baseCte +
       """SELECT o_orderkey, o_custkey,
         |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
         |         AS o_orderstatus,
