@@ -332,6 +332,35 @@ case class DeflateLen(child: Expression)
     copy(child = c)
 }
 
+/** Codegen'd Bloom-filter membership probe over a LONG key — the kernel of
+  * semi-join reduction (`graft.operators.BloomJoin`): the build side's key
+  * set, compressed to a fixed-size bit array, prunes the probe side
+  * MAP-SIDE, before its shuffle. The filter rides into the serialized
+  * task closure (BloomFilterImpl is Serializable) exactly like a broadcast
+  * literal; codegen pins it once per generated class via `addReferenceObj`
+  * so the probe stays a single virtual call inside whole-stage codegen.
+  * One-sided error by construction: false positives are re-checked by the
+  * exact join above, false negatives cannot occur. */
+case class BloomMightContain(
+    child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(v: Any): Any =
+    filter.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.mightContainLong($a)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+}
+
 /** Column-API wrappers for the custom expressions. */
 object VectorFunctions {
   private def e(c: Column): Expression = Shim.expression(c)
@@ -360,4 +389,8 @@ object VectorFunctions {
 
   def deflateLen(text: Column): Column =
     Shim.column(DeflateLen(e(text)))
+
+  def bloomMightContain(
+      key: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    Shim.column(BloomMightContain(e(key.cast("long")), filter))
 }

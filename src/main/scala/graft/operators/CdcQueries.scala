@@ -240,8 +240,17 @@ object CdcQueries extends QueryGroup {
         .as[KeyedChange].collect().sortBy(_.lsn)
       val prev =
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // a stateful query's state-store count is pinned (into the
+      // checkpoint) from shuffle.partitions at first start — size it to
+      // the STATE volume, not the session's analytic shuffle width: every
+      // instance is a live RocksDB opened+committed per micro-batch, so 32
+      // instances for a few thousand keys is 4× pure store overhead. A
+      // production deployment makes the same call per stateful job
+      // (state partitions ≈ state size / target store size).
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         implicit val sqlCtx = s.sqlContext
         val sinkName = "graft_tws_compact"
@@ -255,6 +264,7 @@ object CdcQueries extends QueryGroup {
             b => in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
           }
         } finally q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
         // fold Update-mode emissions to final state: max (lsn, deleted)
         // per key — the processor's own rank — then drop deleted keys
         s.table(sinkName)
@@ -266,11 +276,14 @@ object CdcQueries extends QueryGroup {
             graft.sources.Debezium.ordersRowSchema).as("row"))
           .select(payloadCols.map(c => col(s"row.$c")): _*)
           .orderBy("o_orderkey")
-      } finally prev match {
-        case Some(v) =>
-          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prev match {
+          case Some(v) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
       }
     }),
 

@@ -277,6 +277,30 @@ object JoinQueries extends QueryGroup {
           Dec.toDbl(sum(Dec.d2(col("l_extendedprice")))).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("s_name")
+    }),
+
+    // semi-join reduction ([[BloomJoin.prunedEquiJoin]]): the probe side
+    // (orders) is Bloom-pruned on the build side's key set BEFORE its
+    // shuffle — the middle path between broadcast (build too big as rows)
+    // and bare shuffle join (shuffles every probe row, matching or not).
+    // The filter's false positives are removed by the exact join above it,
+    // so the result — and the oracle — is the PLAIN join; PlanSpec pins
+    // the probe-side Filter below the exchange and the shuffle-join shape.
+    // expectedKeys is the build side's exact count: one extra pass over
+    // the (small relative to probe) dim, spent on sizing the bit array so
+    // fpp holds at any scale rather than guessing.
+    "join_bloom_prune" -> ((s, dir) => {
+      val build = Tables.scan(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name")
+      val probe = Tables.scan(s, dir, "orders")
+      BloomJoin.prunedEquiJoin(probe, build,
+          probeKey = "o_custkey", buildKey = "c_custkey",
+          expectedKeys = build.count())
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Dec.toDbl(sum(Dec.d2(col("o_totalprice")))).as("total"))
+        .orderBy("o_orderpriority")
     }))
 
   /** The shared as-of union-merge: events and (deduped) orders interleave
@@ -485,5 +509,16 @@ object JoinQueries extends QueryGroup {
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name
-        |ORDER BY s_name""".stripMargin)
+        |ORDER BY s_name""".stripMargin,
+
+    // the Bloom prune is invisible in the result (one-sided error, exact
+    // join above) — the oracle is the plain join
+    "join_bloom_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
 }

@@ -222,6 +222,40 @@ object TimeSeriesQueries extends QueryGroup {
           col("start_s"), col("end_s"),
           (col("end_s") - col("start_s")).as("span_s"))
         .orderBy("user_id", "island")
+    }),
+
+    // counter-reset-aware increase — the PromQL `increase()` primitive
+    // behind every counter panel on the reference's Grafana board
+    // (restarts, task failures, `up` flaps): per series, a sample LOWER
+    // than its predecessor means the counter reset, so that row
+    // contributes its own value (growth since the reset), not a negative
+    // delta. The fixture counter is synthesized deterministically from the
+    // data (running cents per event_type, wrapped mod 100k so resets
+    // actually occur) and the SAME construction runs in the oracle.
+    // Per-hour increase = sum of reset-corrected per-row deltas; the
+    // series' first sample contributes 0 (nothing to grow from), an
+    // hour's first sample baselines against the previous hour's last —
+    // the standard monotonized-counter rollup. Planning: one hash shuffle
+    // on event_type shared by the running sum, the lag, and (key
+    // superset) the hourly rollup; window state is O(1) per row. Integer
+    // arithmetic end-to-end — hash-stable across engines.
+    "ts_counter_rate" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.scan(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("counter", sum("cents").over(cum) % lit(100000L))
+        .withColumn("prev", lag("counter", 1).over(w))
+        .withColumn("delta",
+          when(col("prev").isNull, 0L)
+            .when(col("counter") >= col("prev"), col("counter") - col("prev"))
+            .otherwise(col("counter")))
+        .groupBy(col("event_type"),
+          unix_micros(date_trunc("hour", col("ts")).cast("timestamp"))
+            .as("hour_us"))
+        .agg(sum("delta").as("increase"), count(lit(1)).as("n_samples"))
+        .orderBy("event_type", "hour_us")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -367,5 +401,26 @@ object TimeSeriesQueries extends QueryGroup {
         |  MAX(epoch_s) + 300 AS end_s,
         |  MAX(epoch_s) + 300 - MIN(epoch_s) AS span_s
         |FROM islands GROUP BY user_id, island
-        |ORDER BY user_id, island""".stripMargin)
+        |ORDER BY user_id, island""".stripMargin,
+
+    "ts_counter_rate" ->
+      """WITH c AS (SELECT event_type, ts, event_id,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) % 100000 AS counter
+        |  FROM events),
+        |d AS (SELECT event_type, ts, counter,
+        |    lag(counter) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM c)
+        |SELECT event_type,
+        |  epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_us,
+        |  SUM(CASE WHEN prev IS NULL THEN 0
+        |           WHEN counter >= prev THEN counter - prev
+        |           ELSE counter END) AS increase,
+        |  COUNT(*) AS n_samples
+        |FROM d
+        |GROUP BY event_type, hour_us
+        |ORDER BY event_type, hour_us""".stripMargin)
 }

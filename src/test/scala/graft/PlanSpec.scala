@@ -273,4 +273,56 @@ class PlanSpec extends SparkSpec {
         s"islands row_number must partition by connector:\n$plan")
     }
   }
+
+  test("join_bloom_prune: the Bloom probe filters BELOW the probe-side " +
+      "exchange, and the join is the shuffle shape it would be at scale") {
+    val (_, plan) = staticPlan("join_bloom_prune")
+    // the hint pins the shuffle-hash join — the regime this operator
+    // exists for (build past the broadcast threshold); no broadcast join
+    val shj = plan.collect { case j: ShuffledHashJoinExec => j }
+    assert(shj.size == 1 &&
+      plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"expected one shuffled-hash join:\n$plan")
+    // the bloom_might_contain Filter sits in the probe subtree UNDER the
+    // join's exchange: non-matching probe rows die before shuffling
+    val exchangesWithBloomBelow = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.collectFirst {
+            case f: org.apache.spark.sql.execution.FilterExec
+                if f.condition.toString.contains("bloom_might_contain") => f
+          }.nonEmpty => e
+    }
+    assert(exchangesWithBloomBelow.nonEmpty,
+      s"bloom probe must prune below the probe exchange:\n$plan")
+    // and nothing bloom-probes ABOVE a join (that would shuffle first,
+    // prune after — the exact cost the operator deletes)
+    val bloomAboveJoin = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("bloom_might_contain") &&
+            f.collectFirst { case j: ShuffledHashJoinExec => j }.nonEmpty => f
+    }
+    assert(bloomAboveJoin.isEmpty, s"bloom probe above the join:\n$plan")
+  }
+
+  test("bloom prune is one-sided: no matching probe row is lost, " +
+      "pruning actually reduces the shuffled volume") {
+    import org.apache.spark.sql.functions._
+    val build = graft.sources.Tables.scan(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val probe = graft.sources.Tables.scan(spark, sfDir, "orders")
+    val bf = build.stat.bloomFilter("c_custkey", build.count(), 0.01)
+    val pruned = probe.filter(
+      graft.functions.VectorFunctions.bloomMightContain(col("o_custkey"), bf))
+    val exact = probe.join(build,
+      probe("o_custkey") === build("c_custkey"), "left_semi")
+    val (nProbe, nPruned, nExact) =
+      (probe.count(), pruned.count(), exact.count())
+    // false negatives are impossible …
+    assert(nPruned >= nExact,
+      s"bloom dropped matching rows: pruned=$nPruned exact=$nExact")
+    // … and the fixture's ~4/5 non-matching segment rows mostly die
+    // map-side (1% fpp ⇒ survivors ≈ exact + 1% of the rest)
+    assert(nPruned <= nExact + (nProbe - nExact) / 10,
+      s"bloom pruned too little: probe=$nProbe pruned=$nPruned exact=$nExact")
+  }
 }
