@@ -348,6 +348,14 @@ case class BloomMightContain(
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BIGINT key, got ${child.dataType.sql}")
+
   override protected def nullSafeEval(v: Any): Any =
     filter.mightContainLong(v.asInstanceOf[Long])
 
