@@ -416,9 +416,9 @@ object TimeSeriesQueries extends QueryGroup {
         |  FROM c)
         |SELECT event_type,
         |  epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_us,
-        |  SUM(CASE WHEN prev IS NULL THEN 0
+        |  CAST(SUM(CASE WHEN prev IS NULL THEN 0
         |           WHEN counter >= prev THEN counter - prev
-        |           ELSE counter END) AS increase,
+        |           ELSE counter END) AS BIGINT) AS increase,
         |  COUNT(*) AS n_samples
         |FROM d
         |GROUP BY event_type, hour_us
