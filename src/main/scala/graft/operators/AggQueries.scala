@@ -89,14 +89,23 @@ object AggQueries extends QueryGroup {
     // single-shot approx_count_distinct can't express: store one compact
     // HLL sketch per shard (here per day), then answer "distinct users
     // over any day range" by UNIONING stored sketches — no rescan of the
-    // raw events, and sketch union is lossless (same lgK), so the merged
-    // estimate is bit-identical to the sketch built over the whole table
-    // in one pass (AggContractsSpec asserts exactly that, plus a ≤5%
-    // error contract vs the exact count). The sketch itself has no DuckDB
-    // twin, so the graded columns are the recomputable facts (shard
-    // count, exact distinct users) plus the two contracts as booleans the
-    // oracle pins to true: merge losslessness (merged estimate ==
-    // single-pass estimate, exact equality) and ≤5% estimate error.
+    // raw events. The ORIGINAL graded contract here ("merged estimate ==
+    // one-pass estimate, exact equality") was wrong and the sf1 standing
+    // sweep caught it: estimate-level equality holds only in sparse mode
+    // and only between IDENTICAL aggregation topologies — a directly
+    // built DataSketches HLL answers with its HIP estimator while a
+    // union must use the composite estimate, HLL_4's curMin/exception
+    // handling makes even register content insertion-order sensitive,
+    // and mixing countDistinct into the same agg changes the partial
+    // -merge structure (Expand rewrite) enough to shift the estimate
+    // (measured: per-day-union 1488 vs one-pass 1499 at sf0.1; equal
+    // at sf0.01; plan-shape-dependent at sf1). The durable contract is
+    // a BOUNDED GAP: both are estimates of the same set with RSE ≈
+    // 1.6%/√shards at lgK=12, so merged-vs-one-pass within 2% relative
+    // (measured ≤0.8%) and merged-vs-exact within 5%. The sketch itself
+    // has no DuckDB twin, so the graded columns are the recomputable
+    // facts (shard count, exact distinct users) plus the two contracts
+    // as booleans the oracle pins to true.
     "agg_hll_merge" -> ((s, dir) => {
       val ev = Tables.scan(s, dir, "events")
       val merged = ev
@@ -105,11 +114,13 @@ object AggQueries extends QueryGroup {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("m"),
           count(lit(1)).as("n_shards"))
       val single = ev.agg(
-        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("sg"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("sg"))
+      val exact = ev.agg(
         countDistinct(col("user_id")).as("exact_users"))
-      merged.crossJoin(single).select(
+      merged.crossJoin(single).crossJoin(exact).select(
         col("n_shards"), col("exact_users"),
-        (col("m") === col("sg")).as("merge_lossless"),
+        (abs(col("m") - col("sg")).cast("double")
+          / col("sg") <= 0.02).as("merge_close"),
         (abs(col("m") - col("exact_users")).cast("double")
           / col("exact_users") <= 0.05).as("est_ok"))
     }),
@@ -557,7 +568,7 @@ object AggQueries extends QueryGroup {
     "agg_hll_merge" ->
       """SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_shards,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-        |  true AS merge_lossless, true AS est_ok
+        |  true AS merge_close, true AS est_ok
         |FROM events""".stripMargin,
 
     "agg_approx_percentile" ->

@@ -30,33 +30,39 @@ class AggContractsSpec extends SparkSpec {
     assert(ad.getAs[Boolean]("approx_ok"))
     val hm = AggQueries.queries("agg_hll_merge")(spark, dir)
       .collect().head
-    assert(hm.getAs[Boolean]("merge_lossless") && hm.getAs[Boolean]("est_ok"))
+    assert(hm.getAs[Boolean]("merge_close") && hm.getAs[Boolean]("est_ok"))
     val ap = AggQueries.queries("agg_approx_percentile")(spark, dir)
       .collect().head
     assert(ap.getAs[Boolean]("p50_ok") && ap.getAs[Boolean]("p99_ok"))
   }
 
-  test("hll sketch merge: lossless union + ≤5% error contract") {
+  test("hll sketch merge: bounded merged-vs-one-pass gap + ≤5% error contract") {
     import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union_agg}
     val dir = "/root/testdata/sf0.01"
-    // recomputed directly — the union of per-day sketches must equal the
-    // one-pass global sketch EXACTLY; HLL union at the same lgK is
-    // lossless, that is the whole point of storing shard sketches
-    val merged = Tables.scan(spark, dir, "events")
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      .collect().head.getLong(0)
-    val global = Tables.scan(spark, dir, "events")
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
-      .collect().head.getLong(0)
-    assert(merged === global,
-      s"sketch union ($merged) must equal the one-pass sketch ($global)")
-    val exact = Tables.scan(spark, dir, "events")
-      .select(countDistinct(col("user_id")).as("n"))
-      .collect().head.getLong(0)
-    val err = math.abs(merged - exact).toDouble / exact
-    assert(err <= 0.05, s"sketch estimate $merged vs exact $exact: $err > 5%")
+    // recomputed directly at BOTH fixture scales — estimate-level exact
+    // equality between merged and one-pass sketches is NOT a real HLL
+    // property (HIP vs composite estimator, insertion-order-sensitive
+    // HLL_4 registers, plan-shape-sensitive partial merges; the sf1
+    // sweep caught the old equality claim, and sf0.1 shows a real gap:
+    // 1488 vs 1499). The honest contract: merged within 2% of one-pass,
+    // both within 5% of exact.
+    for (d <- Seq(dir, "/root/testdata/sf0.1")) {
+      val merged = Tables.scan(spark, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .collect().head.getLong(0)
+      val global = Tables.scan(spark, d, "events")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+        .collect().head.getLong(0)
+      assert(math.abs(merged - global).toDouble / global <= 0.02,
+        s"$d: merged sketch ($merged) >2% from one-pass sketch ($global)")
+      val exact = Tables.scan(spark, d, "events")
+        .select(countDistinct(col("user_id")).as("n"))
+        .collect().head.getLong(0)
+      val err = math.abs(merged - exact).toDouble / exact
+      assert(err <= 0.05, s"$d: sketch estimate $merged vs exact $exact: $err > 5%")
+    }
   }
 
   test("approx_count_distinct relative error ≤ 5% at sf0.01 and sf0.1") {
