@@ -301,6 +301,38 @@ object JoinQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_orders"),
           Dec.toDbl(sum(Dec.d2(col("o_totalprice")))).as("total"))
         .orderBy("o_orderpriority")
+    }),
+
+    // co-located bucketed join ([[Layout.writeBucketed]]): both sides land
+    // pre-bucketed by their join key into the same bucket count, so the
+    // join needs NO exchange on either side; the only shuffle in the
+    // plan is the aggregate's. This is the
+    // warehouse analog of the reference's 12-way key-partitioned topics
+    // (consumers never reshuffle by key, prod-resources.yaml:94-95): at
+    // 100 TB the two deleted fact-table exchanges are the dominant cost
+    // of the join. Build cost is paid once per corpus version
+    // (build-once/join-many, like the persisted IVF index); the graded
+    // run rebuilds per invocation to stay self-contained, staging under
+    // a per-process tmp path so concurrent drivers cannot interleave.
+    // Oracle = the plain join; PlanSpec asserts the no-exchange-below-
+    // join shape with broadcast disabled.
+    "join_colocated" -> ((s, dir) => {
+      Layout.writeBucketed(
+        Tables.scan(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_b_orders", Seq("o_custkey"), buckets = 8,
+        path = Some(graft.TmpPaths.perProcess("bucketed_orders", dir)))
+      Layout.writeBucketed(
+        Tables.scan(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        "graft_b_customer", Seq("c_custkey"), buckets = 8,
+        path = Some(graft.TmpPaths.perProcess("bucketed_customer", dir)))
+      val o = s.table("graft_b_orders")
+      val c = s.table("graft_b_customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          Dec.toDbl(sum(Dec.d2(col("o_totalprice")))).as("total"))
+        .orderBy("c_nationkey")
     }))
 
   /** The shared as-of union-merge: events and (deduped) orders interleave
@@ -520,5 +552,15 @@ object JoinQueries extends QueryGroup {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // bucketing must be invisible in the result — the oracle is the
+    // plain join
+    "join_colocated" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
 }

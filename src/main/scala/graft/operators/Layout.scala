@@ -16,18 +16,35 @@ object Layout {
 
   /** Persist `df` bucketed (and sorted) by `keys` into the session catalog.
     * Bucket count is the analog of the reference's 12 topic partitions —
-    * choose it once per warehouse so co-bucketed tables stay join-aligned. */
+    * choose it once per warehouse so co-bucketed tables stay join-aligned.
+    * `path` makes the table EXTERNAL at that location (the graded
+    * `join_colocated` stages under a per-process tmp path so concurrent
+    * drivers never overwrite each other's files); default is a managed
+    * table under the session warehouse dir. */
   def writeBucketed(
       df: DataFrame,
       table: String,
       keys: Seq[String],
-      buckets: Int = 12): Unit =
-    df.write
+      buckets: Int = 12,
+      path: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    // repartition on the bucket keys FIRST (same Murmur3 hash family as
+    // bucketBy, same count) so each task holds exactly one bucket → ONE
+    // file per bucket instead of a tasks×buckets small-file fan-out at
+    // write time (the same lesson as the sink's publish). Note the
+    // reader still plans a partition-LOCAL sort under a sort-merge join:
+    // Spark ≥3 stopped reporting bucket sort order from sortBy metadata
+    // (spark.sql.legacy.bucketedTableScan.outputOrdering gates the old
+    // behavior); the win bucketing keeps is the deleted EXCHANGES.
+    val w = df.repartition(buckets, keys.map(col): _*)
+      .write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    path.foreach(w.option("path", _))
+    w.saveAsTable(table)
+  }
 
   /** Persist `df` hive-style partitioned by `partitionCols` — the layout
     * that turns selective reads into partition-pruned reads (the

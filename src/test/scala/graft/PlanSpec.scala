@@ -304,6 +304,40 @@ class PlanSpec extends SparkSpec {
     assert(bloomAboveJoin.isEmpty, s"bloom probe above the join:\n$plan")
   }
 
+  test("join_colocated: the bucketed layout IS the exchange — no shuffle " +
+      "below the join") {
+    // broadcast off so the join strategy question is real (the toy-scale
+    // dim would otherwise broadcast and trivially show no exchange)
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("join_colocated")(spark, sfDir)
+        .queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j: SparkPlan
+      }
+      assert(joins.size == 1, s"expected one shuffle-strategy join:\n$plan")
+      // nothing below the join exchanges — the bucketed layout already
+      // satisfies the join's distribution requirement on both sides, so
+      // the only exchange in the whole plan is the aggregate's (above
+      // the join). A partition-LOCAL SortExec may remain: Spark ≥3 no
+      // longer reports bucket sort order from sortBy metadata
+      // (legacy-conf-gated), and a local sort is linear with no data
+      // movement — the deleted exchanges are the scale claim.
+      val below = joins.head.collect {
+        case e: ShuffleExchangeExec => e: SparkPlan
+      }
+      assert(below.isEmpty,
+        s"bucketed join must not re-exchange its inputs:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("bloom prune is one-sided: no matching probe row is lost, " +
       "pruning actually reduces the shuffled volume") {
     import org.apache.spark.sql.functions._
