@@ -116,28 +116,43 @@ object CdcOps {
     epochUs(col("o_orderdate")).as("o_orderdate_us"),
     col("o_orderpriority"))
 
-  private def sourceStruct(lsn: Column, snapshot: Boolean): Column = struct(
+  // Parameterized over table/ts so the multi-table fixtures (users,
+  // outbox) share one envelope builder; txId = lsn/2 pairs same-key
+  // events from different captured tables into one transaction — the
+  // shape `provide.transaction.metadata` reconstruction needs.
+  private def sourceStruct(
+      lsn: Column, snapshot: Boolean,
+      table: String, tsMs: Column): Column = struct(
     lit("2.4.0.Final").as("version"),
     lit("postgresql").as("connector"),
     lit("postgres-prod").as("name"),
-    epochMs(col("o_orderdate")).as("ts_ms"),
+    tsMs.as("ts_ms"),
     lit("production").as("db"),
     lit("public").as("schema"),
-    lit("orders").as("table"),
+    lit(table).as("table"),
     (lsn / 2).cast(LongType).as("txId"),
     lsn.cast(LongType).as("lsn"),
     lit(null).cast(StringType).as("file"),
     lit(null).cast(LongType).as("pos"),
     lit(if (snapshot) "true" else "false").as("snapshot"))
 
-  private def envelopeJson(
-      before: Column, after: Column, op: String, lsn: Column): Column =
+  private def sourceStruct(lsn: Column, snapshot: Boolean): Column =
+    sourceStruct(lsn, snapshot, "orders", epochMs(col("o_orderdate")))
+
+  private def envelopeJsonFor(
+      before: Column, after: Column, op: String, lsn: Column,
+      table: String, tsMs: Column): Column =
     to_json(struct(
       before.as("before"),
       after.as("after"),
-      sourceStruct(lsn, snapshot = false).as("source"),
+      sourceStruct(lsn, snapshot = false, table, tsMs).as("source"),
       lit(op).as("op"),
-      epochMs(col("o_orderdate")).as("ts_ms")))
+      tsMs.as("ts_ms")))
+
+  private def envelopeJson(
+      before: Column, after: Column, op: String, lsn: Column): Column =
+    envelopeJsonFor(before, after, op, lsn,
+      "orders", epochMs(col("o_orderdate")))
 
   // Parsed (bronze) stages are GRADED operator output: cached per session
   // for the production fan-out seam, but evicted between benchmark reps
@@ -531,6 +546,152 @@ object CdcOps {
 
     inserts.unionByName(updates).unionByName(replays).unionByName(deletes)
   }
+
+  // -------------------------------------------------------------------
+  // Multi-table transaction fixture: a second captured table (`users`,
+  // the reference's public.users ↔ testdata customer mapping,
+  // FIXTURES.md §1) whose lsn space interleaves with orders' — same-key
+  // insert/update events land in the SAME txId (= lsn/2), giving the
+  // transaction-metadata reconstruction real multi-collection
+  // transactions to summarize.
+  //   * every customer      → insert (op=c, lsn = k*10  → txId 5k)
+  //   * c_custkey%5 == 0    → update (op=u, lsn = k*10+5 → txId 5k+2)
+  // -------------------------------------------------------------------
+
+  private def usersRow(bal: Column): Column = struct(
+    col("c_custkey"),
+    col("c_name"),
+    col("c_nationkey"),
+    bal.cast(DecimalType(12, 2)).cast(StringType).as("c_acctbal"),
+    col("c_mktsegment"))
+
+  /** Kafka-record-shaped `users` changelog derived from `customer`. */
+  def synthUsersChangelog(spark: SparkSession, sfDir: String): DataFrame =
+    cachedFixture(spark, sfDir, "users") {
+      val c = Tables.scan(spark, sfDir, "customer")
+      val k = col("c_custkey")
+      val topic = lit("prod.postgres.users")
+      val keyJson = to_json(struct(col("c_custkey")))
+      val nullUser = lit(null).cast(Debezium.customerRowSchema)
+      // fixture events carry a fixed wall clock (the envelope's ts_ms is
+      // provenance, not an ordering key — lsn orders Postgres streams)
+      val ts = lit(0L)
+      val inserts = c.select(topic.as("topic"), keyJson.as("key"),
+        envelopeJsonFor(nullUser, usersRow(col("c_acctbal")), "c",
+          k * 10, "users", ts).as("value"))
+      val updates = c.filter(k % 5 === 0).select(
+        topic.as("topic"), keyJson.as("key"),
+        envelopeJsonFor(usersRow(col("c_acctbal")),
+          usersRow(col("c_acctbal") + 100), "u",
+          k * 10 + 5, "users", ts).as("value"))
+      inserts.unionByName(updates)
+    }
+
+  /** Parsed `users` changelog (bronze, shared). */
+  def parsedUsers(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "parsed-users")(Debezium.parseEnvelope(
+      synthUsersChangelog(spark, sfDir), Debezium.customerRowSchema))
+
+  /** Transaction-metadata reconstruction (the batch analog of Debezium's
+    * `provide.transaction.metadata=true` transaction topic, public
+    * Debezium docs): one summary row per transaction over a multi-table
+    * parsed changelog — total event count, per-data-collection counts
+    * (the END record's `data_collections` array, rendered
+    * `table:count,…` sorted), and the lsn span. At-least-once replays
+    * are eliminated first by (collection, lsn) — the same identity the
+    * streaming dedup keys on — so a redelivered event can never inflate
+    * a transaction's counts. One dedup shuffle + two keyed aggregations;
+    * the second groupBy reuses the first's txId partitioning at scale. */
+  def txnMeta(parsed: DataFrame, more: DataFrame*): DataFrame = {
+    // project each table's feed to the provenance triple BEFORE the
+    // union: the per-table `env` structs carry different row schemas, so
+    // the frames only align on the source block
+    val ev = (parsed +: more)
+      .map(_.filter(!col("_tombstone") && !col("_corrupt"))
+        .select(
+          col("env.source.table").as("collection"),
+          col("env.source.txId").as("txid"),
+          col("env.source.lsn").as("lsn")))
+      .reduce(_ unionByName _)
+      .dropDuplicates("collection", "lsn")
+    val per = ev.groupBy("txid", "collection")
+      .agg(count(lit(1)).as("n"), min("lsn").as("lo"), max("lsn").as("hi"))
+    per.groupBy("txid").agg(
+      sum(col("n")).as("event_count"),
+      concat_ws(",", sort_array(collect_list(
+        concat(col("collection"), lit(":"), col("n").cast(StringType)))))
+        .as("data_collections"),
+      min(col("lo")).as("min_lsn"),
+      max(col("hi")).as("max_lsn"))
+  }
+
+  // -------------------------------------------------------------------
+  // Transactional-outbox fixture: an outbox-table changelog derived from
+  // `events` (id = event_id, aggregatetype = event_type, aggregateid =
+  // user_id, payload = props — the JSON the producing service wrote).
+  //   * every event        → outbox INSERT (op=c, lsn = id*10)
+  //   * event_id%3 == 0    → outbox cleanup DELETE (op=d, lsn = id*10+1)
+  //     + tombstone — housekeeping the router must ignore
+  // -------------------------------------------------------------------
+
+  /** Kafka-record-shaped changelog of the outbox table. */
+  def synthOutboxChangelog(spark: SparkSession, sfDir: String): DataFrame =
+    cachedFixture(spark, sfDir, "outbox") {
+      val e = Tables.scan(spark, sfDir, "events")
+      val id = col("event_id")
+      val topic = lit("prod.postgres.outbox")
+      val keyJson = to_json(struct(col("event_id").as("id")))
+      val row = struct(
+        col("event_id").as("id"),
+        col("event_type").as("aggregatetype"),
+        col("user_id").as("aggregateid"),
+        col("event_type").as("type"),
+        col("props").as("payload"))
+      val nullRow = lit(null).cast(Debezium.outboxRowSchema)
+      val ts = epochMs(col("ts"))
+      val inserts = e.select(topic.as("topic"), keyJson.as("key"),
+        envelopeJsonFor(nullRow, row, "c", id * 10, "outbox", ts)
+          .as("value"))
+      val cleanups = e.filter(id % 3 === 0).select(
+        topic.as("topic"), keyJson.as("key"),
+        envelopeJsonFor(row, nullRow, "d", id * 10 + 1, "outbox", ts)
+          .as("value"))
+      val tombstones = e.filter(id % 3 === 0).select(
+        topic.as("topic"), keyJson.as("key"),
+        lit(null).cast(StringType).as("value"))
+      inserts.unionByName(cleanups).unionByName(tombstones)
+    }
+
+  /** Parsed outbox changelog (bronze, shared). */
+  def parsedOutbox(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "parsed-outbox")(Debezium.parseEnvelope(
+      synthOutboxChangelog(spark, sfDir), Debezium.outboxRowSchema))
+
+  /** Outbox Event Router SMT (public Debezium docs,
+    * `io.debezium.transforms.outbox.EventRouter`): turn the outbox
+    * table's CDC feed into per-aggregate event streams. Only INSERTs are
+    * events; the producing service's cleanup DELETEs (and their
+    * tombstones) are housekeeping and are dropped, as are corrupt
+    * records. Each event routes to `<topicPrefix><aggregatetype>`
+    * (`route.topic.replacement` = `outbox.event.${routedByValue}`), is
+    * keyed by `aggregateid`, carries the opaque `payload` verbatim, and
+    * propagates `type` + the envelope timestamp as headers. A pure
+    * codegen projection+filter over the parsed feed — no shuffle; the
+    * output partitioning is the input's (the broker's keyed layout). */
+  def outboxRoute(
+      parsed: DataFrame,
+      topicPrefix: String = "outbox.event."): DataFrame =
+    parsed
+      .filter(!col("_tombstone") && !col("_corrupt") &&
+        col("env.op") === "c")
+      .select(
+        concat(lit(topicPrefix), col("env.after.aggregatetype"))
+          .as("topic"),
+        col("env.after.aggregateid").cast(StringType).as("key"),
+        col("env.after.id").as("event_id"),
+        col("env.after.type").as("type"),
+        col("env.after.payload").as("payload"),
+        col("env.ts_ms").as("ts_ms"))
 
   /** A5: split the record flow into data events vs schema-change (DDL)
     * events. The reference captures DDL to a side topic

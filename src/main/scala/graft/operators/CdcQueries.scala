@@ -465,6 +465,24 @@ object CdcQueries extends QueryGroup {
     }),
 
     // §7.2 flagship slice: change log → compact → join dim → aggregate
+    // B7: Outbox Event Router SMT — the outbox table's CDC feed becomes
+    // per-aggregate event streams: INSERTs only (cleanup DELETEs +
+    // tombstones dropped), topic = outbox.event.<aggregatetype>, key =
+    // aggregateid, payload verbatim. Pure projection+filter — no shuffle.
+    "cdc_outbox" -> ((s, dir) =>
+      CdcOps.outboxRoute(CdcOps.parsedOutbox(s, dir))
+        .orderBy("event_id")),
+
+    // Transaction-metadata reconstruction (provide.transaction.metadata
+    // analog): per-transaction END summaries over the orders ∪ users
+    // multi-table changelog — replay-deduped event counts, sorted
+    // per-collection counts, lsn span. Same-key orders/users events share
+    // txId = lsn/2, so multi-collection transactions actually occur.
+    "cdc_txn_meta" -> ((s, dir) =>
+      CdcOps.txnMeta(
+        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
+        .orderBy("txid")),
+
     "cdc_revenue_by_segment" -> ((s, dir) => {
       val state = CdcOps.ordersCompacted(s, dir)
       val cust = Tables.scan(s, dir, "customer")
@@ -641,6 +659,46 @@ object CdcQueries extends QueryGroup {
         |  COUNT(*) AS n_orders
         |FROM fin GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // the router's contract over the synthesized outbox feed: the routed
+    // stream IS the events table re-keyed — inserts only, deletes and
+    // tombstones invisible
+    "cdc_outbox" ->
+      """SELECT 'outbox.event.' || event_type AS topic,
+        |       CAST(user_id AS VARCHAR) AS key,
+        |       event_id,
+        |       event_type AS type,
+        |       props AS payload,
+        |       epoch_ms(ts) AS ts_ms
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // re-derives the per-transaction event sets from the synthesis rules
+    // (txId = lsn/2; the k%20 replay is NOT generated — the engine
+    // eliminates it by (collection, lsn) before counting)
+    "cdc_txn_meta" ->
+      """WITH ev AS (
+        |  SELECT 'orders' AS tbl, o_orderkey*5 AS txid, o_orderkey*10 AS lsn
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', o_orderkey*5+2, o_orderkey*10+5
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'orders', o_orderkey*5+4, o_orderkey*10+8
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'users', c_custkey*5, c_custkey*10 FROM customer
+        |  UNION ALL
+        |  SELECT 'users', c_custkey*5+2, c_custkey*10+5
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |per AS (
+        |  SELECT txid, tbl, COUNT(*) AS n, MIN(lsn) AS lo, MAX(lsn) AS hi
+        |  FROM ev GROUP BY txid, tbl)
+        |SELECT txid, CAST(SUM(n) AS BIGINT) AS event_count,
+        |       array_to_string(list_sort(list(tbl || ':' || CAST(n AS VARCHAR))), ',')
+        |         AS data_collections,
+        |       MIN(lo) AS min_lsn, MAX(hi) AS max_lsn
+        |FROM per GROUP BY txid ORDER BY txid""".stripMargin,
 
     "cdc_revenue_by_segment" ->
       """SELECT c_mktsegment,

@@ -178,4 +178,16 @@ object Debezium {
     StructField("c_nationkey", IntegerType),
     StructField("c_acctbal", StringType),     // decimal.handling.mode=string
     StructField("c_mktsegment", StringType)))
+
+  /** Row schema of a transactional-outbox table — the column set
+    * Debezium's Outbox Event Router SMT expects (public Debezium docs;
+    * `table.field.event.{id,aggregatetype,aggregateid,type,payload}`
+    * defaults): surrogate event id, routing aggregate type, message key,
+    * event type, and the opaque serialized payload. */
+  val outboxRowSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("aggregatetype", StringType),
+    StructField("aggregateid", LongType),
+    StructField("type", StringType),
+    StructField("payload", StringType)))
 }
