@@ -600,8 +600,11 @@ object CdcOps {
     * `table:count,…` sorted), and the lsn span. At-least-once replays
     * are eliminated first by (collection, lsn) — the same identity the
     * streaming dedup keys on — so a redelivered event can never inflate
-    * a transaction's counts. One dedup shuffle + two keyed aggregations;
-    * the second groupBy reuses the first's txId partitioning at scale. */
+    * a transaction's counts. Three keyed exchanges over strictly
+    * shrinking data (raw provenance triples → distinct events →
+    * per-collection counts, one row per (txid, collection)); both
+    * aggregations combine map-side, so each shuffle moves the reduced
+    * set, and nothing here is wider than three small columns. */
   def txnMeta(parsed: DataFrame, more: DataFrame*): DataFrame = {
     // project each table's feed to the provenance triple BEFORE the
     // union: the per-table `env` structs carry different row schemas, so
@@ -623,6 +626,84 @@ object CdcOps {
         .as("data_collections"),
       min(col("lo")).as("min_lsn"),
       max(col("hi")).as("max_lsn"))
+  }
+
+  // -------------------------------------------------------------------
+  // Incremental snapshot (Debezium incremental snapshots / the DBLog
+  // watermark algorithm, both public): the table is snapshotted in key
+  // CHUNKS interleaved with live streaming, each chunk read at its own
+  // WAL position, so different chunks observe different prefixes of the
+  // change stream. A chunk row may therefore be stale by the time it is
+  // merged — the algorithm's whole point is that stream events inside a
+  // chunk's watermark window supersede that chunk's rows.
+  //
+  // Spark-first reduction: give every chunk row the ordering position of
+  // its chunk's LOW WATERMARK. Then one latest-by-key compaction window
+  // resolves chunk-vs-stream precedence exactly: an event with lsn > LW
+  // outranks the chunk row (the read predates it), an event with
+  // lsn ≤ LW loses (the chunk row already reflects it). No bespoke merge
+  // operator, no extra shuffle — the standard compaction does it.
+  //
+  // Chunk synthesis (deterministic, so the final state's oracle is the
+  // plain cdc_compact oracle): chunk i = keys with k % chunks == i, read
+  // at LW_i = 10 * ceil(maxKey·(i+1)/chunks) — early chunks predate most
+  // updates/deletes (stale rows guaranteed), late chunks postdate them.
+  // The TABLE pre-exists the snapshot (that is what makes a snapshot
+  // necessary), so a chunk sees every key unconditionally — the
+  // changelog's `op='c'` events are that table's history, not a gate on
+  // chunk visibility — with the update applied iff 10k+5 ≤ LW_i and the
+  // key absent iff its delete 10k+8 ≤ LW_i.
+  // -------------------------------------------------------------------
+
+  /** Kafka-record-shaped chunked-snapshot reads (`op='r'`,
+    * `lsn` = chunk low watermark, `snapshot=true`). */
+  def synthOrdersSnapshotChunks(
+      spark: SparkSession, sfDir: String, chunks: Int = 8): DataFrame =
+    cachedFixture(spark, sfDir, s"snapchunks-$chunks") {
+      val o = Tables.scan(spark, sfDir, "orders")
+      val k = col("o_orderkey")
+      // broadcast-scalar max key: one row crossed in, never O(data)
+      val maxk = o.agg(max(k).as("_maxk"))
+      val withLw = o.crossJoin(broadcast(maxk))
+        .withColumn("_chunk", pmod(k, lit(chunks)))
+        // ceil division keeps LW_chunks-1 ≥ 10·maxKey (covers every key)
+        .withColumn("_lw",
+          (ceil(col("_maxk") * (col("_chunk") + 1) / lit(chunks)) * 10)
+            .cast(LongType))
+      val visible = withLw
+        .filter(!(k % 7 === 0 && k * 10 + 8 <= col("_lw"))) // not deleted
+      val statusAsOfLw =
+        when(k % 10 === 0 && k * 10 + 5 <= col("_lw"), lit("X"))
+          .otherwise(col("o_orderstatus"))
+      visible.select(
+        lit("prod.postgres.orders").as("topic"),
+        to_json(struct(col("o_orderkey"))).as("key"),
+        to_json(struct(
+          nullRow.as("before"),
+          ordersRow(statusAsOfLw).as("after"),
+          sourceStruct(col("_lw"), snapshot = true).as("source"),
+          lit("r").as("op"),
+          epochMs(col("o_orderdate")).as("ts_ms"))).as("value"))
+    }
+
+  /** Parsed chunked snapshot (bronze, shared). */
+  def parsedOrdersSnapshotChunks(
+      spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "parsed-snapchunks")(Debezium.parseEnvelope(
+      synthOrdersSnapshotChunks(spark, sfDir), Debezium.ordersRowSchema))
+
+  /** Incremental-snapshot merge: chunked reads ∪ full stream through the
+    * ONE standard compaction window (see the watermark reduction above).
+    * Ties at lsn == LW are content-identical by construction (the chunk
+    * row reflects exactly the events up to LW), so the arbitrary
+    * row_number winner never changes the result. */
+  def ordersIncrementalSnapshot(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val merged = unwrap(
+      parsedOrdersSnapshotChunks(spark, sfDir)
+        .unionByName(parsedOrders(spark, sfDir)))
+    compactLatest(merged,
+      keys = Seq("o_orderkey"), ordering = Seq(col("_lsn").desc))
   }
 
   // -------------------------------------------------------------------

@@ -465,6 +465,20 @@ object CdcQueries extends QueryGroup {
     }),
 
     // §7.2 flagship slice: change log → compact → join dim → aggregate
+    // A4': incremental snapshot (Debezium incremental snapshots / DBLog
+    // watermark algorithm) — key-chunked snapshot reads, each at its own
+    // WAL position, merged with the live stream; stale chunk rows are
+    // superseded by events past the chunk's low watermark via the ONE
+    // standard compaction window (chunk rows ride at lsn = LW). The
+    // final state must equal cdc_compact's no matter how stale the
+    // early chunks were — that equivalence IS the algorithm's contract.
+    "cdc_incremental_snapshot" -> ((s, dir) => {
+      CdcOps.ordersIncrementalSnapshot(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate_us", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // B7: Outbox Event Router SMT — the outbox table's CDC feed becomes
     // per-aggregate event streams: INSERTs only (cleanup DELETEs +
     // tombstones dropped), topic = outbox.event.<aggregatetype>, key =
@@ -659,6 +673,17 @@ object CdcQueries extends QueryGroup {
         |  COUNT(*) AS n_orders
         |FROM fin GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // the incremental-snapshot contract: the merged chunked-snapshot ∪
+    // stream state is EXACTLY the compacted current state — the oracle
+    // is cdc_compact's, reached through the chunk/watermark merge path
+    "cdc_incremental_snapshot" -> (baseCte +
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate_us, o_orderpriority
+        |FROM base WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin),
 
     // the router's contract over the synthesized outbox feed: the routed
     // stream IS the events table re-keyed — inserts only, deletes and
