@@ -605,17 +605,22 @@ object CdcOps {
     * per-collection counts, one row per (txid, collection)); both
     * aggregations combine map-side, so each shuffle moves the reduced
     * set, and nothing here is wider than three small columns. */
-  def txnMeta(parsed: DataFrame, more: DataFrame*): DataFrame = {
-    // project each table's feed to the provenance triple BEFORE the
-    // union: the per-table `env` structs carry different row schemas, so
-    // the frames only align on the source block
-    val ev = (parsed +: more)
+  /** The transaction-provenance triples `(collection, txid, lsn)` of a
+    * multi-table parsed feed — projected per table BEFORE the union (the
+    * per-table `env` structs carry different row schemas, so the frames
+    * only align on the source block). NOT replay-deduped: each consumer
+    * dedups by (collection, lsn) at its own stage. */
+  def txnEvents(parsed: DataFrame, more: DataFrame*): DataFrame =
+    (parsed +: more)
       .map(_.filter(!col("_tombstone") && !col("_corrupt"))
         .select(
           col("env.source.table").as("collection"),
           col("env.source.txId").as("txid"),
           col("env.source.lsn").as("lsn")))
       .reduce(_ unionByName _)
+
+  def txnMeta(parsed: DataFrame, more: DataFrame*): DataFrame = {
+    val ev = txnEvents(parsed, more: _*)
       .dropDuplicates("collection", "lsn")
     val per = ev.groupBy("txid", "collection")
       .agg(count(lit(1)).as("n"), min("lsn").as("lo"), max("lsn").as("hi"))

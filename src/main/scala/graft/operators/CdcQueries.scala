@@ -497,6 +497,32 @@ object CdcQueries extends QueryGroup {
         CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
         .orderBy("txid")),
 
+    // Transactional apply (the consumer side of provide.transaction.
+    // metadata) under per-topic consumer lag — the production tearing
+    // scenario: the users topic's consumer group runs ~30% behind the
+    // orders topic's, so a multi-collection transaction can have its
+    // orders half in and its users half still in flight. A transaction
+    // is applied iff its END record arrived AND every data event is in;
+    // torn transactions report arrived < expected, applied = false —
+    // buffered, never half-applied.
+    "cdc_txn_apply" -> ((s, dir) => {
+      import graft.streaming.TxnApply
+      val ordersEv = CdcOps.txnEvents(CdcOps.parsedOrders(s, dir))
+      val usersEv = CdcOps.txnEvents(CdcOps.parsedUsers(s, dir))
+      val meta = CdcOps.txnMeta(
+        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
+        .select("txid", "event_count", "max_lsn")
+      // bounded driver scalars (one row each), quotientPays discipline
+      val maxUsersLsn = usersEv.agg(max(col("lsn"))).head().getLong(0)
+      val maxLsn = math.max(
+        ordersEv.agg(max(col("lsn"))).head().getLong(0), maxUsersLsn)
+      val usersOffset = java.lang.Math.floorDiv(maxUsersLsn * 7, 10)
+      val seen = ordersEv // orders topic caught up
+        .unionByName(usersEv.filter(col("lsn") <= usersOffset))
+      // transaction topic caught up: every END record is in
+      TxnApply.applyStatusBatch(seen, meta, maxLsn).orderBy("txid")
+    }),
+
     "cdc_revenue_by_segment" -> ((s, dir) => {
       val state = CdcOps.ordersCompacted(s, dir)
       val cust = Tables.scan(s, dir, "customer")
@@ -724,6 +750,37 @@ object CdcQueries extends QueryGroup {
         |         AS data_collections,
         |       MIN(lo) AS min_lsn, MAX(hi) AS max_lsn
         |FROM per GROUP BY txid ORDER BY txid""".stripMargin,
+
+    // apply-status oracle: same re-derived tx sets as cdc_txn_meta; the
+    // users topic is truncated at 70% of its own max lsn (integer
+    // floor-division, exact in both engines), orders and the transaction
+    // topic are caught up
+    "cdc_txn_apply" ->
+      """WITH ev AS (
+        |  SELECT 'orders' AS tbl, o_orderkey*5 AS txid, o_orderkey*10 AS lsn
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', o_orderkey*5+2, o_orderkey*10+5
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'orders', o_orderkey*5+4, o_orderkey*10+8
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'users', c_custkey*5, c_custkey*10 FROM customer
+        |  UNION ALL
+        |  SELECT 'users', c_custkey*5+2, c_custkey*10+5
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |tx AS (SELECT txid, COUNT(*) AS event_count, MAX(lsn) AS max_lsn
+        |       FROM ev GROUP BY txid),
+        |ucut AS (SELECT (7 * MAX(lsn)) // 10 AS c FROM ev WHERE tbl = 'users'),
+        |seen AS (SELECT txid FROM ev, ucut
+        |         WHERE tbl = 'orders' OR lsn <= c),
+        |arr AS (SELECT txid, COUNT(*) AS arrived FROM seen GROUP BY txid)
+        |SELECT a.txid, a.arrived,
+        |       t.event_count AS expected,
+        |       (a.arrived = t.event_count) AS applied
+        |FROM arr a JOIN tx t USING (txid)
+        |ORDER BY a.txid""".stripMargin,
 
     "cdc_revenue_by_segment" ->
       """SELECT c_mktsegment,

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** One record of a transaction-tagged feed: either a data event
+  * (`end = false`; `expected` ignored) or the transaction topic's END
+  * record (`end = true`; `expected` = the transaction's event count —
+  * Debezium emits it after the transaction's last data event). */
+final case class TxnFeedEvent(
+    txid: Long,
+    collection: String,
+    lsn: Long,
+    end: Boolean,
+    expected: Long)
+
+/** Buffer state for one in-flight transaction. `expected = -1` until the
+  * END record arrives; `applied = true` is a tombstone left after
+  * emission so at-least-once replays of an already-applied transaction
+  * can never re-emit it (production evicts these markers with a state
+  * timeout once the replay window has passed). */
+final case class TxnState(
+    expected: Long,
+    lsns: Seq[Long],
+    applied: Boolean)
+
+/** The applied-transaction record: emitted exactly once, when the
+  * buffered distinct events match the END record's count. */
+final case class TxnApplied(
+    txid: Long,
+    event_count: Long,
+    min_lsn: Long,
+    max_lsn: Long)
+
+/** Transactional apply — the CONSUMER side of Debezium's
+  * `provide.transaction.metadata` (public docs): a downstream sink that
+  * must apply source transactions atomically buffers each transaction's
+  * data events until the transaction topic's END record confirms all of
+  * them arrived, then applies the whole set at once. Without this, a
+  * micro-batch boundary can surface half a source transaction to
+  * readers (the classic torn-enrichment bug on multi-table writes).
+  *
+  * State is keyed by txid — hash-partitioned across executors, one
+  * buffer per IN-FLIGHT transaction only (applied transactions collapse
+  * to a tombstone marker, completed buffers are dropped from the
+  * payload). Replays dedup against the buffered lsn set, the same
+  * (collection, lsn) identity the rest of the engine keys on.
+  */
+object TxnApply {
+
+  def update(
+      txid: Long,
+      events: Iterator[TxnFeedEvent],
+      state: GroupState[TxnState]): Iterator[TxnApplied] = {
+    val st0 = state.getOption.getOrElse(TxnState(-1L, Nil, applied = false))
+    if (st0.applied) return Iterator.empty // replay of an applied txn
+    var expected = st0.expected
+    var lsns = st0.lsns
+    events.foreach { e =>
+      if (e.end) expected = e.expected
+      else if (!lsns.contains(e.lsn)) lsns = lsns :+ e.lsn
+    }
+    if (expected >= 0 && lsns.length >= expected) {
+      // tombstone, not remove: a replayed END after removal would
+      // otherwise rebuild the buffer and apply the transaction twice
+      state.update(TxnState(expected, Nil, applied = true))
+      Iterator.single(
+        TxnApplied(txid, expected, lsns.min, lsns.max))
+    } else {
+      state.update(TxnState(expected, lsns, applied = false))
+      Iterator.empty
+    }
+  }
+
+  /** Streaming form: one applied-transaction record per source
+    * transaction, emitted in the micro-batch where it completes. */
+  def apply(feed: Dataset[TxnFeedEvent]): Dataset[TxnApplied] =
+    feed
+      .groupByKey(_.txid)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)(
+        Encoders.product[TxnState], Encoders.product[TxnApplied])
+
+  /** Batch twin of the apply decision under CONSUMER LAG: `events` is
+    * the feed as the consumer has seen it so far — the caller truncates
+    * each topic at that topic's own consumed offset, which is exactly
+    * how multi-collection transactions tear in production (one topic's
+    * consumer group runs behind another's). Per transaction: how many
+    * data events have arrived, the expected count IF the transaction
+    * topic's END record (riding at the transaction's max lsn) is within
+    * `endCutoff`, and whether the transaction may be applied — END seen
+    * AND every event in. `meta` is the full-feed transaction table
+    * (txid, event_count, max_lsn). Same shuffle discipline as txnMeta:
+    * keyed exchanges over shrinking provenance triples, nothing
+    * row-sized. */
+  def applyStatusBatch(
+      events: DataFrame, meta: DataFrame, endCutoff: Long): DataFrame = {
+    val arrived = events
+      .dropDuplicates("collection", "lsn")
+      .groupBy("txid").agg(count(lit(1)).as("arrived"))
+    arrived.join(meta, Seq("txid"))
+      .select(
+        col("txid"),
+        col("arrived"),
+        when(col("max_lsn") <= endCutoff, col("event_count"))
+          .as("expected"),
+        (col("max_lsn") <= endCutoff &&
+          col("arrived") === col("event_count")).as("applied"))
+  }
+}
