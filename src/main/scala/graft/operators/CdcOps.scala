@@ -59,7 +59,14 @@ object CdcOps {
             .cast(LongType).as("_file_seq"),
           col("env.source.pos").as("_pos"),
           col("env.source.snapshot").as("_snapshot"),
-          col("_tombstone")): _*)
+          col("_tombstone"),
+          // physical-topic passthrough: after the RegexRouter collapses
+          // shard/tenant topics onto one logical table (tbl), the original
+          // topic remains the PHYSICAL identity — ByLogicalTableRouter's
+          // `__dbz__physicalTableIdentifier` (public Debezium docs). A
+          // merged compaction keys on (physical, PK) so same-PK rows from
+          // different shards can never supersede each other.
+          col("topic").as("_topic")): _*)
   }
 
   /** Op 18: latest-by-key compaction — materialize current table state from
@@ -632,6 +639,62 @@ object CdcOps {
       min(col("lo")).as("min_lsn"),
       max(col("hi")).as("max_lsn"))
   }
+
+  // -------------------------------------------------------------------
+  // Sharded/multi-tenant capture fixture (ByLogicalTableRouter, public
+  // Debezium docs): two tenants each own a FULL copy of the orders key
+  // space on their own topic — `prod.tenant1.orders`,
+  // `prod.tenant2.orders` — with different activity:
+  //   tenant1: insert all; update k%10 → 'X'; delete k%7 (the standard
+  //            pattern, so its merged state matches cdc_compact's rules)
+  //   tenant2: insert all; update k%6 → 'Y'; no deletes
+  // The RegexRouter collapses both onto logical table `orders`; because
+  // the SAME primary key exists in both tenants, a merge that drops the
+  // physical identity would let one tenant's events supersede the
+  // other's — the exact failure ByLogicalTableRouter's key enrichment
+  // prevents. Our analog: compaction keyed on (_topic, PK).
+  // -------------------------------------------------------------------
+
+  /** Kafka-record-shaped two-tenant sharded changelog. */
+  def synthShardedChangelog(spark: SparkSession, sfDir: String): DataFrame =
+    cachedFixture(spark, sfDir, "sharded") {
+      val o = Tables.scan(spark, sfDir, "orders")
+      val k = col("o_orderkey")
+      val keyJson = to_json(struct(col("o_orderkey")))
+      val ts = epochMs(col("o_orderdate"))
+      def branch(topic: String, before: Column, after: Column, op: String,
+          lsn: Column)(src: DataFrame) =
+        src.select(lit(topic).as("topic"), keyJson.as("key"),
+          envelopeJsonFor(before, after, op, lsn, "orders", ts).as("value"))
+      val t1 = "prod.tenant1.orders"
+      val t2 = "prod.tenant2.orders"
+      branch(t1, nullRow, ordersRow(col("o_orderstatus")), "c", k * 10)(o)
+        .unionByName(branch(t1, ordersRow(col("o_orderstatus")),
+          ordersRow(lit("X")), "u", k * 10 + 5)(o.filter(k % 10 === 0)))
+        .unionByName(branch(t1, ordersRow(
+          when(k % 10 === 0, lit("X")).otherwise(col("o_orderstatus"))),
+          nullRow, "d", k * 10 + 8)(o.filter(k % 7 === 0)))
+        .unionByName(
+          branch(t2, nullRow, ordersRow(col("o_orderstatus")), "c",
+            k * 10)(o))
+        .unionByName(branch(t2, ordersRow(col("o_orderstatus")),
+          ordersRow(lit("Y")), "u", k * 10 + 5)(o.filter(k % 6 === 0)))
+    }
+
+  /** Parsed sharded changelog (bronze, shared). */
+  def parsedSharded(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "parsed-sharded")(Debezium.parseEnvelope(
+      synthShardedChangelog(spark, sfDir), Debezium.ordersRowSchema))
+
+  /** Merged current state of the sharded capture: one logical `orders`
+    * table, identity = (physical topic, PK). One hash shuffle on the
+    * compound key — the same compaction plan as cdc_compact, just with
+    * the physical identity in the key (ByLogicalTableRouter's key
+    * enrichment, re-expressed as a compaction key column). */
+  def shardMergedState(spark: SparkSession, sfDir: String): DataFrame =
+    compactLatest(unwrap(parsedSharded(spark, sfDir)),
+      keys = Seq("_topic", "o_orderkey"),
+      ordering = Seq(col("_lsn").desc))
 
   // -------------------------------------------------------------------
   // Incremental snapshot (Debezium incremental snapshots / the DBLog

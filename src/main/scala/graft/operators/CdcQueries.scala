@@ -479,6 +479,23 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // B10: ByLogicalTableRouter — two tenants' topics collapse onto one
+    // logical `orders` table; the SAME primary keys exist in both, so
+    // the merged compaction keys on (physical topic, PK) — the key
+    // enrichment that stops one tenant's events from superseding the
+    // other's. Final state: tenant1 under its own update/delete rules,
+    // tenant2 under its different ones, side by side.
+    "cdc_shard_merge" -> ((s, dir) => {
+      CdcOps.shardMergedState(s, dir)
+        .select(
+          regexp_extract(col("_topic"), CdcOps.topicPattern, 2)
+            .as("shard"),
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate_us"),
+          col("o_orderpriority"))
+        .orderBy("shard", "o_orderkey")
+    }),
+
     // B7: Outbox Event Router SMT — the outbox table's CDC feed becomes
     // per-aggregate event streams: INSERTs only (cleanup DELETEs +
     // tombstones dropped), topic = outbox.event.<aggregatetype>, key =
@@ -699,6 +716,23 @@ object CdcQueries extends QueryGroup {
         |  COUNT(*) AS n_orders
         |FROM fin GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // two tenants' states re-derived independently: tenant1 follows the
+    // standard update/delete rules, tenant2 its own — proof the merge
+    // never let one tenant's events supersede the other's same-PK rows
+    "cdc_shard_merge" -> (baseCte +
+      """SELECT * FROM (
+        |  SELECT 'tenant1' AS shard, o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |           AS o_orderstatus,
+        |         o_totalprice, o_orderdate_us, o_orderpriority
+        |  FROM base WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'tenant2', o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 6 = 0 THEN 'Y' ELSE o_orderstatus END,
+        |         o_totalprice, o_orderdate_us, o_orderpriority
+        |  FROM base)
+        |ORDER BY shard, o_orderkey""".stripMargin),
 
     // the incremental-snapshot contract: the merged chunked-snapshot ∪
     // stream state is EXACTLY the compacted current state — the oracle

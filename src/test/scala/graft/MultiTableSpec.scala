@@ -73,4 +73,23 @@ class MultiTableSpec extends SparkSpec {
           .cast("decimal(12,2)").as("bal"))
     assert(updated.exceptAll(expectedUpd).count() == 0)
   }
+
+  test("shard merge: same PK in two tenants never collides (B10)") {
+    val state = CdcOps.shardMergedState(spark, sfDir)
+    // the key space overlaps BY CONSTRUCTION: undeleted keys exist in
+    // both tenants, so a PK-only compaction would have let one tenant's
+    // higher-lsn event absorb the other's row
+    val perKey = state.groupBy("o_orderkey")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(perKey.filter(col("n") === 2).count() > 0)
+    // tenant rules stay independent: a k%6-not-%10 key is 'Y' only in
+    // tenant2, untouched in tenant1
+    val k6 = state.filter(col("o_orderkey") % 6 === 0 &&
+      col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 =!= 0)
+    assert(k6.filter(col("_topic").contains("tenant2") &&
+      col("o_orderstatus") =!= "Y").count() == 0)
+    assert(k6.filter(col("_topic").contains("tenant1") &&
+      col("o_orderstatus") === "Y").count() == 0)
+  }
 }
