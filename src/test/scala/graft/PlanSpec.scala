@@ -338,6 +338,54 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("cdc_outbox: the router is a pure map — no hash exchange anywhere") {
+    val (_, plan) = staticPlan("cdc_outbox")
+    // projection + filter over the (cached) parsed feed; the only
+    // exchange in the whole plan is the harness's final range sort —
+    // the routed stream keeps the broker's keyed partitioning, which is
+    // the property a per-aggregate re-publish needs at any scale
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashShuffles.isEmpty,
+      s"outbox routing must not shuffle, got:\n$plan")
+  }
+
+  test("cdc_incremental_snapshot: the watermark merge IS the standard " +
+      "group-limit compaction — partial/final pair, one keyed exchange") {
+    val (_, plan) = staticPlan("cdc_incremental_snapshot")
+    val gl = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    // Partial (map-side, drops all but the newest row per key per task)
+    // + Final — the shuffle moves ~|keys| rows, not |chunks ∪ stream|
+    assert(gl.size == 2,
+      s"expected the WindowGroupLimit partial/final pair, got:\n$plan")
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashShuffles.size == 1,
+      s"expected exactly the compaction exchange, got:\n$plan")
+  }
+
+  test("cdc_shard_merge: the compaction key is the COMPOUND " +
+      "(physical, PK) — the enrichment that stops cross-tenant merges") {
+    val (_, plan) = staticPlan("cdc_shard_merge")
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashShuffles.size == 1,
+      s"expected exactly the compaction exchange, got:\n$plan")
+    val keys = hashShuffles.head.outputPartitioning
+      .asInstanceOf[HashPartitioning].expressions.map(_.toString)
+    assert(keys.exists(_.contains("_topic")) &&
+      keys.exists(_.contains("o_orderkey")),
+      s"compaction must partition on (_topic, o_orderkey), got $keys")
+  }
+
   test("bloom prune is one-sided: no matching probe row is lost, " +
       "pruning actually reduces the shuffled volume") {
     import org.apache.spark.sql.functions._
