@@ -112,6 +112,33 @@ object PipelineQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // CC policy, quality-retention variant: a near-dup component keeps
+    // its BEST member — the longest document (n_tokens desc, doc_id
+    // tiebreak) — instead of blindly the min doc_id. This is the
+    // retention rule production corpus pipelines actually want: among
+    // near-identical versions of a page, keep the most complete one.
+    // Deterministic and oracle-exact (n_tokens is an integer). The
+    // per-component argmax is row_number over (comp) — compiled to the
+    // WindowGroupLimit partial/final pair, so the shuffle moves ~one row
+    // per component per map task, not the corpus.
+    "pipeline_clean_keep_longest" -> ((s, dir) => {
+      val (docs, pairs) = gatedWithPairs(s, dir)
+      val (labels, _) = DedupQueries.connectedComponents(
+        pairs.select(col("da"), col("db")))
+      val withComp = docs
+        .join(labels, docs("doc_id") === labels("v"), "left")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          coalesce(col("lbl"), col("doc_id")).as("comp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("comp")
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      withComp
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // benchmark decontamination: flag training docs that share any 8-word
     // shingle with a held-out document (the classic n-gram-overlap
     // contamination rule). The held-out set is the 'test' split of the
@@ -275,6 +302,56 @@ object PipelineQueries extends QueryGroup {
         |  GROUP BY v HAVING MIN(r) <> v)
         |SELECT doc_id, lang, n_tokens FROM g2
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_clean_keep_longest" ->
+      """WITH RECURSIVE gated AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INT)
+        |      AS n_tokens,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|to|in|is|it)\b')) AS n_stop
+        |  FROM documents
+        |  WHERE lang IN ('en','de','es','fr')),
+        |g2 AS (SELECT * FROM gated
+        |  WHERE n_tokens >= 20
+        |    AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.45),
+        |toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM g2),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS sg
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |rare AS (SELECT sg FROM sh GROUP BY sg HAVING COUNT(*) <= 50),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN rare r ON a.sg = r.sg
+        |  JOIN sh b ON b.sg = a.sg AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT c.da, c.db, COUNT(*) AS common
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.sg = a.sg AND b.doc_id = c.db
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT da, db FROM pairs
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE common / (sa.n + sb.n - common) >= 0.5),
+        |e AS (SELECT da, db FROM jp UNION SELECT db, da FROM jp),
+        |reach(v, r) AS (
+        |  SELECT da AS v, da AS r FROM e
+        |  UNION
+        |  SELECT e.da, reach.r FROM e JOIN reach ON e.db = reach.v),
+        |lbl AS (SELECT v AS doc_id, MIN(r) AS comp FROM reach GROUP BY v)
+        |SELECT doc_id, lang, n_tokens FROM (
+        |  SELECT g2.doc_id, g2.lang, g2.n_tokens,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY COALESCE(l.comp, g2.doc_id)
+        |      ORDER BY g2.n_tokens DESC, g2.doc_id) AS rn
+        |  FROM g2 LEFT JOIN lbl l ON g2.doc_id = l.doc_id)
+        |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_contamination" ->

@@ -92,7 +92,8 @@ CC_FINAL = {
         SELECT l AS component, COUNT(*) AS size,
           array_to_string(list_sort(list(v)), ',') AS members
         FROM cc_lbl GROUP BY l ORDER BY component""",
-    "pipeline_clean_corpus_cc": None,  # prefix-dependent, built below
+    "pipeline_clean_corpus_cc": None,     # prefix-dependent, built below
+    "pipeline_clean_keep_longest": None,  # prefix-dependent, built below
 }
 
 
@@ -107,6 +108,16 @@ def bounded_cc(con, name, sql):
         return con.sql(prefix + """
             SELECT doc_id, lang, n_tokens FROM g2
             WHERE doc_id NOT IN (SELECT v FROM cc_lbl WHERE l <> v)
+            ORDER BY doc_id""")
+    if name == "pipeline_clean_keep_longest":
+        return con.sql(prefix + """
+            SELECT doc_id, lang, n_tokens FROM (
+              SELECT g2.doc_id, g2.lang, g2.n_tokens,
+                ROW_NUMBER() OVER (
+                  PARTITION BY COALESCE(l.l, g2.doc_id)
+                  ORDER BY g2.n_tokens DESC, g2.doc_id) AS rn
+              FROM g2 LEFT JOIN cc_lbl l ON g2.doc_id = l.v)
+            WHERE rn = 1
             ORDER BY doc_id""")
     raise RuntimeError(f"no bounded form for {name}")
 
