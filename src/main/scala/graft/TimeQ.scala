@@ -12,6 +12,9 @@ object TimeQ {
   def main(args: Array[String]): Unit = {
     val names = args.headOption.map(_.split(",").toSeq)
       .getOrElse(sys.error("usage: TimeQ q1,q2[,..] [reps]"))
+    // fail on a typo'd name BEFORE paying session startup + table warmup
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -599,19 +599,6 @@ object CdcOps {
     cached(spark, sfDir, "parsed-users")(Debezium.parseEnvelope(
       synthUsersChangelog(spark, sfDir), Debezium.customerRowSchema))
 
-  /** Transaction-metadata reconstruction (the batch analog of Debezium's
-    * `provide.transaction.metadata=true` transaction topic, public
-    * Debezium docs): one summary row per transaction over a multi-table
-    * parsed changelog — total event count, per-data-collection counts
-    * (the END record's `data_collections` array, rendered
-    * `table:count,…` sorted), and the lsn span. At-least-once replays
-    * are eliminated first by (collection, lsn) — the same identity the
-    * streaming dedup keys on — so a redelivered event can never inflate
-    * a transaction's counts. Three keyed exchanges over strictly
-    * shrinking data (raw provenance triples → distinct events →
-    * per-collection counts, one row per (txid, collection)); both
-    * aggregations combine map-side, so each shuffle moves the reduced
-    * set, and nothing here is wider than three small columns. */
   /** The transaction-provenance triples `(collection, txid, lsn)` of a
     * multi-table parsed feed — projected per table BEFORE the union (the
     * per-table `env` structs carry different row schemas, so the frames
@@ -626,6 +613,19 @@ object CdcOps {
           col("env.source.lsn").as("lsn")))
       .reduce(_ unionByName _)
 
+  /** Transaction-metadata reconstruction (the batch analog of Debezium's
+    * `provide.transaction.metadata=true` transaction topic, public
+    * Debezium docs): one summary row per transaction over a multi-table
+    * parsed changelog — total event count, per-data-collection counts
+    * (the END record's `data_collections` array, rendered
+    * `table:count,…` sorted), and the lsn span. At-least-once replays
+    * are eliminated first by (collection, lsn) — the same identity the
+    * streaming dedup keys on — so a redelivered event can never inflate
+    * a transaction's counts. Three keyed exchanges over strictly
+    * shrinking data (raw provenance triples → distinct events →
+    * per-collection counts, one row per (txid, collection)); both
+    * aggregations combine map-side, so each shuffle moves the reduced
+    * set, and nothing here is wider than three small columns. */
   def txnMeta(parsed: DataFrame, more: DataFrame*): DataFrame = {
     val ev = txnEvents(parsed, more: _*)
       .dropDuplicates("collection", "lsn")

@@ -524,20 +524,20 @@ object CdcQueries extends QueryGroup {
     // buffered, never half-applied.
     "cdc_txn_apply" -> ((s, dir) => {
       import graft.streaming.TxnApply
-      val ordersEv = CdcOps.txnEvents(CdcOps.parsedOrders(s, dir))
-      val usersEv = CdcOps.txnEvents(CdcOps.parsedUsers(s, dir))
+      val ev = CdcOps.txnEvents(
+        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
       val meta = CdcOps.txnMeta(
         CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
         .select("txid", "event_count", "max_lsn")
-      // bounded driver scalars (one row each), quotientPays discipline
-      val maxUsersLsn = usersEv.agg(max(col("lsn"))).head().getLong(0)
-      val maxLsn = math.max(
-        ordersEv.agg(max(col("lsn"))).head().getLong(0), maxUsersLsn)
-      val usersOffset = java.lang.Math.floorDiv(maxUsersLsn * 7, 10)
-      val seen = ordersEv // orders topic caught up
-        .unionByName(usersEv.filter(col("lsn") <= usersOffset))
-      // transaction topic caught up: every END record is in
-      TxnApply.applyStatusBatch(seen, meta, maxLsn).orderBy("txid")
+      // ONE bounded driver scalar job (a single row), quotientPays
+      // discipline: both per-topic maxima via conditional aggregation
+      val r = ev.agg(
+        max(when(col("collection") === "users", col("lsn"))).as("mu"),
+        max(col("lsn")).as("mx")).head()
+      val usersOffset = java.lang.Math.floorDiv(r.getLong(0) * 7, 10)
+      val seen = ev.filter( // orders + tx topics caught up, users lagging
+        col("collection") =!= "users" || col("lsn") <= usersOffset)
+      TxnApply.applyStatusBatch(seen, meta, r.getLong(1)).orderBy("txid")
     }),
 
     "cdc_revenue_by_segment" -> ((s, dir) => {
@@ -810,11 +810,11 @@ object CdcQueries extends QueryGroup {
         |seen AS (SELECT txid FROM ev, ucut
         |         WHERE tbl = 'orders' OR lsn <= c),
         |arr AS (SELECT txid, COUNT(*) AS arrived FROM seen GROUP BY txid)
-        |SELECT a.txid, a.arrived,
+        |SELECT t.txid, COALESCE(a.arrived, 0) AS arrived,
         |       t.event_count AS expected,
-        |       (a.arrived = t.event_count) AS applied
-        |FROM arr a JOIN tx t USING (txid)
-        |ORDER BY a.txid""".stripMargin,
+        |       (COALESCE(a.arrived, 0) = t.event_count) AS applied
+        |FROM tx t LEFT JOIN arr a USING (txid)
+        |ORDER BY t.txid""".stripMargin,
 
     "cdc_revenue_by_segment" ->
       """SELECT c_mktsegment,

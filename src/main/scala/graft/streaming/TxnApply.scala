@@ -15,6 +15,12 @@ final case class TxnFeedEvent(
     end: Boolean,
     expected: Long)
 
+/** One buffered data event — the (collection, lsn) pair IS the event's
+  * replay-dedup identity (two captured tables can emit the same lsn in
+  * the same transaction; lsn alone under-counts exactly the
+  * multi-collection transactions this operator exists for). */
+final case class TxnBufEntry(collection: String, lsn: Long)
+
 /** Buffer state for one in-flight transaction. `expected = -1` until the
   * END record arrives; `applied = true` is a tombstone left after
   * emission so at-least-once replays of an already-applied transaction
@@ -22,7 +28,7 @@ final case class TxnFeedEvent(
   * timeout once the replay window has passed). */
 final case class TxnState(
     expected: Long,
-    lsns: Seq[Long],
+    buffered: Seq[TxnBufEntry],
     applied: Boolean)
 
 /** The applied-transaction record: emitted exactly once, when the
@@ -56,19 +62,23 @@ object TxnApply {
     val st0 = state.getOption.getOrElse(TxnState(-1L, Nil, applied = false))
     if (st0.applied) return Iterator.empty // replay of an applied txn
     var expected = st0.expected
-    var lsns = st0.lsns
+    var buf = st0.buffered
     events.foreach { e =>
       if (e.end) expected = e.expected
-      else if (!lsns.contains(e.lsn)) lsns = lsns :+ e.lsn
+      else {
+        val entry = TxnBufEntry(e.collection, e.lsn)
+        if (!buf.contains(entry)) buf = buf :+ entry
+      }
     }
-    if (expected >= 0 && lsns.length >= expected) {
+    if (expected >= 0 && buf.length >= expected) {
       // tombstone, not remove: a replayed END after removal would
       // otherwise rebuild the buffer and apply the transaction twice
       state.update(TxnState(expected, Nil, applied = true))
-      Iterator.single(
-        TxnApplied(txid, expected, lsns.min, lsns.max))
+      if (buf.isEmpty) Iterator.empty // END says 0 events: nothing to apply
+      else Iterator.single(TxnApplied(
+        txid, expected, buf.map(_.lsn).min, buf.map(_.lsn).max))
     } else {
-      state.update(TxnState(expected, lsns, applied = false))
+      state.update(TxnState(expected, buf, applied = false))
       Iterator.empty
     }
   }
@@ -99,13 +109,18 @@ object TxnApply {
     val arrived = events
       .dropDuplicates("collection", "lsn")
       .groupBy("txid").agg(count(lit(1)).as("arrived"))
-    arrived.join(meta, Seq("txid"))
+    // meta drives the join: a transaction with ZERO arrived events is
+    // the most-torn case of all and must still report (arrived = 0,
+    // applied = false) — an inner join would silently drop exactly the
+    // transactions a consumer most needs to see in flight
+    meta.join(arrived, Seq("txid"), "left")
       .select(
         col("txid"),
-        col("arrived"),
+        coalesce(col("arrived"), lit(0L)).as("arrived"),
         when(col("max_lsn") <= endCutoff, col("event_count"))
           .as("expected"),
         (col("max_lsn") <= endCutoff &&
-          col("arrived") === col("event_count")).as("applied"))
+          coalesce(col("arrived"), lit(0L)) === col("event_count"))
+          .as("applied"))
   }
 }

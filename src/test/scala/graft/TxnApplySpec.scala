@@ -52,6 +52,45 @@ class TxnApplySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two collections sharing an lsn both count — (collection, lsn) identity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[TxnFeedEvent]
+    val q = TxnApply(in.toDS())
+      .writeStream.format("memory").queryName("txn_apply_xl")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // the fixture design pairs same-key cross-table events into one tx
+      // AT THE SAME LSN (orders insert 10k / users insert 10k, txid 5k);
+      // an lsn-only dedup would discard the second as a replay and stall
+      // the transaction forever
+      in.addData(
+        TxnFeedEvent(5, "orders", 10, end = false, 0L),
+        TxnFeedEvent(5, "users", 10, end = false, 0L),
+        end(5, 2))
+      q.processAllAvailable()
+      assert(spark.table("txn_apply_xl").as[TxnApplied].collect().toSeq ==
+        Seq(TxnApplied(5, 2, 10, 10)))
+    } finally q.stop()
+  }
+
+  test("an END declaring zero events never crashes the query") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[TxnFeedEvent]
+    val q = TxnApply(in.toDS())
+      .writeStream.format("memory").queryName("txn_apply_z")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(end(9, 0), ev(1, 10), end(1, 1))
+      q.processAllAvailable()
+      // the empty transaction emits nothing (nothing to apply); the
+      // real one still flows
+      assert(spark.table("txn_apply_z").as[TxnApplied]
+        .collect().map(_.txid).toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("batch twin: lag tears transactions, torn ones are held not torn-applied") {
     import org.apache.spark.sql.functions._
     val status = graft.operators.CdcQueries
@@ -59,6 +98,9 @@ class TxnApplySpec extends SparkSpec {
     // the lagging users topic must actually tear something, else the
     // query degenerates to "everything applied"
     assert(status.filter(!col("applied")).count() > 0)
+    // fully-torn transactions (zero events arrived) are REPORTED, not
+    // silently dropped — they are the ones a consumer most needs to see
+    assert(status.filter(col("arrived") === 0).count() > 0)
     // a held transaction is always short of events — never over-counted,
     // never applied short
     assert(status.filter(col("arrived") > col("expected")).count() == 0)
