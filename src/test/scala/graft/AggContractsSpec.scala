@@ -172,4 +172,33 @@ class AggContractsSpec extends SparkSpec {
     assert(mean > probes("rep") && mean < probes("noise"),
       s"corpus mean $mean outside (${probes("rep")}, ${probes("noise")})")
   }
+
+  test("histogram_quantile: monotone and within a bucket of the exact value") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val hist = graft.operators.TimeSeriesQueries
+      .queries("ts_histogram_quantile")(spark, dir).collect()
+    assert(hist.nonEmpty)
+    hist.foreach { r =>
+      val (p50, p95, p99) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 <= p95 && p95 <= p99, s"quantiles not monotone: $r")
+      assert(p50 > 0 && p99 <= 500.0, s"quantiles out of bucket range: $r")
+    }
+    // interpolation accuracy contract: the recovered p95 must land
+    // within the SAME bucket as the exact p95 (that is all a bucketed
+    // histogram can promise — PromQL semantics)
+    val exact = graft.sources.Tables.scan(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.95)").as("x95"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bounds = Seq(0.0, 5.0, 10.0, 25.0, 50.0, 100.0, 250.0, 500.0)
+    def bucketOf(v: Double): Int = bounds.lastIndexWhere(_ < v)
+    hist.foreach { r =>
+      val b = bucketOf(r.getDouble(3))
+      val be = bucketOf(exact(r.getString(0)))
+      assert(math.abs(b - be) <= 0, // same bucket
+        s"${r.getString(0)}: hist p95 bucket $b vs exact bucket $be")
+    }
+  }
 }
