@@ -190,6 +190,12 @@ object ConnectRest {
           if (root == null || !root.hasNonNull("name")
             || !root.hasNonNull("config"))
             error(ex, 400, "body must be {\"name\", \"config\"}")
+          else if (!root.get("name").asText().matches("[A-Za-z0-9._-]+"))
+            // a name with '/' (or empty) would register fine but never
+            // match the per-connector path routes again — a permanently
+            // stuck entry; real Kafka Connect rejects such names with 400
+            error(ex, 400,
+              "connector name must be non-empty [A-Za-z0-9._-]")
           else {
             val name = root.get("name").asText()
             val cfg = root.get("config").properties().asScala

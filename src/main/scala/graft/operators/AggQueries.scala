@@ -428,8 +428,12 @@ object AggQueries extends QueryGroup {
     // pins est ≥ exact (one-sided error) and est ≤ exact + εN.
     "agg_heavy_hitters_cms" -> ((s, dir) => {
       val li = Tables.scan(s, dir, "lineitem")
+      // ONE eps constant for both the sketch and its graded bound —
+      // a drift between the two would silently loosen (or falsely
+      // tighten) the one-sided error contract
+      val eps = 0.001
       val skRow = li.agg(
-        expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("sk"))
+        expr(s"count_min_sketch(l_suppkey, ${eps}d, 0.99d, 42)").as("sk"))
         .head() // ONE fixed-size sketch row — bounded driver transfer
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
@@ -441,7 +445,7 @@ object AggQueries extends QueryGroup {
       // engine-specific estimate grades as CMS's one-sided contract
       // (exact ≤ est ≤ exact + eps·N, N from the sketch itself) pinned
       // to true by the oracle — AggContractsSpec keeps the raw numbers
-      val epsN = math.ceil(0.001 * cms.totalCount()).toLong
+      val epsN = math.ceil(eps * cms.totalCount()).toLong
       top.map { case (k, exact) =>
         val est = cms.estimateCount(k)
         (k, exact, est >= exact && est <= exact + epsN)

@@ -50,6 +50,19 @@ object BloomJoin {
       buildKey: String,
       expectedKeys: Long,
       fpp: Double = 0.01): DataFrame = {
+    // LOUD type guard: the filter is built over the build column's native
+    // values while the probe casts to long — for a non-integral key (e.g.
+    // string) every probe would miss and matching rows would be SILENTLY
+    // dropped. Integral keys only; widen the kernel before widening this.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def integral(df: DataFrame, c: String) =
+      df.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    require(integral(probe, probeKey) && integral(build, buildKey),
+      s"prunedEquiJoin requires integral join keys; got " +
+        s"${probe.schema(probeKey).dataType} / ${build.schema(buildKey).dataType}")
     val bf = build.stat.bloomFilter(buildKey, math.max(expectedKeys, 64L), fpp)
     val pruned =
       probe.filter(VectorFunctions.bloomMightContain(col(probeKey), bf))

@@ -264,7 +264,8 @@ object CdcQueries extends QueryGroup {
             b => in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
           }
         } finally q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        // (no conf restore here: the outer finally below is the single
+        // source of truth, and the fold below plans lazily — after it)
         // fold Update-mode emissions to final state: max (lsn, deleted)
         // per key — the processor's own rank — then drop deleted keys
         s.table(sinkName)

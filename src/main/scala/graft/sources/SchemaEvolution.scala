@@ -143,9 +143,16 @@ object SchemaEvolution {
                     if schema.fieldNames.contains(from)
                       && !schema.fieldNames.contains(to) =>
                   val orig = m.getOrElse(from, from)
+                  // the rename RE-OCCUPIES `to`: any lineage whose
+                  // ORIGINAL name is `to` must end now (same rule as
+                  // AddCol above) — otherwise the consumer's
+                  // original-name twin for that lineage collides with
+                  // the real current column `to` (duplicate field), or
+                  // silently coalesces another column's data
+                  val cleared = m.filterNot { case (_, o) => o == to }
                   (reg.updated(table, StructType(schema.fields.map(x =>
                       if (x.name == from) x.copy(name = to) else x))),
-                    lin.updated(table, (m - from).updated(to, orig)))
+                    lin.updated(table, (cleared - from).updated(to, orig)))
                 case _ => (reg, lin) // duplicate add / colliding rename
               }
           }

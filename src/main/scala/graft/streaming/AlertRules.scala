@@ -50,8 +50,21 @@ object AlertRules {
   // private[streaming], not private: the state encoder's generated code
   // must reach the accessors, and Scala `private` emits package-hostile
   // bytecode that Janino cannot call
+  /** `folded` is the bounded set of recently-folded hour indexes (newest
+    * [[FoldedWindow]] of them) — it distinguishes an at-least-once
+    * REPLAY of an hour already folded (legitimate: ignore) from a LATE
+    * first delivery of an hour never folded (an upstream contract
+    * violation: the watermarked aggregation feeding this evaluator
+    * finalizes a key's buckets in hour order, so a never-seen earlier
+    * hour means the feed is broken — fail loudly, never silently drop
+    * data). Indexes older than the window are treated as replays: far
+    * beyond any real watermark delay, a replayed archive is the only
+    * plausible source. */
   private[streaming] final case class RunState(
-      startUs: Long, lastIdx: Long, len: Long, fired: Boolean)
+      startUs: Long, lastIdx: Long, len: Long, fired: Boolean,
+      folded: Seq[Long] = Nil)
+
+  private[streaming] val FoldedWindow = 64
 
   private val HourUs = 3600L * 1000 * 1000
 
@@ -105,15 +118,25 @@ object AlertRules {
     var st = state.getOption.getOrElse(RunState(0L, Long.MinValue, 0L, false))
     val out = Seq.newBuilder[Alert]
     def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    def markFolded(idx: Long): Unit =
+      st = st.copy(folded = (st.folded :+ idx).takeRight(FoldedWindow))
     for (b <- incoming.toSeq.sortBy(_.h.getTime)) {
       val us = b.h.getTime * 1000
       val idx = us / HourUs
       if (idx <= st.lastIdx && st.lastIdx != Long.MinValue) {
-        // re-delivered bucket for an hour already folded: the input
-        // contract says buckets are FINALIZED, so this carries no new
-        // information — ignore it rather than treating it as a gap
-        // (which would spuriously resolve a fired run and reset the
-        // counter, flapping the alert on a duplicate)
+        // an hour at-or-before the fold frontier: a REPLAY of an hour
+        // already folded carries no new information — ignore it rather
+        // than treating it as a gap (which would spuriously resolve a
+        // fired run and flap the alert). But an hour inside the recent
+        // window that was NEVER folded is a late out-of-order first
+        // delivery — the watermarked upstream finalizes buckets in hour
+        // order, so this means the feed is broken; silently dropping it
+        // would lose data, so fail loudly instead.
+        if (!st.folded.contains(idx) && idx > st.lastIdx - FoldedWindow)
+          throw new IllegalStateException(
+            s"sustainedAlerts($key): hour index $idx arrived after " +
+              s"frontier ${st.lastIdx} but was never folded — upstream " +
+              "must deliver watermark-finalized buckets in hour order")
       } else {
       // a run extends only when one is ACTIVE (len > 0) and this bucket is
       // the very next hour; after a clear bucket len is 0 (its idx is kept
@@ -126,7 +149,7 @@ object AlertRules {
           // run starts — the condition was false at the missing hours
           if (st.fired)
             out += Alert(key, "resolved", ts(st.startUs), ts(us), st.len)
-          st = RunState(us, idx, 1L, fired = false)
+          st = RunState(us, idx, 1L, fired = false, st.folded)
         }
         if (st.len >= minRun && !st.fired) {
           out += Alert(key, "firing", ts(st.startUs), ts(us), st.len)
@@ -137,8 +160,9 @@ object AlertRules {
           out += Alert(key, "resolved", ts(st.startUs), ts(us), st.len)
         // remember the hour we just folded so a re-delivery of it is
         // still recognized as a duplicate, not a fresh bucket
-        st = RunState(0L, idx, 0L, fired = false)
+        st = RunState(0L, idx, 0L, fired = false, st.folded)
       }
+      markFolded(idx)
       }
     }
     state.update(st)

@@ -103,6 +103,31 @@ class AlertRulesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming evaluator fails LOUDLY on a late never-folded bucket " +
+      "instead of silently swallowing it as a duplicate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Bucket]
+    val q = AlertRules.sustainedAlerts(in.toDS(), threshold = 5L, minRun = 3)
+      .writeStream.format("memory").queryName("alerts_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 2 folded first; hour 1 then arrives for the FIRST time —
+      // the watermarked upstream finalizes buckets in order, so this is
+      // an upstream contract violation and must kill the query, not be
+      // silently dropped as a replay
+      in.addData(Bucket("a", hour(2), 9))
+      q.processAllAvailable()
+      in.addData(Bucket("a", hour(1), 9))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("never folded")))
+    } finally q.stop()
+  }
+
   test("alert_availability: both availability rules fire non-vacuously " +
       "and every run respects its rule's condition and minRun") {
     val sf01 = "/root/testdata/sf0.01"

@@ -338,6 +338,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bloom prune rejects non-integral keys loudly (a string key would " +
+      "silently drop every matching row)") {
+    val docs = graft.sources.Tables.scan(spark, sfDir, "documents")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.BloomJoin.prunedEquiJoin(docs, docs, "lang", "lang", 10)
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("cdc_outbox: the router is a pure map — no hash exchange anywhere") {
     val (_, plan) = staticPlan("cdc_outbox")
     // projection + filter over the (cached) parsed feed; the only

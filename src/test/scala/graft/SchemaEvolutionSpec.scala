@@ -175,6 +175,16 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(SchemaEvolution.renameLineage(base,
       Seq("ALTER TABLE t RENAME COLUMN a TO b2",
         "ALTER TABLE t RENAME COLUMN b2 TO a")) == Map.empty)
+    // a RENAME that re-occupies a lineage's ORIGINAL name ends that
+    // lineage (same rule as the re-ADD above): after a→x then b→a, the
+    // old field name "a" denotes the renamed b — keeping x→a would make
+    // the consumer's original-name twin collide with the real current
+    // column "a" (duplicate field) or coalesce b's data into x
+    val (swapped, swapLin) = SchemaEvolution.evolveWithLineage(base,
+      Seq("ALTER TABLE t RENAME COLUMN a TO x",
+        "ALTER TABLE t RENAME COLUMN b TO a"))
+    assert(swapped("t").fieldNames.toSeq == Seq("x", "a"))
+    assert(swapLin == Map("t" -> Map("a" -> "b")))
   }
 
   test("graded cdc_schema_rename twin: renamed column carries pre-DDL " +
