@@ -19,6 +19,17 @@ private[graft] object BoundedDfCache {
   private val entries =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
 
+  /** Wall seconds each tag's first build+materialization took, since the
+    * last [[drainBuildTimes]]. The benchmark drains this per rep and ships
+    * it as the `shared_builds` JSON section: first-touch cost of a shared
+    * table still lands inside SOME query's timed window (alphabetically
+    * first consumer, now that Bench runs in sorted order), and this section
+    * says exactly how much of that query's time is the shared build —
+    * without it, per-query times look like regressions whenever a new name
+    * sorts ahead of the old first consumer. */
+  private val buildTimes =
+    scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
   /** Get the cached frame for (spark, tag), or build + persist it. */
   def getOrPersist(
       spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
@@ -29,9 +40,31 @@ private[graft] object BoundedDfCache {
           scala.util.Try(df.unpersist())
           entries.remove(k)
         }
-        build.persist()
+        val t0 = System.nanoTime()
+        val df = build.persist()
+        // materialize NOW: persist() alone is lazy, so without this the
+        // build would run inside the first consumer's action and the
+        // recorded per-tag time would be 0 while the consumer's time
+        // silently absorbed the build (the attribution problem this
+        // timing exists to solve). Nested getOrPersist calls during
+        // `build` are fine: the monitor is reentrant and 2.13's
+        // LinkedHashMap.getOrElseUpdate tolerates other-key insertion
+        // during the default-value computation (pre-existing behavior —
+        // groupPairs already builds from cached textGroups/shingles).
+        df.count()
+        buildTimes(tag) =
+          buildTimes.getOrElse(tag, 0.0) + (System.nanoTime() - t0) / 1e9
+        df
       })
     }
+
+  /** Return and reset the per-tag build timings accumulated since the
+    * previous drain (benchmark reps call this once per rep). */
+  def drainBuildTimes(): Seq[(String, Double)] = entries.synchronized {
+    val out = buildTimes.toSeq
+    buildTimes.clear()
+    out
+  }
 
   /** Tag prefix marking an entry as pure test-INPUT synthesis (e.g. the
     * fabricated Debezium changelog JSON built from the orders table). A

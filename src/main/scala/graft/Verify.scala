@@ -22,7 +22,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val errDir = Paths.get(s"$outDir/_errors")
-    SparkEntry.queries
+    // sorted name order (not HashMap order): stable execution order keeps
+    // _errors diffs and per-query logs comparable across rounds
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -232,12 +232,25 @@ object CdcQueries extends QueryGroup {
       // cdc_sink_upsert): MemoryStream is driver-fed by construction —
       // the production feed is the Kafka source — so the graded slice is
       // bounded; tombstones carry no row and are dropped before keying
-      val changes = CdcOps.ordersUnwrapped(s, dir)
+      // lsn order computed on EXECUTORS (sort before the driver sees a
+      // row); the driver then streams the result through toLocalIterator
+      // in bounded chunks, so its live allocation is O(chunk), not
+      // O(slice) — the whole-slice collect()+sortBy this replaces was
+      // ~10⁵ rows through the driver at sf1 and grows with sf.
+      val keyed = CdcOps.ordersUnwrapped(s, dir)
         .filter(!col("_tombstone") && col("o_orderkey") % 5 === 0)
         .select(col("o_orderkey").as("key"), col("_lsn").as("lsn"),
           (col("__deleted") === "true").as("deleted"),
           to_json(struct(payloadCols.map(col): _*)).as("payload"))
-        .as[KeyedChange].collect().sortBy(_.lsn)
+        .as[KeyedChange].sort("lsn")
+      val total = keyed.count()
+      // chunk = micro-batch size: ≥2 batches at every sf (cross-batch
+      // state is exercised by the graded path, not just the spec), capped
+      // at 64k rows so driver memory stays bounded at any sf. Fewer,
+      // larger batches than the old fixed-4 split: each micro-batch is a
+      // full RocksDB open+commit across every state partition, pure
+      // per-batch overhead that dominated this query's bench time.
+      val chunk = math.max(1L, math.min(65536L, total / 2 + 1)).toInt
       val prev =
         s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -260,7 +273,8 @@ object CdcQueries extends QueryGroup {
           .writeStream.format("memory").queryName(sinkName)
           .outputMode(OutputMode.Update).start()
         try {
-          changes.grouped(math.max(1, changes.length / 4 + 1)).foreach {
+          import scala.jdk.CollectionConverters._
+          keyed.toLocalIterator().asScala.grouped(chunk).foreach {
             b => in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
           }
         } finally q.stop()
