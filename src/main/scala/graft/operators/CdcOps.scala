@@ -599,6 +599,53 @@ object CdcOps {
     cached(spark, sfDir, "parsed-users")(Debezium.parseEnvelope(
       synthUsersChangelog(spark, sfDir), Debezium.customerRowSchema))
 
+  /** Customer-DIMENSION changelog with segment moves and deletes — the
+    * dimension side of the join-view IVM fixture (`cdc_ivm_join_view`;
+    * separate from [[synthUsersChangelog]] so the transaction-metadata
+    * oracles' event arithmetic stays untouched):
+    *   - every customer       → insert (op=c, lsn k*10+1), original segment
+    *   - c_custkey % 4 == 0   → update (op=u, lsn k*10+6):
+    *     c_mktsegment → 'MOVED' — the cross-group move that makes the
+    *     dimension-delta join term (A ⋈ ΔB) carry real weight
+    *   - c_custkey % 9 == 0   → delete (op=d, lsn k*10+8); the before
+    *     image carries CURRENT state (post-update segment), exactly as a
+    *     real capture's delete before-image reflects the row being removed
+    */
+  def synthCustomerDimChangelog(
+      spark: SparkSession, sfDir: String): DataFrame =
+    cachedFixture(spark, sfDir, "custdim") {
+      val c = Tables.scan(spark, sfDir, "customer")
+      val k = col("c_custkey")
+      val topic = lit("prod.postgres.customers")
+      val keyJson = to_json(struct(col("c_custkey")))
+      val nullRow = lit(null).cast(Debezium.customerRowSchema)
+      val ts = lit(0L)
+      def row(seg: Column) = struct(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal").cast(DecimalType(12, 2)).cast(StringType)
+          .as("c_acctbal"),
+        seg.as("c_mktsegment"))
+      val curSeg =
+        when(k % 4 === 0, lit("MOVED")).otherwise(col("c_mktsegment"))
+      val inserts = c.select(topic.as("topic"), keyJson.as("key"),
+        envelopeJsonFor(nullRow, row(col("c_mktsegment")), "c",
+          k * 10 + 1, "users", ts).as("value"))
+      val updates = c.filter(k % 4 === 0).select(
+        topic.as("topic"), keyJson.as("key"),
+        envelopeJsonFor(row(col("c_mktsegment")), row(lit("MOVED")), "u",
+          k * 10 + 6, "users", ts).as("value"))
+      val deletes = c.filter(k % 9 === 0).select(
+        topic.as("topic"), keyJson.as("key"),
+        envelopeJsonFor(row(curSeg), nullRow, "d",
+          k * 10 + 8, "users", ts).as("value"))
+      inserts.unionByName(updates).unionByName(deletes)
+    }
+
+  /** Parsed customer-dimension changelog (bronze, shared). */
+  def parsedCustomerDim(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "parsed-custdim")(Debezium.parseEnvelope(
+      synthCustomerDimChangelog(spark, sfDir), Debezium.customerRowSchema))
+
   /** The transaction-provenance triples `(collection, txid, lsn)` of a
     * multi-table parsed feed — projected per table BEFORE the union (the
     * per-table `env` structs carry different row schemas, so the frames

@@ -452,6 +452,39 @@ object CdcQueries extends QueryGroup {
       IncrementalView.readView(s, tmp).get.orderBy("o_orderstatus")
     }),
 
+    // IVM over a TWO-TABLE EQUI-JOIN view (the reference's "enriched
+    // data" consumer): revenue + order count per customer segment,
+    // maintained from the changelogs of BOTH tables through
+    // [[graft.streaming.IncrementalJoinView]]'s bilinear delta
+    // propagation (Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) in three sequential
+    // micro-batches: inserts, then updates (orders status flips — which
+    // net to ZERO at the join key and must vanish — plus customer
+    // segment moves, which relocate every joined order's revenue), then
+    // deletes on both sides (including same-batch order+customer
+    // coincidences, where the cross term prevents double-removal). The
+    // oracle recomputes the view from scratch over the base tables —
+    // IVM's claim is exactly that equality.
+    "cdc_ivm_join_view" -> ((s, dir) => {
+      import graft.streaming.IncrementalJoinView
+      val po = CdcOps.parsedOrders(s, dir)
+      val pc = CdcOps.parsedCustomerDim(s, dir)
+      val tmp = graft.TmpPaths.perProcess("graft-ivm-join", dir)
+      val root = new org.apache.hadoop.fs.Path(tmp)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(root)) fs.delete(root, true)
+      // op-sliced batches: op is part of the replay-dedup key, so global
+      // dedup equals per-slice dedup (the eventsOf sharing contract)
+      def ops(df: org.apache.spark.sql.DataFrame, o: Seq[String]) =
+        df.filter(col("env.op").isin(o: _*))
+      IncrementalJoinView.applyBatch(
+        ops(po, Seq("c", "r")), ops(pc, Seq("c")), 0L, tmp)
+      IncrementalJoinView.applyBatch(
+        ops(po, Seq("u")), ops(pc, Seq("u")), 1L, tmp)
+      IncrementalJoinView.applyBatch(
+        ops(po, Seq("d")), ops(pc, Seq("d")), 2L, tmp)
+      IncrementalJoinView.readView(s, tmp).get.orderBy("seg")
+    }),
+
     // the DataSourceV2 connector path (§2.A source surface): the same
     // changelog, archived to Kafka-archive-shaped JSON-line files and read
     // back through spark.read.format("debezium-json") — a real
@@ -731,6 +764,26 @@ object CdcQueries extends QueryGroup {
         |  COUNT(*) AS n_orders
         |FROM fin GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // join-view recompute: final customer dimension (segment moves %4,
+    // deletes %9) ⋈ final orders state (deletes %7; status flips don't
+    // touch the join key), aggregated by segment — the from-scratch twin
+    // of the incrementally maintained view
+    "cdc_ivm_join_view" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'MOVED' ELSE c_mktsegment END
+        |      AS seg
+        |  FROM customer WHERE c_custkey % 9 <> 0),
+        |ords AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |      AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT seg, CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+        |       COUNT(*) AS n_orders
+        |FROM ords JOIN cust ON o_custkey = c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin,
 
     // two tenants' states re-derived independently: tenant1 follows the
     // standard update/delete rules, tenant2 its own — proof the merge

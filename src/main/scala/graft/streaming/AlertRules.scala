@@ -131,7 +131,13 @@ object AlertRules {
         // window that was NEVER folded is a late out-of-order first
         // delivery — the watermarked upstream finalizes buckets in hour
         // order, so this means the feed is broken; silently dropping it
-        // would lose data, so fail loudly instead.
+        // would lose data, so fail loudly instead. RESTART IMPLICATION
+        // (deliberate): the throw fails the whole streaming query, and a
+        // restart from checkpoint replays the same input and throws
+        // again — a poison pill by design, because the only cure is
+        // fixing the upstream feed (or wiping the corrupted key's state);
+        // auto-quarantining the key would convert a broken-feed signal
+        // into silent per-key data loss.
         if (!st.folded.contains(idx) && idx > st.lastIdx - FoldedWindow)
           throw new IllegalStateException(
             s"sustainedAlerts($key): hour index $idx arrived after " +

@@ -24,8 +24,9 @@ final case class TxnBufEntry(collection: String, lsn: Long)
 /** Buffer state for one in-flight transaction. `expected = -1` until the
   * END record arrives; `applied = true` is a tombstone left after
   * emission so at-least-once replays of an already-applied transaction
-  * can never re-emit it (production evicts these markers with a state
-  * timeout once the replay window has passed). */
+  * can never re-emit it (in eviction mode a processing-time state
+  * timeout drops the marker after the replay window — see
+  * [[TxnApply.apply]]'s `replayWindowMs` contract). */
 final case class TxnState(
     expected: Long,
     buffered: Seq[TxnBufEntry],
@@ -55,25 +56,54 @@ final case class TxnApplied(
   */
 object TxnApply {
 
-  def update(
+  /** How long an applied-transaction tombstone survives (processing
+    * time) before eviction. At-least-once replays arrive within the
+    * source's redelivery window (checkpoint restart ≈ minutes); an hour
+    * covers that with a wide margin, while still bounding state: without
+    * eviction a long-running stream accumulates one tombstone per source
+    * transaction FOREVER — the unbounded-state mode the old NoTimeout
+    * form only documented. */
+  val DefaultReplayWindowMs: Long = 3600L * 1000
+
+  def update(replayWindowMs: Option[Long])(
       txid: Long,
       events: Iterator[TxnFeedEvent],
       state: GroupState[TxnState]): Iterator[TxnApplied] = {
+    // timeout callback (eviction mode only): this applied tombstone
+    // outlived the replay window — evict it. (Timeouts are only ever set
+    // on applied states, so an in-flight buffer can never reach here.)
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    def armEviction(): Unit =
+      replayWindowMs.foreach(state.setTimeoutDuration)
     val st0 = state.getOption.getOrElse(TxnState(-1L, Nil, applied = false))
-    if (st0.applied) return Iterator.empty // replay of an applied txn
+    if (st0.applied) {
+      armEviction() // replay restarts the tombstone's clock
+      return Iterator.empty // replay of an applied txn
+    }
     var expected = st0.expected
-    var buf = st0.buffered
+    // Set-backed dedup over the stored Seq: the state SHAPE stays a Seq
+    // (encoder-stable), but membership checks are O(1) — the previous
+    // Seq.contains + append made folding a k-event transaction O(k²)
+    val seen = scala.collection.mutable.LinkedHashSet.from(st0.buffered)
     events.foreach { e =>
       if (e.end) expected = e.expected
-      else {
-        val entry = TxnBufEntry(e.collection, e.lsn)
-        if (!buf.contains(entry)) buf = buf :+ entry
-      }
+      else seen += TxnBufEntry(e.collection, e.lsn)
     }
-    if (expected >= 0 && buf.length >= expected) {
+    val buf = seen.toSeq
+    // MORE distinct events than the END record declared is an upstream
+    // contract violation (the transaction topic's count is authoritative
+    // and dedup already removed replays) — fail loudly rather than apply
+    // a transaction whose span silently covers surplus events
+    if (expected >= 0 && buf.length > expected)
+      throw new IllegalStateException(
+        s"TxnApply($txid): END record declared $expected events but " +
+          s"${buf.length} distinct (collection, lsn) events arrived — " +
+          "upstream transaction metadata is inconsistent with the feed")
+    if (expected >= 0 && buf.length == expected) {
       // tombstone, not remove: a replayed END after removal would
       // otherwise rebuild the buffer and apply the transaction twice
       state.update(TxnState(expected, Nil, applied = true))
+      armEviction()
       if (buf.isEmpty) Iterator.empty // END says 0 events: nothing to apply
       else Iterator.single(TxnApplied(
         txid, expected, buf.map(_.lsn).min, buf.map(_.lsn).max))
@@ -84,12 +114,34 @@ object TxnApply {
   }
 
   /** Streaming form: one applied-transaction record per source
-    * transaction, emitted in the micro-batch where it completes. */
-  def apply(feed: Dataset[TxnFeedEvent]): Dataset[TxnApplied] =
+    * transaction, emitted in the micro-batch where it completes.
+    *
+    * `replayWindowMs = Some(ms)` turns on tombstone EVICTION: applied
+    * markers are dropped `ms` of processing time after the apply
+    * (see [[DefaultReplayWindowMs]]), bounding state on a long-running
+    * stream — without it the store accumulates one tombstone per source
+    * transaction forever. Eviction mode is a real trade, so it is
+    * opt-in rather than the default:
+    *   - the engine schedules data-less micro-batches on every trigger
+    *     to fire pending timeouts (`FlatMapGroupsWithStateExec
+    *     .shouldRunAnotherBatch` is unconditionally true under
+    *     ProcessingTimeTimeout), so use a sane trigger interval — the
+    *     default as-fast-as-possible trigger degenerates to a
+    *     continuous empty-batch loop, and `processAllAvailable()` never
+    *     returns at all (`noNewData` is never signaled);
+    *   - a redelivery AFTER the window (archive replay) re-applies the
+    *     transaction, by design.
+    * `None` (default) keeps tombstones forever: exact at-least-once
+    * semantics for bounded feeds, drain-style jobs, and tests. */
+  def apply(feed: Dataset[TxnFeedEvent],
+      replayWindowMs: Option[Long] = None): Dataset[TxnApplied] =
     feed
       .groupByKey(_.txid)(Encoders.scalaLong)
       .flatMapGroupsWithState(
-        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)(
+        OutputMode.Update,
+        if (replayWindowMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(
+        update(replayWindowMs))(
         Encoders.product[TxnState], Encoders.product[TxnApplied])
 
   /** Batch twin of the apply decision under CONSUMER LAG: `events` is

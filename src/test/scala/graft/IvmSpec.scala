@@ -202,6 +202,101 @@ class IvmSpec extends SparkSpec {
     }
   }
 
+  // ---- join-view IVM (IncrementalJoinView) ----
+
+  private def parsedDim: DataFrame = CdcOps.parsedCustomerDim(spark, sfDir)
+
+  private def applyJoinPhases(path: String): Unit = {
+    import graft.streaming.IncrementalJoinView
+    def ops(df: DataFrame, o: Seq[String]) =
+      df.filter(col("env.op").isin(o: _*))
+    IncrementalJoinView.applyBatch(
+      ops(parsed, Seq("c", "r")), ops(parsedDim, Seq("c")), 0L, path)
+    IncrementalJoinView.applyBatch(
+      ops(parsed, Seq("u")), ops(parsedDim, Seq("u")), 1L, path)
+    IncrementalJoinView.applyBatch(
+      ops(parsed, Seq("d")), ops(parsedDim, Seq("d")), 2L, path)
+  }
+
+  private def joinView(path: String): Seq[(String, Long, Long)] =
+    graft.streaming.IncrementalJoinView.readView(spark, path).get
+      .orderBy("seg").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  test("join view: W equals the aggregate of the committed A ⋈ B states at every commit") {
+    import graft.streaming.IncrementalJoinView
+    val path = tmpDir()
+    def ops(df: DataFrame, o: Seq[String]) =
+      df.filter(col("env.op").isin(o: _*))
+    val batches = Seq(
+      (ops(parsed, Seq("c", "r")), ops(parsedDim, Seq("c"))),
+      (ops(parsed, Seq("u")), ops(parsedDim, Seq("u"))),
+      (ops(parsed, Seq("d")), ops(parsedDim, Seq("d"))))
+    batches.zipWithIndex.foreach { case ((po, pc), i) =>
+      IncrementalJoinView.applyBatch(po, pc, i.toLong, path)
+      // the bilinear delta's whole claim: the incrementally merged W is
+      // exactly Agg(A ⋈ B) of the states committed alongside it — at
+      // EVERY intermediate commit, not just the final one
+      val (a, b) = IncrementalJoinView.readStates(spark, path).get
+      val expect = a.join(b, "k")
+        .groupBy("seg")
+        .agg(sum(col("cents") * col("m")).as("revenue_cents"),
+          sum(col("rows") * col("m")).as("n_orders"))
+        .filter(col("revenue_cents") =!= 0L || col("n_orders") =!= 0L)
+        .orderBy("seg").collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(joinView(path) == expect, s"W diverged from Agg(A⋈B) at batch $i")
+    }
+    // the dimension updates moved revenue into MOVED, and the final view
+    // is non-trivial — the A ⋈ ΔB path demonstrably ran
+    assert(joinView(path).exists(_._1 == "MOVED"))
+  }
+
+  test("join view: replaying a committed micro-batch does not change the view") {
+    import graft.streaming.IncrementalJoinView
+    val path = tmpDir()
+    applyJoinPhases(path)
+    val before = joinView(path)
+    def ops(df: DataFrame, o: Seq[String]) =
+      df.filter(col("env.op").isin(o: _*))
+    // restart semantics: the sink re-receives batchId=2 with identical
+    // content — must recompute the SAME snapshot from batch 1, not merge
+    // the deltas on top of its own earlier output
+    IncrementalJoinView.applyBatch(
+      ops(parsed, Seq("d")), ops(parsedDim, Seq("d")), 2L, path)
+    assert(joinView(path) == before)
+  }
+
+  test("join view: same-batch order+customer deletes are removed exactly once (cross term)") {
+    import graft.streaming.IncrementalJoinView
+    import spark.implicits._
+    val path = tmpDir()
+    // hand-built envelopes through the real parse: one customer (seg S)
+    // with one order (100.00), inserted in batch 0, BOTH deleted in
+    // batch 1 — without the ΔA⋈ΔB correction the two unary terms would
+    // subtract the order twice and leave seg S at -10000 cents
+    def env(json: String) =
+      graft.sources.Debezium.parseEnvelope(
+        Seq(("t", "{}", json)).toDF("topic", "key", "value"),
+        if (json.contains("c_custkey")) graft.sources.Debezium.customerRowSchema
+        else graft.sources.Debezium.ordersRowSchema)
+    val oRow = """{"o_orderkey":1,"o_custkey":7,"o_orderstatus":"O","o_totalprice":"100.00","o_orderdate_us":0,"o_orderpriority":"1-URGENT"}"""
+    val cRow = """{"c_custkey":7,"c_name":"n","c_nationkey":1,"c_acctbal":"0.00","c_mktsegment":"S"}"""
+    def wrap(before: String, after: String, op: String, lsn: Long) =
+      s"""{"before":$before,"after":$after,"source":{"lsn":$lsn,"table":"t","ts_ms":0},"op":"$op","ts_ms":0}"""
+    IncrementalJoinView.applyBatch(
+      env(wrap("null", oRow, "c", 1L)), env(wrap("null", cRow, "c", 2L)),
+      0L, path)
+    assert(joinView(path) == Seq(("S", 10000L, 1L)))
+    IncrementalJoinView.applyBatch(
+      env(wrap(oRow, "null", "d", 3L)), env(wrap(cRow, "null", "d", 4L)),
+      1L, path)
+    // exactly once removed: the view is EMPTY, not negative
+    assert(joinView(path).isEmpty)
+    val (a, b) = IncrementalJoinView.readStates(spark, path).get
+    assert(a.count() == 0 && b.count() == 0)
+  }
+
   test("duplicate deliveries within a batch fold once") {
     val path = tmpDir()
     // the fixture's update phase contains the %20 replay rows twice;

