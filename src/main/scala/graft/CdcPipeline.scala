@@ -34,19 +34,58 @@ final case class CdcPipelineConfig(
     deleteRewrite: Boolean = true,
     keepTombstones: Boolean = true)
 
+/** Data-plane pause gate shared between a connector's control plane
+  * (ConnectRest's `PUT /connectors/{name}/pause|resume`) and its running
+  * pipeline — real Kafka Connect pause semantics: a PAUSED connector
+  * stops EMITTING (the events stay in the log and flow after resume;
+  * nothing is dropped). Batch invocations consult the gate at plan
+  * construction ([[CdcPipeline.unwrapped]] yields zero rows while
+  * paused); streaming deployments register [[onChange]] to stop/restart
+  * their trigger — a micro-batch that silently skipped data would still
+  * commit its offsets, which is exactly the data loss pause must not
+  * cause, so the stream-side contract is stop-the-query, not
+  * filter-the-batch. */
+final class ConnectorGate {
+  @volatile private var _paused = false
+  private val listeners =
+    new java.util.concurrent.CopyOnWriteArrayList[Boolean => Unit]()
+
+  def isPaused: Boolean = _paused
+
+  /** Register a callback fired with the NEW paused state on every
+    * transition (streaming: `paused => if (paused) query.stop() else
+    * restartFromCheckpoint()`). */
+  def onChange(f: Boolean => Unit): Unit = listeners.add(f)
+
+  private[graft] def set(paused: Boolean): Unit = {
+    val changed = _paused != paused
+    _paused = paused
+    if (changed) listeners.forEach(f => f(paused))
+  }
+}
+
 /** Batch/stream-agnostic CDC pipeline: raw Kafka-shaped records
   * (`topic`,`key`,`value`) → parse → route/unwrap → per-table current
   * state. Works identically on a bounded DataFrame (snapshot replay,
   * `Trigger.AvailableNow`) and an unbounded one (the `readStream` form —
-  * same expressions, no code change; SURVEY.md §3.1). */
-final class CdcPipeline(config: CdcPipelineConfig) {
+  * same expressions, no code change; SURVEY.md §3.1).
+  *
+  * `gate`: the connector's [[ConnectorGate]] — while paused, the
+  * pipeline emits NOTHING (checked at plan construction; each batch
+  * window constructs its plan fresh, so the next window after resume
+  * flows in full). */
+final class CdcPipeline(config: CdcPipelineConfig,
+    gate: Option[ConnectorGate] = None) {
 
   /** Parse + unwrap one table's records with its registered schema. */
   def unwrapped(raw: DataFrame, table: String): DataFrame = {
     val schema = config.tables.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' not in include list ${config.tables.keySet}"))
-    val parsed = Debezium.parseEnvelope(raw, schema)
+    // paused = consume nothing this window: limit 0 keeps the schema and
+    // costs no scan (Catalyst folds LocalLimit 0 to an empty relation)
+    val input = if (gate.exists(_.isPaused)) raw.limit(0) else raw
+    val parsed = Debezium.parseEnvelope(input, schema)
     val un = CdcOps.unwrap(parsed)
     // capture-side include-list filter (postgresql-connector.yaml:39)
     val mine = un.filter(col("tbl") === table)

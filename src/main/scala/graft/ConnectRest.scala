@@ -42,12 +42,16 @@ import scala.jdk.CollectionConverters._
   */
 object ConnectRest {
 
-  /** Registered connector: its materialized pipeline config + state. */
+  /** Registered connector: its materialized pipeline config + state.
+    * `gate` is the DATA-PLANE pause gate — the same object a running
+    * [[CdcPipeline]] consults, so a REST pause actually stops emission
+    * rather than only flipping the status string. */
   final case class Entry(
       name: String,
       rawConfig: Map[String, String],
       pipeline: CdcPipelineConfig,
-      var state: String) // RUNNING | PAUSED
+      var state: String, // RUNNING | PAUSED
+      gate: ConnectorGate = new ConnectorGate)
 
   private val mapper = new ObjectMapper()
 
@@ -102,11 +106,22 @@ object ConnectRest {
   }
 
   /** Start the facade on `port` (0 = ephemeral). Defaults the registry to
-    * the engine's captured-table analogs ([[Tables.captureMapping]]). */
+    * the engine's captured-table analogs ([[Tables.captureMapping]]).
+    *
+    * `streamMetrics` turns on the `GET /metrics` Prometheus exposition
+    * endpoint (the reference's scrape path,
+    * prometheus-config.yaml:26-59): each scrape renders the supplied
+    * stream-progress snapshot (typically a
+    * [[graft.streaming.StreamingMetrics.ProgressRecorder]]'s
+    * `snapshot`) plus the server's own live connector states through
+    * [[graft.streaming.Prometheus.render]]. */
   def start(
       schemas: Map[String, StructType],
       keys: Map[String, Seq[String]],
-      port: Int = 0): Server = {
+      port: Int = 0,
+      streamMetrics: Option[
+        () => Seq[graft.streaming.StreamingMetrics.BatchMetrics]] = None)
+      : Server = {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // daemon threads + explicit shutdown in close(): HttpServer.stop()
     // does NOT stop a user-supplied executor, and lingering non-daemon
@@ -119,6 +134,10 @@ object ConnectRest {
       })
     val server = new Server(http, pool, schemas, keys)
     http.createContext("/connectors", server.handler _)
+    streamMetrics.foreach { snap =>
+      http.createContext("/metrics",
+        (ex: HttpExchange) => server.metricsHandler(ex, snap))
+    }
     http.setExecutor(pool)
     http.start()
     server
@@ -139,6 +158,85 @@ object ConnectRest {
     /** The materialized config of a registered connector (data plane). */
     def pipelineConfig(name: String): Option[CdcPipelineConfig] =
       entries.synchronized(entries.get(name).map(_.pipeline))
+
+    /** Validate + register one connector (the POST /connectors body
+      * semantics); Left = (status, reason). */
+    private def register(name: String,
+        cfg: Map[String, String]): Either[(Int, String), Entry] =
+      toPipelineConfig(cfg, schemas, keys) match {
+        case Left(reason) => Left((400, reason))
+        case Right(pc) => entries.synchronized {
+          if (entries.contains(name))
+            Left((409, s"Connector $name already exists"))
+          else {
+            val e2 = Entry(name, cfg, pc, "RUNNING")
+            entries.put(name, e2)
+            Right(e2)
+          }
+        }
+      }
+
+    /** Export every registered connector as a JSON array of the SAME
+      * `{"name","config"}` documents `POST /connectors` accepts — the
+      * reference's config backup (its backup script curls each
+      * connector's config document to a dated file; reference:
+      * scripts/setup-infrastructure.sh:386-441). */
+    def exportAll(): String = entries.synchronized {
+      entries.values.map(configDoc).mkString("[", ",", "]")
+    }
+
+    /** Bulk re-provision from an [[exportAll]] document — the restore
+      * half of the backup round trip. Every entry passes through the
+      * normal validation/registration path (a backup taken against a
+      * different schema registry can still be rejected); returns the
+      * per-connector failures, empty = full restore. Names that already
+      * exist fail with 409 exactly like a wire POST would. */
+    def restoreAll(json: String): Seq[(String, String)] = {
+      val root = mapper.readTree(json)
+      require(root != null && root.isArray,
+        "restore document must be a JSON array of {name, config}")
+      root.asScala.toSeq.flatMap { doc =>
+        val name = doc.get("name").asText()
+        val cfg = doc.get("config").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+        register(name, cfg).left.toOption.map {
+          case (code, reason) => name -> s"$code: $reason"
+        }
+      }
+    }
+
+    /** The data-plane pause gate of a registered connector — hand it to
+      * the connector's [[CdcPipeline]] (constructor `gate` param) and to
+      * any streaming runner's `onChange` stop/restart hook. */
+    def gate(name: String): Option[ConnectorGate] =
+      entries.synchronized(entries.get(name).map(_.gate))
+
+    /** Live `(connector, state)` pairs — the `/metrics` exposition's
+      * `graft_connector_up` source, so a pause flips the gauge on the
+      * very next scrape. */
+    def connectorStates: Seq[(String, String)] =
+      entries.synchronized(entries.values.map(e => e.name -> e.state).toList)
+
+    private[ConnectRest] def metricsHandler(
+        ex: HttpExchange,
+        snap: () => Seq[graft.streaming.StreamingMetrics.BatchMetrics])
+        : Unit = try {
+      if (ex.getRequestMethod != "GET")
+        error(ex, 405, s"${ex.getRequestMethod} /metrics not supported")
+      else {
+        val body = graft.streaming.Prometheus
+          .render(snap(), connectorStates).getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      }
+    } catch {
+      case e: Exception =>
+        try error(ex, 500, String.valueOf(e.getMessage))
+        catch { case _: Exception => () }
+    }
 
     private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(UTF_8)
@@ -200,17 +298,9 @@ object ConnectRest {
             val name = root.get("name").asText()
             val cfg = root.get("config").properties().asScala
               .map(e => e.getKey -> e.getValue.asText()).toMap
-            toPipelineConfig(cfg, schemas, keys) match {
-              case Left(reason) => error(ex, 400, reason)
-              case Right(pc) => entries.synchronized {
-                if (entries.contains(name))
-                  error(ex, 409, s"Connector $name already exists")
-                else {
-                  val e2 = Entry(name, cfg, pc, "RUNNING")
-                  entries.put(name, e2)
-                  respond(ex, 201, configDoc(e2))
-                }
-              }
+            register(name, cfg) match {
+              case Left((code, reason)) => error(ex, code, reason)
+              case Right(e2) => respond(ex, 201, configDoc(e2))
             }
           }
         case ("GET", Seq(name)) => entries.synchronized {
@@ -231,6 +321,9 @@ object ConnectRest {
             entries.get(name) match {
               case Some(e2) =>
                 e2.state = if (action == "pause") "PAUSED" else "RUNNING"
+                // flip the DATA PLANE too: a paused connector stops
+                // emitting (Connect semantics), not just reporting PAUSED
+                e2.gate.set(action == "pause")
                 respond(ex, 202, "")
               case None => error(ex, 404, s"Connector $name not found")
             }

@@ -412,6 +412,74 @@ object CdcQueries extends QueryGroup {
       } finally server.close()
     }),
 
+    // Connect pause/resume wired to the DATA PLANE: the connector is
+    // provisioned and paused/resumed over the real REST wire, and the
+    // shared ConnectorGate gates CdcPipeline emission — window 1
+    // (inserts, lsn%10=0) flows while RUNNING; window 2 (updates,
+    // deletes, tombstones) is attempted while PAUSED and MUST emit zero
+    // rows (asserted inline — a leaky gate grades red); after resume the
+    // same window flows in full. Final state equals the never-paused
+    // run's: pause defers, never drops — exactly Connect's contract.
+    "cdc_pause_resume" -> ((s, dir) => {
+      import graft.sources.Debezium
+      val server = graft.ConnectRest.start(
+        schemas = Map("orders" -> Debezium.ordersRowSchema),
+        keys = Map("orders" -> Seq("o_orderkey")))
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val base = s"http://127.0.0.1:${server.port}/connectors"
+        val body =
+          """{"name": "pauser",
+            | "config": {
+            |  "connector.class": "io.debezium.connector.postgresql.PostgresConnector",
+            |  "table.include.list": "public.orders",
+            |  "decimal.handling.mode": "string",
+            |  "time.precision.mode": "adaptive_time_microseconds"
+            |}}""".stripMargin
+        val post = client.send(
+          java.net.http.HttpRequest.newBuilder()
+            .uri(java.net.URI.create(base))
+            .header("Content-Type", "application/json")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(post.statusCode() == 201,
+          s"provisioning failed: ${post.statusCode()} ${post.body()}")
+        def put(action: String): Unit = {
+          val r = client.send(
+            java.net.http.HttpRequest.newBuilder()
+              .uri(java.net.URI.create(s"$base/pauser/$action"))
+              .PUT(java.net.http.HttpRequest.BodyPublishers.noBody())
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          require(r.statusCode() == 202, s"$action failed: ${r.statusCode()}")
+        }
+        val cfg = server.pipelineConfig("pauser").get
+        val pipeline =
+          new graft.CdcPipeline(cfg, gate = server.gate("pauser"))
+        val raw = CdcOps.synthOrdersChangelog(s, dir)
+          .filter(get_json_object(col("key"), "$.o_orderkey")
+            .cast("long") % 4 === 2)
+        val lsn = get_json_object(col("value"), "$.source.lsn").cast("long")
+        // window 1 = inserts; window 2 = updates + deletes + tombstones
+        // (value-less tombstones have no lsn → coalesce routes them here)
+        val w1 = raw.filter(coalesce(lsn % 10 === 0, lit(false)))
+        val w2 = raw.filter(coalesce(lsn % 10 =!= 0, lit(true)))
+        val part1 = pipeline.unwrapped(w1, "orders")
+        put("pause")
+        require(pipeline.unwrapped(w2, "orders").count() == 0,
+          "PAUSED connector emitted rows — the gate is not wired to " +
+            "the data plane")
+        put("resume")
+        val part2 = pipeline.unwrapped(w2, "orders")
+        CdcOps.compactLatest(part1.unionByName(part2),
+          Seq("o_orderkey"), cfg.orderingColumns.map(col(_).desc))
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate_us", "o_orderpriority")
+          .orderBy("o_orderkey")
+      } finally server.close()
+    }),
+
     // incremental view maintenance: the parsed change log applied in
     // three sequential micro-batches (inserts, then updates incl. the
     // at-least-once replay, then deletes + tombstones) through
@@ -735,6 +803,16 @@ object CdcQueries extends QueryGroup {
 
     // same current-state predicate as cdc_compact on the %5 subset — the
     // REST-provisioned pipeline must land exactly where the builder does
+    // pause defers, never drops: the final state of the paused+resumed
+    // run is EXACTLY the never-paused compacted slice
+    "cdc_pause_resume" -> (baseCte +
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate_us, o_orderpriority
+        |FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 4 = 2
+        |ORDER BY o_orderkey""".stripMargin),
+
     "cdc_rest_provision" -> (baseCte +
       """SELECT o_orderkey, o_custkey,
         |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
