@@ -24,9 +24,26 @@ object Bench {
     // all three reps landed hot (221/168/441 s vs same-day builder runs of
     // ~60 s) — more samples = more chances the min catches a quiet window
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    // local profiling only (the driver never sets it): run a named subset
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // shuffle width sized to the DATA VOLUME PER EXCHANGE, not the core
+    // count — the brief's own sizing rule. At the benchmark SF a typical
+    // exchange carries a few MB, where 32 reduce partitions are pure
+    // scheduling overhead: an A/B of the full suite at sf0.1 on the same
+    // quiet host measured width 8 saving 17.5 s summed over the 152
+    // queries both runs shared (≈ -17%, spread thinly across the whole
+    // suite — a fixed per-stage cost, not one hot query; NOTES.md r12).
+    // Parallelism-hungry
+    // operators opt back UP explicitly (join_temporal pre-partitions its
+    // as-of merge at core width), which is the right direction: wide
+    // where a stage needs cores, narrow where it needs scheduling — at
+    // sf1 set SPARK_GRAFT_SHUFFLE=32 (the sweep protocol in NOTES.md).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,7 +73,9 @@ object Bench {
       // dedup_lsh_quality 0.35→4.64 s purely by order). Sorted order makes
       // per-query times comparable round-over-round; the shared_builds
       // section (drained below) attributes the first-touch cost by tag.
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -116,6 +135,7 @@ object Bench {
       .map { case (tag, ts) => tag -> ts.map(_._2).min }
       .toSeq.sortBy(-_._2)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // per-query minimum over SUCCESSFUL reps only (failed reps' fast-fail
     // elapsed must not read as a fast query); null when every rep failed
     val minQ = names.map { n =>

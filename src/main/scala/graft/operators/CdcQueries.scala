@@ -534,22 +534,34 @@ object CdcQueries extends QueryGroup {
     // IVM's claim is exactly that equality.
     "cdc_ivm_join_view" -> ((s, dir) => {
       import graft.streaming.IncrementalJoinView
-      val po = CdcOps.parsedOrders(s, dir)
-      val pc = CdcOps.parsedCustomerDim(s, dir)
+      // projection + replay-dedup computed ONCE per (session, corpus) and
+      // sliced per micro-batch: op is in the dedup key, so global dedup
+      // equals per-slice dedup (the eventsOf sharing contract) — without
+      // this each of the 3 batches re-paid both changelogs' dedup shuffle
+      val fe = graft.BoundedDfCache.getOrPersist(s, s"cdc:ivmjoin-fact:$dir")(
+        IncrementalJoinView.factEvents(CdcOps.parsedOrders(s, dir)))
+      val de = graft.BoundedDfCache.getOrPersist(s, s"cdc:ivmjoin-dim:$dir")(
+        IncrementalJoinView.dimEvents(CdcOps.parsedCustomerDim(s, dir)))
       val tmp = graft.TmpPaths.perProcess("graft-ivm-join", dir)
       val root = new org.apache.hadoop.fs.Path(tmp)
       val fs = root.getFileSystem(s.sessionState.newHadoopConf())
       if (fs.exists(root)) fs.delete(root, true)
-      // op-sliced batches: op is part of the replay-dedup key, so global
-      // dedup equals per-slice dedup (the eventsOf sharing contract)
       def ops(df: org.apache.spark.sql.DataFrame, o: Seq[String]) =
-        df.filter(col("env.op").isin(o: _*))
-      IncrementalJoinView.applyBatch(
-        ops(po, Seq("c", "r")), ops(pc, Seq("c")), 0L, tmp)
-      IncrementalJoinView.applyBatch(
-        ops(po, Seq("u")), ops(pc, Seq("u")), 1L, tmp)
-      IncrementalJoinView.applyBatch(
-        ops(po, Seq("d")), ops(pc, Seq("d")), 2L, tmp)
+        df.filter(col("op").isin(o: _*))
+      // per-batch exchanges carry delta- and key-cardinality frames —
+      // size the shuffle width to STATE volume (the cdc_compact_tws
+      // argument), not the session's analytic width; applyBatchEvents
+      // executes eagerly inside the scope, so the restore is safe
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        IncrementalJoinView.applyBatchEvents(
+          ops(fe, Seq("c", "r")), ops(de, Seq("c")), 0L, tmp)
+        IncrementalJoinView.applyBatchEvents(
+          ops(fe, Seq("u")), ops(de, Seq("u")), 1L, tmp)
+        IncrementalJoinView.applyBatchEvents(
+          ops(fe, Seq("d")), ops(de, Seq("d")), 2L, tmp)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       IncrementalJoinView.readView(s, tmp).get.orderBy("seg")
     }),
 

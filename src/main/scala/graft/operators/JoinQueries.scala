@@ -220,7 +220,17 @@ object JoinQueries extends QueryGroup {
       val e = Tables.scan(s, dir, "events")
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us"))
-      graft.plans.AsOfJoin.asof(e, hist,
+      // the as-of exec is a per-partition SORT-MERGE over the full event
+      // table — parallelism-hungry, unlike the narrow analytic exchanges
+      // the session width is sized for. Pre-partitioning both sides on
+      // the join keys at CORE width satisfies the exec's
+      // ClusteredDistribution requirement (no second exchange) while
+      // pinning its parallelism independent of shuffle.partitions
+      // (a narrow width measured 2.2× slower here).
+      val cores = s.sparkContext.defaultParallelism
+      graft.plans.AsOfJoin.asof(
+          e.repartition(cores, col("user_id")),
+          hist.repartition(cores, col("o_custkey")),
           leftKey = "user_id", rightKey = "o_custkey",
           leftTime = "ts_us", rightTime = "ver_us")
         .select(col("event_id"), col("user_id"), col("ts_us"),

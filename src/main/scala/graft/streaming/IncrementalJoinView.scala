@@ -28,9 +28,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * back once by ΔA ⋈ ΔB — signed multiplicities cancel to exactly one
   * removal.
   *
-  * State per commit, all as versioned `batch=<id>` snapshots with
-  * parquet `_SUCCESS` commit markers (same discipline as
-  * [[IncrementalView]], which documents the replay/overwrite argument):
+  * State per commit — ONE versioned `batch=<id>` snapshot holding all
+  * three tables as a part-partitioned parquet write under a single
+  * `_SUCCESS` marker, so A, B and W commit atomically together (same
+  * replay/overwrite discipline as [[IncrementalView]]):
   *   - `A`: custkey → (signed cents sum, signed row count) — key-
   *     cardinality partial aggregate of the fact side;
   *   - `B`: (custkey, seg) → signed multiplicity — the dimension as a
@@ -55,15 +56,36 @@ object IncrementalJoinView {
     (row.getField("o_totalprice").cast(DecimalType(12, 2)) * 100)
       .cast(LongType)
 
+  /** The narrow deduped fact-side event projection — exposed (like
+    * [[IncrementalView.eventsOf]]) so a caller replaying several
+    * op-sliced batches out of one parsed changelog computes the
+    * projection + dedup ONCE and slices it per batch; `op` is in the
+    * dedup key, so global dedup equals per-slice dedup. */
+  def factEvents(parsed: DataFrame): DataFrame =
+    dedup(parsed, before = Seq(
+      col("env.before.o_custkey").as("b_k"), cents(col("env.before")).as("b_c")),
+      after = Seq(
+        col("env.after.o_custkey").as("a_k"), cents(col("env.after")).as("a_c")))
+
+  /** The deduped dimension-side event projection (same sharing contract
+    * as [[factEvents]]). */
+  def dimEvents(parsed: DataFrame): DataFrame =
+    dedup(parsed, before = Seq(
+      col("env.before.c_custkey").as("b_k"),
+      col("env.before.c_mktsegment").as("b_s")),
+      after = Seq(
+        col("env.after.c_custkey").as("a_k"),
+        col("env.after.c_mktsegment").as("a_s")))
+
   /** Signed per-custkey fact deltas `(k, d_cents, d_rows)` of one parsed
     * orders micro-batch (replay-deduped like [[IncrementalView.eventsOf]];
     * a status-only update nets to zero here and is dropped — the join
     * view keys on custkey, so it genuinely contributes nothing). */
-  def factDelta(parsed: DataFrame): DataFrame = {
-    val ev = dedup(parsed, before = Seq(
-      col("env.before.o_custkey").as("b_k"), cents(col("env.before")).as("b_c")),
-      after = Seq(
-        col("env.after.o_custkey").as("a_k"), cents(col("env.after")).as("a_c")))
+  def factDelta(parsed: DataFrame): DataFrame =
+    factDeltaOfEvents(factEvents(parsed))
+
+  /** [[factDelta]] over a pre-deduped [[factEvents]] projection. */
+  def factDeltaOfEvents(ev: DataFrame): DataFrame = {
     val minus = ev.filter(col("op").isin("u", "d") && col("b_k").isNotNull)
       .select(col("b_k").as("k"), (-col("b_c")).as("d_cents"),
         lit(-1L).as("d_rows"))
@@ -78,13 +100,11 @@ object IncrementalJoinView {
   /** Signed dimension deltas `(k, seg, d_m)` of one parsed customer
     * micro-batch: an update contributes −(old seg) +(new seg), moving
     * every joined fact row's measures across groups. */
-  def dimDelta(parsed: DataFrame): DataFrame = {
-    val ev = dedup(parsed, before = Seq(
-      col("env.before.c_custkey").as("b_k"),
-      col("env.before.c_mktsegment").as("b_s")),
-      after = Seq(
-        col("env.after.c_custkey").as("a_k"),
-        col("env.after.c_mktsegment").as("a_s")))
+  def dimDelta(parsed: DataFrame): DataFrame =
+    dimDeltaOfEvents(dimEvents(parsed))
+
+  /** [[dimDelta]] over a pre-deduped [[dimEvents]] projection. */
+  def dimDeltaOfEvents(ev: DataFrame): DataFrame = {
     val minus = ev.filter(col("op").isin("u", "d") && col("b_k").isNotNull)
       .select(col("b_k").as("k"), col("b_s").as("seg"), lit(-1L).as("d_m"))
     val plus = ev.filter(col("op").isin("c", "r", "u") && col("a_k").isNotNull)
@@ -112,8 +132,16 @@ object IncrementalJoinView {
     * snapshot from the same predecessor (deterministic overwrite, never
     * a double-apply). */
   def applyBatch(parsedOrders: DataFrame, parsedCustomers: DataFrame,
+      batchId: Long, path: String): Unit =
+    applyBatchEvents(factEvents(parsedOrders), dimEvents(parsedCustomers),
+      batchId, path)
+
+  /** [[applyBatch]] over pre-deduped [[factEvents]]/[[dimEvents]]
+    * projections — each batch must already be deduped (the op-sliced
+    * sharing contract). */
+  def applyBatchEvents(factEv: DataFrame, dimEv: DataFrame,
       batchId: Long, path: String): Unit = {
-    val spark = parsedOrders.sparkSession
+    val spark = factEv.sparkSession
     val snaps = committed(spark, path)
     require(snaps.isEmpty || batchId >= snaps.last._1,
       s"batchId $batchId is behind committed snapshot ${snaps.last._1} " +
@@ -122,8 +150,8 @@ object IncrementalJoinView {
     val aPrev = prev.map(p => read(spark, p._2, "A", aSchema))
     val bPrev = prev.map(p => read(spark, p._2, "B", bSchema))
     val wPrev = prev.map(p => read(spark, p._2, "W", wSchema))
-    val dA = factDelta(parsedOrders)
-    val dB = dimDelta(parsedCustomers)
+    val dA = factDeltaOfEvents(factEv)
+    val dB = dimDeltaOfEvents(dimEv)
 
     // the three bilinear terms, each a signed (seg, cents, rows) stream;
     // deltas are batch-sized — Spark broadcasts them against the
@@ -156,13 +184,22 @@ object IncrementalJoinView {
       Seq("seg"), Seq("revenue_cents" -> "d_cents", "n_orders" -> "d_rows"))
       .filter(col("revenue_cents") =!= 0L || col("n_orders") =!= 0L)
 
+    // ONE partitioned write commits A, B and W together under a single
+    // `_SUCCESS` — the three states are one atomic version (a 3-marker
+    // protocol would admit a torn snapshot with A committed and W not),
+    // and one job replaces three (the write itself is shuffle-free:
+    // partitionBy fans rows into part=A/B/W subdirs per task). Schemas
+    // are harmonized into (part, k, seg, v1, v2); `read` projects back.
     val dir = s"$path/batch=$batchId"
-    // key-cardinality states keep the session's shuffle width; the
-    // group-cardinality view is one sequential file (IncrementalView's
-    // writePartitions rationale)
-    aNew.write.mode(SaveMode.Overwrite).parquet(s"$dir/A")
-    bNew.write.mode(SaveMode.Overwrite).parquet(s"$dir/B")
-    wNew.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/W")
+    val nulS = lit(null).cast(StringType)
+    val nulL = lit(null).cast(LongType)
+    aNew.select(lit("A").as("part"), col("k"), nulS.as("seg"),
+        col("cents").as("v1"), col("rows").as("v2"))
+      .unionByName(bNew.select(lit("B").as("part"), col("k"), col("seg"),
+        col("m").as("v1"), nulL.as("v2")))
+      .unionByName(wNew.select(lit("W").as("part"), nulL.as("k"),
+        col("seg"), col("revenue_cents").as("v1"), col("n_orders").as("v2")))
+      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(dir)
     prune(spark, path, keep = 2)
   }
 
@@ -181,17 +218,28 @@ object IncrementalJoinView {
           }: _*)
     }
 
-  private val aSchema = Seq(("k", LongType), ("cents", LongType),
-    ("rows", LongType))
-  private val bSchema = Seq(("k", LongType), ("seg", StringType),
-    ("m", LongType))
-  private val wSchema = Seq(("seg", StringType), ("revenue_cents", LongType),
-    ("n_orders", LongType))
+  // projection back out of the harmonized (part, k, seg, v1, v2) layout
+  private val aSchema = Seq("k" -> "k", "v1" -> "cents", "v2" -> "rows")
+  private val bSchema = Seq("k" -> "k", "seg" -> "seg", "v1" -> "m")
+  private val wSchema = Seq("seg" -> "seg", "v1" -> "revenue_cents",
+    "v2" -> "n_orders")
+
+  // explicit store schema: a legitimately EMPTY snapshot (every key
+  // deleted) has no parquet footer to infer from, and must still read
+  // back as an empty state rather than fail analysis
+  private val storeSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k", LongType),
+    org.apache.spark.sql.types.StructField("seg", StringType),
+    org.apache.spark.sql.types.StructField("v1", LongType),
+    org.apache.spark.sql.types.StructField("v2", LongType),
+    org.apache.spark.sql.types.StructField("part", StringType)))
 
   private def read(spark: SparkSession, p: Path, part: String,
-      schema: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame =
-    spark.read.parquet(s"$p/$part")
-      .select(schema.map { case (n, t) => col(n).cast(t) }: _*)
+      schema: Seq[(String, String)]): DataFrame =
+    spark.read.schema(storeSchema).parquet(p.toString)
+      // partition filter → only the part=<X> subdir is ever listed/read
+      .filter(col("part") === part)
+      .select(schema.map { case (f, n) => col(f).as(n) }: _*)
 
   /** The current view (highest fully-committed snapshot), if any. */
   def readView(spark: SparkSession, path: String): Option[DataFrame] =
@@ -204,9 +252,8 @@ object IncrementalJoinView {
     committed(spark, path).lastOption.map(p =>
       (read(spark, p._2, "A", aSchema), read(spark, p._2, "B", bSchema)))
 
-  /** Committed snapshot ids, ascending — a snapshot counts only when ALL
-    * THREE parts carry their `_SUCCESS` marker (the W write is last, so
-    * a crash mid-batch leaves no readable version). */
+  /** Committed snapshot ids, ascending — the single `_SUCCESS` of the
+    * unified partitioned write covers A, B and W atomically. */
   private def committed(spark: SparkSession, path: String): Seq[(Long, Path)] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -214,8 +261,7 @@ object IncrementalJoinView {
     else
       fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .filter(s => Seq("A", "B", "W").forall(part =>
-          fs.exists(new Path(s.getPath, s"$part/_SUCCESS"))))
+        .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
         .map(s => (s.getPath.getName.stripPrefix("batch=").toLong, s.getPath))
         .sortBy(_._1)
   }
