@@ -241,6 +241,32 @@ object IncrementalJoinView {
       .filter(col("part") === part)
       .select(schema.map { case (f, n) => col(f).as(n) }: _*)
 
+  /** Versioned-snapshot maintenance as a streaming sink over the RAW
+    * multi-topic stream (the production shape: one Kafka subscription
+    * carries both tables' envelopes; each micro-batch is split by topic
+    * and parsed under its table's registered schema before the delta
+    * apply). Same exactly-once/checkpoint contract as
+    * [[IncrementalView.maintain]]: the batchId sequence is the
+    * watermark, and a lost checkpoint restarts ids at 0, which
+    * [[applyBatch]] rejects against a non-empty view. */
+  def maintain(rawStream: DataFrame, path: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = rawStream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(
+          graft.sources.Debezium.parseEnvelope(
+            batch.filter(col("topic").endsWith(".orders")),
+            graft.sources.Debezium.ordersRowSchema),
+          graft.sources.Debezium.parseEnvelope(
+            batch.filter(col("topic").endsWith(".customers")),
+            graft.sources.Debezium.customerRowSchema),
+          batchId, path)
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+  }
+
   /** The current view (highest fully-committed snapshot), if any. */
   def readView(spark: SparkSession, path: String): Option[DataFrame] =
     committed(spark, path).lastOption.map(p => read(spark, p._2, "W", wSchema))

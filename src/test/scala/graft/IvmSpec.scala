@@ -297,6 +297,36 @@ class IvmSpec extends SparkSpec {
     assert(a.count() == 0 && b.count() == 0)
   }
 
+  test("join view: streaming maintain over the raw multi-topic stream equals the one-shot apply") {
+    import graft.streaming.IncrementalJoinView
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the production feed shape: ONE subscription carrying both tables'
+    // envelopes, split arbitrarily across micro-batches. (The orders
+    // fixture's %20 replay rides in the same batch as its original OR
+    // nets a zero fact-delta either way — status flips don't move the
+    // join key — so the arbitrary split cannot double-apply; feeds with
+    // cross-batch replays of measure-moving events compose the upstream
+    // stateful dedup operator first, as IncrementalView documents.)
+    val raw = CdcOps.synthOrdersChangelog(spark, sfDir)
+      .unionByName(CdcOps.synthCustomerDimChangelog(spark, sfDir))
+      .select("topic", "key", "value")
+      .as[(String, String, String)].collect()
+    val path = tmpDir()
+    val in = MemoryStream[(String, String, String)]
+    val q = IncrementalJoinView.maintain(
+      in.toDF().toDF("topic", "key", "value"), path, Some(tmpDir())).start()
+    try {
+      raw.grouped(raw.length / 2 + 1).foreach { c =>
+        in.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val ref = tmpDir()
+    IncrementalJoinView.applyBatch(parsed, parsedDim, 0L, ref)
+    assert(joinView(path).nonEmpty && joinView(path) == joinView(ref))
+  }
+
   test("duplicate deliveries within a batch fold once") {
     val path = tmpDir()
     // the fixture's update phase contains the %20 replay rows twice;
