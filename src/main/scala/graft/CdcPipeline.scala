@@ -82,9 +82,14 @@ final class CdcPipeline(config: CdcPipelineConfig,
     val schema = config.tables.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' not in include list ${config.tables.keySet}"))
-    // paused = consume nothing this window: limit 0 keeps the schema and
-    // costs no scan (Catalyst folds LocalLimit 0 to an empty relation)
-    val input = if (gate.exists(_.isPaused)) raw.limit(0) else raw
+    // paused = consume nothing this window: a literal-false filter keeps
+    // the schema, folds to an empty relation for batch plans
+    // (PruneFilters), and — unlike limit(0) — stays a LEGAL operator if
+    // the caller hands a streaming frame (Structured Streaming rejects
+    // limit in Update/Append modes at analysis)
+    val input =
+      if (gate.exists(_.isPaused))
+        raw.where(org.apache.spark.sql.functions.lit(false)) else raw
     val parsed = Debezium.parseEnvelope(input, schema)
     val un = CdcOps.unwrap(parsed)
     // capture-side include-list filter (postgresql-connector.yaml:39)

@@ -196,11 +196,19 @@ object ConnectRest {
       require(root != null && root.isArray,
         "restore document must be a JSON array of {name, config}")
       root.asScala.toSeq.flatMap { doc =>
-        val name = doc.get("name").asText()
-        val cfg = doc.get("config").properties().asScala
-          .map(e => e.getKey -> e.getValue.asText()).toMap
-        register(name, cfg).left.toOption.map {
-          case (code, reason) => name -> s"$code: $reason"
+        // a malformed entry is REPORTED, not thrown: a partially-corrupt
+        // backup should restore every healthy connector and name the bad
+        // documents, matching how the wire POST 400s one request
+        if (doc == null || !doc.hasNonNull("name")
+          || !doc.hasNonNull("config"))
+          Some(s"<entry ${doc}>".take(80) -> "400: not a {name, config} document")
+        else {
+          val name = doc.get("name").asText()
+          val cfg = doc.get("config").properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+          register(name, cfg).left.toOption.map {
+            case (code, reason) => name -> s"$code: $reason"
+          }
         }
       }
     }
@@ -321,12 +329,18 @@ object ConnectRest {
             entries.get(name) match {
               case Some(e2) =>
                 e2.state = if (action == "pause") "PAUSED" else "RUNNING"
-                // flip the DATA PLANE too: a paused connector stops
-                // emitting (Connect semantics), not just reporting PAUSED
-                e2.gate.set(action == "pause")
-                respond(ex, 202, "")
-              case None => error(ex, 404, s"Connector $name not found")
+                Some(e2.gate)
+              case None => None
             }
+          } match {
+            // flip the DATA PLANE too: a paused connector stops emitting
+            // (Connect semantics), not just reporting PAUSED. Listeners
+            // fire OUTSIDE the registry lock: an onChange hook may block
+            // (query.stop() joins the stream thread), and holding the
+            // monitor across that would stall every other REST call —
+            // or deadlock if the hook's thread touches the registry.
+            case Some(g) => g.set(action == "pause"); respond(ex, 202, "")
+            case None    => error(ex, 404, s"Connector $name not found")
           }
         case ("DELETE", Seq(name)) => entries.synchronized {
           if (entries.remove(name).isDefined) respond(ex, 204, "")

@@ -103,7 +103,14 @@ object Prometheus {
               m.group(1) -> m.group(2)
                 .replace("\\n", "\n").replace("\\\"", "\"")
                 .replace("\\\\", "\\")))
-          Some(Sample(name, labels.toMap, v.toDouble))
+          // exposition floats include Go's signed infinities (histogram
+          // +Inf buckets are ubiquitous); Scala's toDouble rejects them
+          val value = v match {
+            case "+Inf" | "Inf" => Double.PositiveInfinity
+            case "-Inf"         => Double.NegativeInfinity
+            case other          => other.toDouble
+          }
+          Some(Sample(name, labels.toMap, value))
         case _ => None
       }.toSeq
 }
