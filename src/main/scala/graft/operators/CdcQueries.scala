@@ -533,6 +533,36 @@ object CdcQueries extends QueryGroup {
       IncrementalView.readView(s, tmp).get.orderBy("o_orderstatus")
     }),
 
+    // IVM of MIN/MAX under deletes — the NON-distributive aggregate case:
+    // when the current minimum row is deleted (every %7 key, including
+    // some per-status minima), a min-of-deltas fold has already forgotten
+    // the runner-up; [[graft.streaming.IncrementalMinMax]] keeps each
+    // group's value multiset as signed counts, so the aggregate
+    // re-emerges from the surviving support. Same three op-sliced batches
+    // and shared deduped event table as cdc_ivm_view; oracle = the
+    // from-scratch min/max/count per status over the surviving rows.
+    "cdc_ivm_minmax" -> ((s, dir) => {
+      import graft.streaming.{IncrementalMinMax, IncrementalView}
+      val events = graft.BoundedDfCache.getOrPersist(
+        s, s"cdc:ivmevents:$dir")(
+        IncrementalView.eventsOf(CdcOps.parsedOrders(s, dir)))
+      val tmp = graft.TmpPaths.perProcess("graft-ivm-minmax", dir)
+      val root = new org.apache.hadoop.fs.Path(tmp)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(root)) fs.delete(root, true)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // state-width sizing
+      try {
+        IncrementalMinMax.applyBatchEvents(
+          events.filter(col("op").isin("c", "r")), 0L, tmp)
+        IncrementalMinMax.applyBatchEvents(
+          events.filter(col("op") === "u"), 1L, tmp)
+        IncrementalMinMax.applyBatchEvents(
+          events.filter(col("op") === "d"), 2L, tmp)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      IncrementalMinMax.readView(s, tmp).get.orderBy("o_orderstatus")
+    }),
+
     // IVM over a TWO-TABLE EQUI-JOIN view (the reference's "enriched
     // data" consumer): revenue + order count per customer segment,
     // maintained from the changelogs of BOTH tables through
@@ -864,6 +894,22 @@ object CdcQueries extends QueryGroup {
         |  FROM orders WHERE o_orderkey % 7 <> 0)
         |SELECT o_orderstatus,
         |  CAST(SUM(CAST(price * 100 AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  COUNT(*) AS n_orders
+        |FROM fin GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // min/max recompute over the surviving rows — deletes included, so a
+    // delta-fold min that forgot the runner-up would hash-mismatch here
+    "cdc_ivm_minmax" ->
+      """WITH fin AS (SELECT
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |      AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderstatus,
+        |  CAST(MIN(cents) AS BIGINT) AS min_cents,
+        |  CAST(MAX(cents) AS BIGINT) AS max_cents,
         |  COUNT(*) AS n_orders
         |FROM fin GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,

@@ -327,6 +327,43 @@ class IvmSpec extends SparkSpec {
     assert(joinView(path).nonEmpty && joinView(path) == joinView(ref))
   }
 
+  test("min/max view: a deleted minimum RECOVERS to the surviving runner-up") {
+    import graft.streaming.{IncrementalMinMax, IncrementalView}
+    import spark.implicits._
+    val path = tmpDir()
+    def env(json: String) =
+      IncrementalView.eventsOf(graft.sources.Debezium.parseEnvelope(
+        Seq(("t", "{}", json)).toDF("topic", "key", "value"),
+        graft.sources.Debezium.ordersRowSchema))
+    def oRow(k: Long, price: String) =
+      s"""{"o_orderkey":$k,"o_custkey":1,"o_orderstatus":"S","o_totalprice":"$price","o_orderdate_us":0,"o_orderpriority":"1"}"""
+    def wrap(before: String, after: String, op: String, lsn: Long) =
+      s"""{"before":$before,"after":$after,"source":{"lsn":$lsn,"table":"t","ts_ms":0},"op":"$op","ts_ms":0}"""
+    // batch 0: group S holds {100.00, 200.00} → min 10000
+    IncrementalMinMax.applyBatchEvents(
+      env(wrap("null", oRow(1, "100.00"), "c", 1L))
+        .unionByName(env(wrap("null", oRow(2, "200.00"), "c", 2L))),
+      0L, path)
+    def view() = IncrementalMinMax.readView(spark, path).get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(view() == Seq(("S", 10000L, 20000L, 2L)))
+    // batch 1: DELETE the minimum row — a min-of-deltas fold has already
+    // forgotten 20000; the multiset support has not
+    IncrementalMinMax.applyBatchEvents(
+      env(wrap(oRow(1, "100.00"), "null", "d", 3L)), 1L, path)
+    assert(view() == Seq(("S", 20000L, 20000L, 1L)))
+    // batch 2: delete the last row — the group leaves the view entirely
+    IncrementalMinMax.applyBatchEvents(
+      env(wrap(oRow(2, "200.00"), "null", "d", 4L)), 2L, path)
+    assert(view().isEmpty)
+    // replay of the committed delete batch is a no-op (recomputed from
+    // batch 1's snapshot, not double-applied)
+    IncrementalMinMax.applyBatchEvents(
+      env(wrap(oRow(2, "200.00"), "null", "d", 4L)), 2L, path)
+    assert(view().isEmpty)
+  }
+
   test("duplicate deliveries within a batch fold once") {
     val path = tmpDir()
     // the fixture's update phase contains the %20 replay rows twice;
