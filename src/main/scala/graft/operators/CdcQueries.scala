@@ -608,6 +608,40 @@ object CdcQueries extends QueryGroup {
       IncrementalJoinView.readView(s, tmp).get.orderBy("seg")
     }),
 
+    // the SAME join view maintained through the HASH-BUCKETED state
+    // layout ([[graft.streaming.BucketedJoinView]]) — the 100 TB storage
+    // path: a batch rewrites only the buckets its delta keys hash into
+    // (per-bucket `_applied` markers gate the non-idempotent additive
+    // merge on replay), and because A and B bucket on the same key hash,
+    // the bilinear-term probes read only touched buckets too. Same three
+    // op-sliced batches and shared event projections as
+    // cdc_ivm_join_view; oracle = the identical from-scratch recompute,
+    // so the gate checks the layout changed NOTHING about the algebra.
+    "cdc_ivm_join_bucketed" -> ((s, dir) => {
+      import graft.streaming.{BucketedJoinView, IncrementalJoinView}
+      val fe = graft.BoundedDfCache.getOrPersist(s, s"cdc:ivmjoin-fact:$dir")(
+        IncrementalJoinView.factEvents(CdcOps.parsedOrders(s, dir)))
+      val de = graft.BoundedDfCache.getOrPersist(s, s"cdc:ivmjoin-dim:$dir")(
+        IncrementalJoinView.dimEvents(CdcOps.parsedCustomerDim(s, dir)))
+      val tmp = graft.TmpPaths.perProcess("graft-ivm-join-bkt", dir)
+      val root = new org.apache.hadoop.fs.Path(tmp)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(root)) fs.delete(root, true)
+      def ops(df: org.apache.spark.sql.DataFrame, o: Seq[String]) =
+        df.filter(col("op").isin(o: _*))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        BucketedJoinView.applyBatchEvents(
+          ops(fe, Seq("c", "r")), ops(de, Seq("c")), 0L, tmp, 16)
+        BucketedJoinView.applyBatchEvents(
+          ops(fe, Seq("u")), ops(de, Seq("u")), 1L, tmp, 16)
+        BucketedJoinView.applyBatchEvents(
+          ops(fe, Seq("d")), ops(de, Seq("d")), 2L, tmp, 16)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      BucketedJoinView.readView(s, tmp).get.orderBy("seg")
+    }),
+
     // the DataSourceV2 connector path (§2.A source surface): the same
     // changelog, archived to Kafka-archive-shaped JSON-line files and read
     // back through spark.read.format("debezium-json") — a real
@@ -919,6 +953,24 @@ object CdcQueries extends QueryGroup {
     // touch the join key), aggregated by segment — the from-scratch twin
     // of the incrementally maintained view
     "cdc_ivm_join_view" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'MOVED' ELSE c_mktsegment END
+        |      AS seg
+        |  FROM customer WHERE c_custkey % 9 <> 0),
+        |ords AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+        |      AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT seg, CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+        |       COUNT(*) AS n_orders
+        |FROM ords JOIN cust ON o_custkey = c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    // identical recompute: the bucketed layout must change NOTHING about
+    // the maintained view's algebra
+    "cdc_ivm_join_bucketed" ->
       """WITH cust AS (
         |  SELECT c_custkey,
         |    CASE WHEN c_custkey % 4 = 0 THEN 'MOVED' ELSE c_mktsegment END

@@ -1,0 +1,294 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** [[IncrementalJoinView]] with HASH-BUCKETED key state — the storage
+  * layout its Scaladoc names as the 100 TB swap-out: instead of
+  * rewriting the whole key-cardinality A/B snapshot every micro-batch,
+  * state lives in `pmod(xxhash64(custkey), nBuckets)` hive partitions
+  * (the [[Sinks.upsertByKey]] layout) and a batch rewrites ONLY the
+  * buckets its delta keys hash into.
+  *
+  * The same bilinear merge algebra (Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB over
+  * signed integer measures) — only the state layout changes. Because A
+  * and B are bucketed BY THE SAME key hash, every per-batch read is
+  * bucket-pruned too, not just the writes:
+  *   - ΔA ⋈ B probes only B's buckets for ΔA's keys (same hash);
+  *   - A ⋈ ΔB probes only A's buckets for ΔB's keys;
+  *   - each state merge reads only its own touched buckets.
+  * Per-batch I/O is O(state in touched buckets) on both sides — the
+  * property that survives unbounded key growth; `nBuckets` scales with
+  * state size exactly like the reference sizes ES shards
+  * (values-prod.yaml:22-28) and Kafka partitions (prod-resources.yaml:94).
+  *
+  * Replay discipline — the additive merge is NOT idempotent (re-adding a
+  * delta double-counts), so exactly-once is enforced structurally:
+  *   1. W commits FIRST as a versioned `W/batch=<id>` snapshot computed
+  *      from the still-untouched pre-batch A/B (group-cardinality —
+  *      tiny, full rewrite is the cheap and atomic choice);
+  *   2. each staged A/B bucket carries an `_applied-<batchId>` marker
+  *      file that travels with the atomic directory rename;
+  *   3. a replayed batch (same batchId, same data — the Structured
+  *      Streaming foreachBatch contract) skips the committed W and
+  *      re-merges only buckets whose marker is still behind, each of
+  *      which is bit-wise pre-batch state (displace-then-publish rename
+  *      swap with trash recovery, as [[Sinks.upsertByKey]]).
+  * A crash at ANY point therefore resumes to the identical state: before
+  * the W commit nothing moved; after it, per-bucket markers say exactly
+  * which merges remain.
+  */
+object BucketedJoinView {
+
+  /** Apply one micro-batch of pre-deduped fact/dim event projections
+    * ([[IncrementalJoinView.factEvents]]/[[IncrementalJoinView.dimEvents]]
+    * — same op-sliced sharing contract as the snapshot form). */
+  def applyBatchEvents(factEv: DataFrame, dimEv: DataFrame,
+      batchId: Long, path: String, nBuckets: Int = 64): Unit = {
+    val spark = factEv.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    recoverCrashedSwap(fs, s"$path/A")
+    recoverCrashedSwap(fs, s"$path/B")
+    val wIds = committedW(fs, path)
+    require(wIds.isEmpty || batchId >= wIds.last,
+      s"batchId $batchId is behind committed W snapshot ${wIds.last} at " +
+        s"$path — resume with the original checkpoint or a new path")
+    val wCommitted = wIds.contains(batchId)
+
+    // each delta feeds the touched-bucket probe, two bilinear terms and
+    // its state merge — persist so dedup + groupBy run once per batch
+    val dA = IncrementalJoinView.factDeltaOfEvents(factEv)
+      .withColumn("_bucket", bucketOf(col("k"), nBuckets)).persist()
+    val dB = IncrementalJoinView.dimDeltaOfEvents(dimEv)
+      .withColumn("_bucket", bucketOf(col("k"), nBuckets)).persist()
+    try {
+      // the ONLY driver-side collects: bounded by nBuckets, never by data
+      val touchedA = touched(dA)
+      val touchedB = touched(dB)
+
+      if (!wCommitted) {
+        // W from the PRE-batch states (all markers < batchId here — a
+        // crash can only have happened before any bucket advanced,
+        // because W commits first). Bucket-pruned probes: ΔA's join
+        // partners in B live in ΔA's buckets of B (same key hash), and
+        // symmetrically for A ⋈ ΔB.
+        val bProbe = readBuckets(spark, fs, s"$path/B", bSchema, touchedA)
+        val aProbe = readBuckets(spark, fs, s"$path/A", aSchema, touchedB)
+        val dW = term(dA, bProbe.select(col("k"), col("seg"),
+            col("m").as("d_m")))
+          .unionByName(term(aProbe.select(col("k"), col("cents").as("d_cents"),
+            col("rows").as("d_rows")), dB))
+          .unionByName(term(dA, dB))
+          .groupBy("seg")
+          .agg(sum("c").as("d_cents"), sum("r").as("d_rows"))
+        val wPrev = readW(spark, fs, path, before = batchId)
+        val wNew = merge(wPrev, dW, Seq("seg"),
+          Seq("revenue_cents" -> "d_cents", "n_orders" -> "d_rows"))
+          .filter(col("revenue_cents") =!= 0L || col("n_orders") =!= 0L)
+        wNew.write.mode(SaveMode.Overwrite)
+          .parquet(s"$path/W/batch=$batchId")
+        pruneW(fs, path, keep = 2)
+      }
+
+      // state merges: only buckets whose marker is still behind batchId
+      // (on the normal path, all touched buckets; on replay, the ones the
+      // crash left pre-batch)
+      mergeBuckets(spark, fs, s"$path/A", aSchema,
+        dA.select(col("k"), col("d_cents"), col("d_rows"), col("_bucket")),
+        Seq("k"), Seq("cents" -> "d_cents", "rows" -> "d_rows"),
+        col("cents") =!= 0L || col("rows") =!= 0L, touchedA, batchId, nBuckets)
+      mergeBuckets(spark, fs, s"$path/B", bSchema,
+        dB.select(col("k"), col("seg"), col("d_m"), col("_bucket")),
+        Seq("k", "seg"), Seq("m" -> "d_m"),
+        col("m") =!= 0L, touchedB, batchId, nBuckets)
+    } finally { dA.unpersist(false); dB.unpersist(false) }
+  }
+
+  /** Merge one side's delta into its touched buckets: read only those
+    * buckets, outer-merge, stage one file per bucket, swap atomically
+    * with per-bucket `_applied` markers. */
+  private def mergeBuckets(spark: SparkSession, fs: FileSystem,
+      root: String, schema: StructType, delta: DataFrame, keys: Seq[String],
+      cols: Seq[(String, String)],
+      live: org.apache.spark.sql.Column,
+      touchedBuckets: Seq[Int], batchId: Long, nBuckets: Int): Unit = {
+    // replay filter: a bucket whose marker already reached batchId was
+    // committed by the crashed attempt — its merge must not re-run
+    val toApply = touchedBuckets.filter { b =>
+      val id = appliedId(fs, new Path(root, s"_bucket=$b"))
+      require(id <= batchId,
+        s"bucket $root/_bucket=$b is at $id, ahead of replayed $batchId")
+      id < batchId
+    }
+    if (toApply.isEmpty) return
+    val prev = readBuckets(spark, fs, root, schema, toApply)
+    val d = delta.filter(col("_bucket").isin(toApply.map(Int.box): _*))
+    // recompute the bucket from the key (the hash is stable) rather than
+    // thread it through the outer merge's null-padding; one staged file
+    // per bucket (hash-colocate THEN partitionBy — the Sinks layout)
+    val out = merge(Some(prev), d.drop("_bucket"), keys, cols)
+      .filter(live)
+      .withColumn("_bucket", bucketOf(col(keys.head), nBuckets))
+    val stage = new Path(root + s".stage-$batchId")
+    out.repartition(col("_bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+      .parquet(stage.toString)
+    publish(fs, root, stage, toApply, batchId)
+  }
+
+  // -- helpers ---------------------------------------------------------
+
+  private def term(aSide: DataFrame, bSide: DataFrame): DataFrame =
+    aSide.join(bSide, "k").select(col("seg"),
+      (col("d_cents") * col("d_m")).as("c"),
+      (col("d_rows") * col("d_m")).as("r"))
+
+  private def merge(prev: Option[DataFrame], delta: DataFrame,
+      keys: Seq[String], cols: Seq[(String, String)]): DataFrame =
+    prev match {
+      case None =>
+        delta.select(keys.map(col) ++
+          cols.map { case (o, d) => col(d).as(o) }: _*)
+      case Some(p) =>
+        p.join(delta, keys, "full")
+          .select(keys.map(col) ++ cols.map { case (o, d) =>
+            (coalesce(col(o), lit(0L)) + coalesce(col(d), lit(0L))).as(o)
+          }: _*)
+    }
+
+  private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
+
+  private def touched(delta: DataFrame): Seq[Int] =
+    delta.select("_bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  private val aSchema = StructType(Seq(
+    StructField("k", LongType), StructField("cents", LongType),
+    StructField("rows", LongType)))
+  private val bSchema = StructType(Seq(
+    StructField("k", LongType), StructField("seg", StringType),
+    StructField("m", LongType)))
+
+  /** Read only the named buckets of one state root (empty frame when the
+    * root or every named bucket is absent — the first-batch case). */
+  private def readBuckets(spark: SparkSession, fs: FileSystem, root: String,
+      schema: StructType, buckets: Seq[Int]): DataFrame = {
+    val dirs = buckets.map(b => new Path(root, s"_bucket=$b"))
+      .filter(fs.exists)
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+  }
+
+  private def readW(spark: SparkSession, fs: FileSystem, path: String,
+      before: Long): Option[DataFrame] =
+    committedW(fs, path).filter(_ < before).lastOption.map { id =>
+      spark.read.schema(StructType(Seq(
+          StructField("seg", StringType),
+          StructField("revenue_cents", LongType),
+          StructField("n_orders", LongType))))
+        .parquet(s"$path/W/batch=$id")
+    }
+
+  private def committedW(fs: FileSystem, path: String): Seq[Long] = {
+    val root = new Path(s"$path/W")
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+  }
+
+  private def pruneW(fs: FileSystem, path: String, keep: Int): Unit = {
+    val ids = committedW(fs, path)
+    ids.dropRight(keep).foreach(id =>
+      fs.delete(new Path(s"$path/W/batch=$id"), true))
+  }
+
+  /** Last batchId applied to a bucket (−1 when the bucket is absent). */
+  private def appliedId(fs: FileSystem, bucketDir: Path): Long =
+    if (!fs.exists(bucketDir)) -1L
+    else {
+      val ms = fs.listStatus(bucketDir)
+        .map(_.getPath.getName).filter(_.startsWith("_applied-"))
+      if (ms.isEmpty) -1L else ms.map(_.stripPrefix("_applied-").toLong).max
+    }
+
+  /** Displace-then-publish per-bucket swap with `_applied` markers (the
+    * [[Sinks.upsertByKey]] commit, plus markers for additive replay
+    * safety). An all-keys-cancelled bucket still publishes: its staged
+    * dir is created empty so the marker survives. */
+  private def publish(fs: FileSystem, root: String, stage: Path,
+      buckets: Seq[Int], batchId: Long): Unit = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
+    val trash = new Path(root + s".trash-$batchId")
+    fs.mkdirs(trash)
+    for (b <- buckets) {
+      val staged = new Path(stage, s"_bucket=$b")
+      if (!fs.exists(staged)) fs.mkdirs(staged) // zero-row bucket
+      // marker travels with the rename — commit and marker are atomic
+      fs.create(new Path(staged, s"_applied-$batchId"), true).close()
+      val live = new Path(rootPath, s"_bucket=$b")
+      if (fs.exists(live) && !fs.rename(live, new Path(trash, s"_bucket=$b")))
+        throw new java.io.IOException(s"ivm commit: cannot displace $live")
+      if (!fs.rename(staged, live))
+        throw new java.io.IOException(s"ivm commit: cannot publish $staged")
+    }
+    fs.delete(trash, true)
+    fs.delete(stage, true)
+  }
+
+  /** Same crash-recovery contract as [[Sinks.upsertByKey]]: a trash
+    * bucket with no live twin was displaced but never replaced — restore
+    * it (its marker still reads pre-batch, so the replay re-merges it);
+    * one WITH a live twin was already replaced — drop the trash copy.
+    * Stage leftovers are rebuilt by the replay. */
+  private def recoverCrashedSwap(fs: FileSystem, root: String): Unit = {
+    val trashes = fs.globStatus(new Path(root + ".trash-*"))
+    if (trashes != null) trashes.foreach { t =>
+      fs.listStatus(t.getPath).foreach { b =>
+        val live = new Path(root, b.getPath.getName)
+        if (!fs.exists(live) && !fs.rename(b.getPath, live))
+          throw new java.io.IOException(
+            s"ivm recovery: cannot restore ${b.getPath}")
+      }
+      fs.delete(t.getPath, true)
+    }
+    val stale = fs.globStatus(new Path(root + ".stage-*"))
+    if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
+  }
+
+  /** The current view (highest committed W snapshot), if any. */
+  def readView(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    committedW(fs, path).lastOption.map(id =>
+      spark.read.schema(StructType(Seq(
+          StructField("seg", StringType),
+          StructField("revenue_cents", LongType),
+          StructField("n_orders", LongType))))
+        .parquet(s"$path/W/batch=$id"))
+  }
+
+  /** Current A/B states (all buckets) — for the spec's invariant check. */
+  def readStates(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    def all(root: String, schema: StructType): DataFrame = {
+      val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(new Path(root)))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        val dirs = fs.listStatus(new Path(root))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bucket="))
+          .map(_.getPath.toString)
+        if (dirs.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(dirs.toIndexedSeq: _*)
+      }
+    }
+    (all(s"$path/A", aSchema), all(s"$path/B", bSchema))
+  }
+}

@@ -150,8 +150,12 @@ object IncrementalJoinView {
     val aPrev = prev.map(p => read(spark, p._2, "A", aSchema))
     val bPrev = prev.map(p => read(spark, p._2, "B", bSchema))
     val wPrev = prev.map(p => read(spark, p._2, "W", wSchema))
-    val dA = factDeltaOfEvents(factEv)
-    val dB = dimDeltaOfEvents(dimEv)
+    // each delta feeds THREE consumers inside the one commit action (two
+    // bilinear terms + its state merge); persist so the dedup + groupBy
+    // pipeline behind it runs once per batch, not once per consumer
+    val dA = factDeltaOfEvents(factEv).persist()
+    val dB = dimDeltaOfEvents(dimEv).persist()
+    try {
 
     // the three bilinear terms, each a signed (seg, cents, rows) stream;
     // deltas are batch-sized — Spark broadcasts them against the
@@ -201,6 +205,7 @@ object IncrementalJoinView {
         col("seg"), col("revenue_cents").as("v1"), col("n_orders").as("v2")))
       .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(dir)
     prune(spark, path, keep = 2)
+    } finally { dA.unpersist(false); dB.unpersist(false) }
   }
 
   /** Additive outer merge `prev ⊎ delta` on `keys`; `cols` maps each

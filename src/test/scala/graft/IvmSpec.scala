@@ -327,6 +327,142 @@ class IvmSpec extends SparkSpec {
     assert(joinView(path).nonEmpty && joinView(path) == joinView(ref))
   }
 
+  // ---- bucketed join-view state (BucketedJoinView) ----
+
+  private def applyBucketedPhases(path: String, nBuckets: Int): Unit = {
+    import graft.streaming.{BucketedJoinView, IncrementalJoinView}
+    def ops(df: DataFrame, o: Seq[String]) =
+      df.filter(col("op").isin(o: _*))
+    val fe = IncrementalJoinView.factEvents(parsed)
+    val de = IncrementalJoinView.dimEvents(parsedDim)
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("c", "r")), ops(de, Seq("c")), 0L, path, nBuckets)
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("u")), ops(de, Seq("u")), 1L, path, nBuckets)
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("d")), ops(de, Seq("d")), 2L, path, nBuckets)
+  }
+
+  private def bucketedView(path: String): Seq[(String, Long, Long)] =
+    graft.streaming.BucketedJoinView.readView(spark, path).get
+      .orderBy("seg").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  test("bucketed join view: equals the snapshot-store view, and W equals Agg(A ⋈ B)") {
+    val path = tmpDir()
+    applyBucketedPhases(path, nBuckets = 16)
+    val ref = tmpDir()
+    applyJoinPhases(ref)
+    assert(bucketedView(path).nonEmpty && bucketedView(path) == joinView(ref))
+    // same layout-independence invariant as the snapshot store: the
+    // maintained W is exactly the aggregate of the committed A ⋈ B
+    val (a, b) = graft.streaming.BucketedJoinView.readStates(spark, path)
+    val expect = a.join(b, "k").groupBy("seg")
+      .agg(sum(col("cents") * col("m")).as("revenue_cents"),
+        sum(col("rows") * col("m")).as("n_orders"))
+      .filter(col("revenue_cents") =!= 0L || col("n_orders") =!= 0L)
+      .orderBy("seg").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(bucketedView(path) == expect)
+  }
+
+  test("bucketed join view: a batch rewrites ONLY the buckets its delta keys hash into") {
+    import graft.streaming.{BucketedJoinView, IncrementalJoinView}
+    import spark.implicits._
+    val nBuckets = 16
+    val path = tmpDir()
+    applyBucketedPhases(path, nBuckets)
+    def listing(root: String): Map[String, Seq[(String, Long, Long)]] = {
+      val d = new java.io.File(root)
+      d.listFiles().filter(_.getName.startsWith("_bucket="))
+        .map(b => b.getName -> b.listFiles().toSeq
+          .map(f => (f.getName, f.length, f.lastModified))
+          .sortBy(_._1)).toMap
+    }
+    val aBefore = listing(s"$path/A")
+    val bBefore = listing(s"$path/B")
+    assert(aBefore.size == nBuckets) // sf corpus keys populate every bucket
+    def aState77(): Seq[(Long, Long)] =
+      graft.streaming.BucketedJoinView.readStates(spark, path)._1
+        .filter(col("k") === 77L).collect().toSeq
+        .map(r => (r.getLong(1), r.getLong(2)))
+    val state77Before = aState77()
+    // batch 3: ONE order update for one custkey — a single fact bucket is
+    // dirty, and the dim side has no delta at all
+    def env(json: String) = graft.sources.Debezium.parseEnvelope(
+      Seq(("t", "{}", json)).toDF("topic", "key", "value"),
+      graft.sources.Debezium.ordersRowSchema)
+    val before = """{"o_orderkey":900001,"o_custkey":77,"o_orderstatus":"O","o_totalprice":"10.00","o_orderdate_us":0,"o_orderpriority":"1"}"""
+    val after = """{"o_orderkey":900001,"o_custkey":77,"o_orderstatus":"O","o_totalprice":"25.00","o_orderdate_us":0,"o_orderpriority":"1"}"""
+    val fe = IncrementalJoinView.factEvents(env(
+      s"""{"before":$before,"after":$after,"source":{"lsn":999901,"table":"t","ts_ms":0},"op":"u","ts_ms":0}"""))
+    val de = IncrementalJoinView.dimEvents(
+      graft.sources.Debezium.parseEnvelope(
+        Seq.empty[(String, String, String)].toDF("topic", "key", "value"),
+        graft.sources.Debezium.customerRowSchema))
+    BucketedJoinView.applyBatchEvents(fe, de, 3L, path, nBuckets)
+    val aAfter = listing(s"$path/A")
+    val dirtyA = aBefore.keySet.filter(k => aAfter.get(k) != aBefore.get(k))
+    // exactly one fact bucket rewritten; the dim state is untouched
+    assert(dirtyA.size == 1, s"expected 1 dirty A bucket, got $dirtyA")
+    assert(listing(s"$path/B") == bBefore)
+    // and the dirty write was real: custkey 77's partial aggregate moved
+    // by exactly the update's +15.00 (1500 cents), same row count
+    val state77After = aState77()
+    val beforeCents = state77Before.map(_._1).sum
+    val beforeRows = state77Before.map(_._2).sum
+    assert(aState77() == Seq((beforeCents + 1500L, beforeRows)) ||
+      (state77Before.isEmpty && state77After == Seq((1500L, 0L))))
+  }
+
+  test("bucketed join view: replaying a committed batch is a no-op (markers gate the additive merge)") {
+    import graft.streaming.{BucketedJoinView, IncrementalJoinView}
+    val path = tmpDir()
+    applyBucketedPhases(path, nBuckets = 16)
+    val before = bucketedView(path)
+    def ops(df: DataFrame, o: Seq[String]) =
+      df.filter(col("op").isin(o: _*))
+    BucketedJoinView.applyBatchEvents(
+      ops(IncrementalJoinView.factEvents(parsed), Seq("d")),
+      ops(IncrementalJoinView.dimEvents(parsedDim), Seq("d")),
+      2L, path, 16)
+    assert(bucketedView(path) == before)
+  }
+
+  test("bucketed join view: same-batch order+customer deletes cancel to an EMPTY state, and replay stays empty") {
+    import graft.streaming.{BucketedJoinView, IncrementalJoinView}
+    import spark.implicits._
+    val path = tmpDir()
+    def env(json: String) =
+      graft.sources.Debezium.parseEnvelope(
+        Seq(("t", "{}", json)).toDF("topic", "key", "value"),
+        if (json.contains("c_custkey")) graft.sources.Debezium.customerRowSchema
+        else graft.sources.Debezium.ordersRowSchema)
+    val oRow = """{"o_orderkey":1,"o_custkey":7,"o_orderstatus":"O","o_totalprice":"100.00","o_orderdate_us":0,"o_orderpriority":"1-URGENT"}"""
+    val cRow = """{"c_custkey":7,"c_name":"n","c_nationkey":1,"c_acctbal":"0.00","c_mktsegment":"S"}"""
+    def wrap(before: String, after: String, op: String, lsn: Long) =
+      s"""{"before":$before,"after":$after,"source":{"lsn":$lsn,"table":"t","ts_ms":0},"op":"$op","ts_ms":0}"""
+    def fe(j: String) = IncrementalJoinView.factEvents(env(j))
+    def de(j: String) = IncrementalJoinView.dimEvents(env(j))
+    BucketedJoinView.applyBatchEvents(
+      fe(wrap("null", oRow, "c", 1L)), de(wrap("null", cRow, "c", 2L)),
+      0L, path, 4)
+    assert(bucketedView(path) == Seq(("S", 10000L, 1L)))
+    BucketedJoinView.applyBatchEvents(
+      fe(wrap(oRow, "null", "d", 3L)), de(wrap(cRow, "null", "d", 4L)),
+      1L, path, 4)
+    // cross term: removed exactly once — empty, not negative; the
+    // all-cancelled buckets still committed (marker present, zero rows)
+    assert(bucketedView(path).isEmpty)
+    val (a, b) = BucketedJoinView.readStates(spark, path)
+    assert(a.count() == 0 && b.count() == 0)
+    // replay of the delete batch: markers say applied — still empty
+    BucketedJoinView.applyBatchEvents(
+      fe(wrap(oRow, "null", "d", 3L)), de(wrap(cRow, "null", "d", 4L)),
+      1L, path, 4)
+    assert(bucketedView(path).isEmpty)
+  }
+
   test("min/max view: a deleted minimum RECOVERS to the surviving runner-up") {
     import graft.streaming.{IncrementalMinMax, IncrementalView}
     import spark.implicits._
