@@ -633,11 +633,11 @@ object CdcQueries extends QueryGroup {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         BucketedJoinView.applyBatchEvents(
-          ops(fe, Seq("c", "r")), ops(de, Seq("c")), 0L, tmp, 16)
+          ops(fe, Seq("c", "r")), ops(de, Seq("c")), 0L, tmp, 8)
         BucketedJoinView.applyBatchEvents(
-          ops(fe, Seq("u")), ops(de, Seq("u")), 1L, tmp, 16)
+          ops(fe, Seq("u")), ops(de, Seq("u")), 1L, tmp, 8)
         BucketedJoinView.applyBatchEvents(
-          ops(fe, Seq("d")), ops(de, Seq("d")), 2L, tmp, 16)
+          ops(fe, Seq("d")), ops(de, Seq("d")), 2L, tmp, 8)
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       BucketedJoinView.readView(s, tmp).get.orderBy("seg")
     }),

@@ -63,22 +63,34 @@ object BucketedJoinView {
       .withColumn("_bucket", bucketOf(col("k"), nBuckets)).persist()
     val dB = IncrementalJoinView.dimDeltaOfEvents(dimEv)
       .withColumn("_bucket", bucketOf(col("k"), nBuckets)).persist()
+    // ONE bucket-pruned read per side per batch, shared by the bilinear
+    // probe and the state merge (each multi-dir read pays a driver
+    // listing — reading a side twice doubled it). The union of probe +
+    // merge buckets is read: ΔA's join partners in B live in ΔA's
+    // buckets OF B (same key hash), and symmetrically for A ⋈ ΔB, so
+    // per-batch read I/O stays O(state in touched buckets).
+    var cached = List.empty[DataFrame]
     try {
       // the ONLY driver-side collects: bounded by nBuckets, never by data
       val touchedA = touched(dA)
       val touchedB = touched(dB)
+      val touchedAll = (touchedA ++ touchedB).distinct
+      def prevSide(root: String, schema: StructType): DataFrame = {
+        val df = readBuckets(spark, fs, root, schema, touchedAll)
+          .withColumn("_bucket", bucketOf(col("k"), nBuckets)).persist()
+        cached ::= df
+        df
+      }
+      val aPrev = prevSide(s"$path/A", aSchema)
+      val bPrev = prevSide(s"$path/B", bSchema)
 
       if (!wCommitted) {
         // W from the PRE-batch states (all markers < batchId here — a
         // crash can only have happened before any bucket advanced,
-        // because W commits first). Bucket-pruned probes: ΔA's join
-        // partners in B live in ΔA's buckets of B (same key hash), and
-        // symmetrically for A ⋈ ΔB.
-        val bProbe = readBuckets(spark, fs, s"$path/B", bSchema, touchedA)
-        val aProbe = readBuckets(spark, fs, s"$path/A", aSchema, touchedB)
-        val dW = term(dA, bProbe.select(col("k"), col("seg"),
+        // because W commits first)
+        val dW = term(dA, bPrev.select(col("k"), col("seg"),
             col("m").as("d_m")))
-          .unionByName(term(aProbe.select(col("k"), col("cents").as("d_cents"),
+          .unionByName(term(aPrev.select(col("k"), col("cents").as("d_cents"),
             col("rows").as("d_rows")), dB))
           .unionByName(term(dA, dB))
           .groupBy("seg")
@@ -94,23 +106,36 @@ object BucketedJoinView {
 
       // state merges: only buckets whose marker is still behind batchId
       // (on the normal path, all touched buckets; on replay, the ones the
-      // crash left pre-batch)
-      mergeBuckets(spark, fs, s"$path/A", aSchema,
+      // crash left pre-batch). The two sides are independent — run their
+      // commit actions concurrently so the scheduler overlaps them (W is
+      // already committed above, so the crash protocol is unaffected by
+      // either side finishing first)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fA = Future(mergeBuckets(spark, fs, s"$path/A", aPrev,
         dA.select(col("k"), col("d_cents"), col("d_rows"), col("_bucket")),
         Seq("k"), Seq("cents" -> "d_cents", "rows" -> "d_rows"),
-        col("cents") =!= 0L || col("rows") =!= 0L, touchedA, batchId, nBuckets)
-      mergeBuckets(spark, fs, s"$path/B", bSchema,
+        col("cents") =!= 0L || col("rows") =!= 0L, touchedA, batchId, nBuckets))
+      val fB = Future(mergeBuckets(spark, fs, s"$path/B", bPrev,
         dB.select(col("k"), col("seg"), col("d_m"), col("_bucket")),
         Seq("k", "seg"), Seq("m" -> "d_m"),
-        col("m") =!= 0L, touchedB, batchId, nBuckets)
-    } finally { dA.unpersist(false); dB.unpersist(false) }
+        col("m") =!= 0L, touchedB, batchId, nBuckets))
+      Await.result(fA, Duration.Inf)
+      Await.result(fB, Duration.Inf)
+    } finally {
+      dA.unpersist(false); dB.unpersist(false)
+      cached.foreach(_.unpersist(false))
+    }
   }
 
-  /** Merge one side's delta into its touched buckets: read only those
-    * buckets, outer-merge, stage one file per bucket, swap atomically
-    * with per-bucket `_applied` markers. */
+  /** Merge one side's delta into its touched buckets: outer-merge the
+    * pre-read bucket state, stage one file per bucket, swap atomically
+    * with per-bucket `_applied` markers. On replay, `prevAll` may contain
+    * post-batch buckets — they are excluded from `toApply`, and the rows
+    * feeding the merge are filtered to the pre-batch buckets only. */
   private def mergeBuckets(spark: SparkSession, fs: FileSystem,
-      root: String, schema: StructType, delta: DataFrame, keys: Seq[String],
+      root: String, prevAll: DataFrame, delta: DataFrame, keys: Seq[String],
       cols: Seq[(String, String)],
       live: org.apache.spark.sql.Column,
       touchedBuckets: Seq[Int], batchId: Long, nBuckets: Int): Unit = {
@@ -123,12 +148,13 @@ object BucketedJoinView {
       id < batchId
     }
     if (toApply.isEmpty) return
-    val prev = readBuckets(spark, fs, root, schema, toApply)
-    val d = delta.filter(col("_bucket").isin(toApply.map(Int.box): _*))
+    def inApply(df: DataFrame) =
+      df.filter(col("_bucket").isin(toApply.map(Int.box): _*))
     // recompute the bucket from the key (the hash is stable) rather than
     // thread it through the outer merge's null-padding; one staged file
     // per bucket (hash-colocate THEN partitionBy — the Sinks layout)
-    val out = merge(Some(prev), d.drop("_bucket"), keys, cols)
+    val out = merge(Some(inApply(prevAll).drop("_bucket")),
+        inApply(delta).drop("_bucket"), keys, cols)
       .filter(live)
       .withColumn("_bucket", bucketOf(col(keys.head), nBuckets))
     val stage = new Path(root + s".stage-$batchId")
