@@ -288,6 +288,31 @@ object BucketedJoinView {
     if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
   }
 
+  /** Versioned-maintenance as a streaming sink over the RAW multi-topic
+    * stream — the [[IncrementalJoinView.maintain]] contract (one Kafka
+    * subscription carries both tables' envelopes; each micro-batch splits
+    * by topic, parses under its table's schema, and delta-applies), with
+    * the dirty-bucket store underneath. The foreachBatch batchId sequence
+    * plus the per-bucket `_applied` markers make crash replays
+    * exactly-once (see [[applyBatchEvents]]). */
+  def maintain(rawStream: DataFrame, path: String,
+      checkpoint: Option[String] = None, nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val w = rawStream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchEvents(
+          IncrementalJoinView.factEvents(graft.sources.Debezium.parseEnvelope(
+            batch.filter(col("topic").endsWith(".orders")),
+            graft.sources.Debezium.ordersRowSchema)),
+          IncrementalJoinView.dimEvents(graft.sources.Debezium.parseEnvelope(
+            batch.filter(col("topic").endsWith(".customers")),
+            graft.sources.Debezium.customerRowSchema)),
+          batchId, path, nBuckets)
+      }
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+  }
+
   /** The current view (highest committed W snapshot), if any. */
   def readView(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())

@@ -463,6 +463,30 @@ class IvmSpec extends SparkSpec {
     assert(bucketedView(path).isEmpty)
   }
 
+  test("bucketed join view: streaming maintain over the raw multi-topic stream equals the one-shot apply") {
+    import graft.streaming.{BucketedJoinView, IncrementalJoinView}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val raw = CdcOps.synthOrdersChangelog(spark, sfDir)
+      .unionByName(CdcOps.synthCustomerDimChangelog(spark, sfDir))
+      .select("topic", "key", "value")
+      .as[(String, String, String)].collect()
+    val path = tmpDir()
+    val in = MemoryStream[(String, String, String)]
+    val q = BucketedJoinView.maintain(
+      in.toDF().toDF("topic", "key", "value"), path, Some(tmpDir()),
+      nBuckets = 8).start()
+    try {
+      raw.grouped(raw.length / 2 + 1).foreach { c =>
+        in.addData(c.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val ref = tmpDir()
+    IncrementalJoinView.applyBatch(parsed, parsedDim, 0L, ref)
+    assert(bucketedView(path).nonEmpty && bucketedView(path) == joinView(ref))
+  }
+
   test("min/max view: a deleted minimum RECOVERS to the surviving runner-up") {
     import graft.streaming.{IncrementalMinMax, IncrementalView}
     import spark.implicits._
