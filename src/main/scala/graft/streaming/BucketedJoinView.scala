@@ -71,9 +71,16 @@ object BucketedJoinView {
     // per-batch read I/O stays O(state in touched buckets).
     var cached = List.empty[DataFrame]
     try {
-      // the ONLY driver-side collects: bounded by nBuckets, never by data
-      val touchedA = touched(dA)
-      val touchedB = touched(dB)
+      // the ONLY driver-side collect: bounded by 2·nBuckets, never by
+      // data — one action probes both sides' touched buckets AND
+      // materializes both persisted deltas
+      val sides = dA.select(lit("A").as("s"), col("_bucket"))
+        .unionByName(dB.select(lit("B").as("s"), col("_bucket")))
+        .distinct().collect()
+        .groupBy(_.getString(0))
+        .map { case (s, rs) => s -> rs.map(_.getInt(1)).toSeq.sorted }
+      val touchedA = sides.getOrElse("A", Seq.empty)
+      val touchedB = sides.getOrElse("B", Seq.empty)
       val touchedAll = (touchedA ++ touchedB).distinct
       def prevSide(root: String, schema: StructType): DataFrame = {
         val df = readBuckets(spark, fs, root, schema, touchedAll)
@@ -186,9 +193,6 @@ object BucketedJoinView {
 
   private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
-
-  private def touched(delta: DataFrame): Seq[Int] =
-    delta.select("_bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
 
   private val aSchema = StructType(Seq(
     StructField("k", LongType), StructField("cents", LongType),
