@@ -41,6 +41,13 @@ private[graft] object BoundedDfCache {
           entries.remove(k)
         }
         val t0 = System.nanoTime()
+        // deserialized MEMORY_AND_DISK (the default), measured against
+        // MEMORY_AND_DISK_SER on the full suite: SER cost ~10% of total
+        // bench time in decode on every cached read. The resident set
+        // fits the sweep protocol's heap (SPARK_DRIVER_MEM=48g at sf1 —
+        // an 8g default-heap sweep OOMs in the cdc_* family, see the
+        // verify skill's gotcha); at production scale this seam is a
+        // parquet-materialized stage on disk, not an executor cache.
         val df = build.persist()
         // materialize NOW: persist() alone is lazy, so without this the
         // build would run inside the first consumer's action and the

@@ -21,6 +21,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    writeOracleJson(outDir)
     val errDir = Paths.get(s"$outDir/_errors")
     // sorted name order (not HashMap order): stable execution order keeps
     // _errors diffs and per-query logs comparable across rounds
@@ -47,6 +48,14 @@ object Verify {
         }
       }
       }
+    spark.stop()
+  }
+
+  /** Written BEFORE the query loop: the oracle map is static, and writing
+    * it up front means a crash mid-run (e.g. an sf1 OOM) can never leave
+    * a PREVIOUS run's json sitting next to a fresh partial dump — exactly
+    * the stale-attribution trap a reused out-dir once produced. */
+  private def writeOracleJson(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -62,6 +71,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
