@@ -463,6 +463,80 @@ class IvmSpec extends SparkSpec {
     assert(bucketedView(path).isEmpty)
   }
 
+  test("bucketed join view: crash mid-swap (bucket displaced, not republished) recovers to the clean result") {
+    import graft.streaming.{BucketedJoinView, IncrementalJoinView}
+    val nBuckets = 8
+    def ops(df: DataFrame, o: Seq[String]) =
+      df.filter(col("op").isin(o: _*))
+    val fe = IncrementalJoinView.factEvents(parsed)
+    val de = IncrementalJoinView.dimEvents(parsedDim)
+    // clean reference: batches 0 and 1 applied normally
+    val ref = tmpDir()
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("c", "r")), ops(de, Seq("c")), 0L, ref, nBuckets)
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("u")), ops(de, Seq("u")), 1L, ref, nBuckets)
+    // crashed run: batch 0 committed, then batch 1 "crashed" after
+    // displacing one A bucket to trash but before publishing its staged
+    // replacement (the displace-then-publish window) — and with W for
+    // batch 1 NOT yet committed, i.e. the crash also lost the W write
+    // ordering guard's precondition is intact (no bucket ADVANCED)
+    val path = tmpDir()
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("c", "r")), ops(de, Seq("c")), 0L, path, nBuckets)
+    val live = new java.io.File(s"$path/A/_bucket=3")
+    val trash = new java.io.File(s"$path/A.trash-1/_bucket=3")
+    assert(live.isDirectory)
+    assert(trash.getParentFile.mkdirs() && live.renameTo(trash))
+    // stage leftovers from the crashed attempt must also be swept
+    assert(new java.io.File(s"$path/A.stage-1/_bucket=5").mkdirs())
+    // replay of batch 1 (same data, the foreachBatch contract)
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("u")), ops(de, Seq("u")), 1L, path, nBuckets)
+    assert(bucketedView(path).nonEmpty && bucketedView(path) == bucketedView(ref))
+    assert(!new java.io.File(s"$path/A.trash-1").exists)
+    assert(!new java.io.File(s"$path/A.stage-1").exists)
+  }
+
+  test("bucketed join view: crash after the W commit but before the merges replays to the clean result") {
+    import graft.streaming.{BucketedJoinView, IncrementalJoinView}
+    val nBuckets = 8
+    def ops(df: DataFrame, o: Seq[String]) =
+      df.filter(col("op").isin(o: _*))
+    val fe = IncrementalJoinView.factEvents(parsed)
+    val de = IncrementalJoinView.dimEvents(parsedDim)
+    val ref = tmpDir()
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("c", "r")), ops(de, Seq("c")), 0L, ref, nBuckets)
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("u")), ops(de, Seq("u")), 1L, ref, nBuckets)
+    // torn state: A/B at batch-0, but W already carries batch 1 (the
+    // protocol's other crash window: W commits FIRST, then the bucket
+    // swaps — here none of them happened)
+    val path = tmpDir()
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("c", "r")), ops(de, Seq("c")), 0L, path, nBuckets)
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    copyTree(java.nio.file.Paths.get(s"$ref/W/batch=1"),
+      java.nio.file.Paths.get(s"$path/W/batch=1"))
+    // replay: W for batch 1 is committed → skipped; every bucket's
+    // marker is still 0 → all merges re-run against pre-batch state
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("u")), ops(de, Seq("u")), 1L, path, nBuckets)
+    assert(bucketedView(path) == bucketedView(ref))
+    val (a, b) = graft.streaming.BucketedJoinView.readStates(spark, path)
+    val (ra, rb) = graft.streaming.BucketedJoinView.readStates(spark, ref)
+    assert(a.collect().toSet == ra.collect().toSet)
+    assert(b.collect().toSet == rb.collect().toSet)
+  }
+
   test("bucketed join view: streaming maintain over the raw multi-topic stream equals the one-shot apply") {
     import graft.streaming.{BucketedJoinView, IncrementalJoinView}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
