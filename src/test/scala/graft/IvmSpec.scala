@@ -561,6 +561,127 @@ class IvmSpec extends SparkSpec {
     assert(bucketedView(path).nonEmpty && bucketedView(path) == joinView(ref))
   }
 
+  test("join view stores agree with each other AND a driver-side fold on random two-table change logs") {
+    import graft.streaming.{BucketedJoinView, IncrementalJoinView}
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    def oEnv(key: Long, cust: Long, lsn: Long, op: String,
+        before: Option[Int], after: Option[Int]): String = {
+      def row(p: Int) =
+        s"""{"o_orderkey":$key,"o_custkey":$cust,"o_orderstatus":"O","o_totalprice":"$p.00","o_orderdate_us":0,"o_orderpriority":"1"}"""
+      s"""{"before":${before.map(row).getOrElse("null")},"after":${after.map(row).getOrElse("null")},"source":{"lsn":$lsn,"table":"orders","ts_ms":0},"op":"$op","ts_ms":0}"""
+    }
+    def cEnv(cust: Long, lsn: Long, op: String,
+        before: Option[String], after: Option[String]): String = {
+      def row(s: String) =
+        s"""{"c_custkey":$cust,"c_name":"n","c_nationkey":1,"c_acctbal":"0.00","c_mktsegment":"$s"}"""
+      s"""{"before":${before.map(row).getOrElse("null")},"after":${after.map(row).getOrElse("null")},"source":{"lsn":$lsn,"table":"customers","ts_ms":0},"op":"$op","ts_ms":0}"""
+    }
+    val segs = Seq("AUTO", "BIKE", "SHIP")
+    // per-key coherent histories: insert, 0..2 updates, optional delete;
+    // every event lands in an ARBITRARY one of 3 batches (deletes can
+    // precede their insert across batches — the additive algebra must
+    // commute); orders reference customer keys 0..nCust-1, some of which
+    // are never inserted (dangling facts must simply not join)
+    type Ev = (String, Long, String, Int) // (json, lsn, side, batch)
+    val gen: Gen[Seq[Ev]] = for {
+      nCust <- Gen.choose(1, 4)
+      nOrd <- Gen.choose(1, 8)
+      custHists <- Gen.sequence[Seq[Seq[Ev]], Seq[Ev]]((0 until nCust).map { c =>
+        for {
+          present <- Gen.oneOf(true, true, false)
+          nUpd <- Gen.choose(0, 2)
+          vs <- Gen.listOfN(nUpd + 1, Gen.oneOf(segs))
+          del <- Gen.oneOf(true, false, false)
+          bs <- Gen.listOfN(nUpd + 2, Gen.choose(0, 2))
+        } yield if (!present) Seq.empty[Ev] else {
+          val base = 1000L + c * 100
+          val ins = (cEnv(c, base, "c", None, Some(vs.head)), base, "C", bs.head)
+          val upds = (1 to nUpd).map(i => (cEnv(c, base + i, "u",
+            Some(vs(i - 1)), Some(vs(i))), base + i, "C", bs(i)))
+          val dels = if (del) Seq((cEnv(c, base + 50, "d", Some(vs.last), None),
+            base + 50, "C", bs(nUpd + 1))) else Seq.empty
+          Seq(ins) ++ upds ++ dels
+        }
+      })
+      ordHists <- Gen.sequence[Seq[Seq[Ev]], Seq[Ev]]((0 until nOrd).map { k =>
+        for {
+          cust <- Gen.choose(0, nCust) // nCust itself = never-inserted key
+          nUpd <- Gen.choose(0, 2)
+          ps <- Gen.listOfN(nUpd + 1, Gen.choose(1, 40))
+          del <- Gen.oneOf(true, false)
+          bs <- Gen.listOfN(nUpd + 2, Gen.choose(0, 2))
+        } yield {
+          val base = k * 100L
+          val ins = (oEnv(k, cust, base, "c", None, Some(ps.head)), base, "O", bs.head)
+          val upds = (1 to nUpd).map(i => (oEnv(k, cust, base + i, "u",
+            Some(ps(i - 1)), Some(ps(i))), base + i, "O", bs(i)))
+          val dels = if (del) Seq((oEnv(k, cust, base + 50, "d", Some(ps.last), None),
+            base + 50, "O", bs(nUpd + 1))) else Seq.empty
+          Seq(ins) ++ upds ++ dels
+        }
+      })
+    } yield custHists.flatten ++ ordHists.flatten
+    (1 to 5).foreach { i =>
+      val events = gen.apply(Gen.Parameters.default, Seed(0xB17L + i))
+        .getOrElse(fail(s"generator produced nothing for seed $i"))
+      // driver-side ground truth: surviving last order versions joined to
+      // surviving last customer versions, aggregated by segment
+      def lastBy[A](evs: Seq[Ev])(parse: String => A): Map[Long, Option[A]] =
+        evs.groupBy(e => keyOf(e._1)).map { case (k, h) =>
+          val last = h.maxBy(_._2)
+          k -> (if (last._3 == "O" && last._1.contains("\"op\":\"d\"")) None
+                else if (last._3 == "C" && last._1.contains("\"op\":\"d\"")) None
+                else Some(parse(last._1)))
+        }
+      def keyOf(json: String): Long =
+        if (json.contains("c_custkey")) {
+          val m = """"c_custkey":(\d+)""".r.findFirstMatchIn(json).get
+          m.group(1).toLong
+        } else """"o_orderkey":(\d+)""".r.findFirstMatchIn(json).get
+          .group(1).toLong
+      // LAST regex match, not first: an update envelope carries the
+      // before row first and the after row second — the surviving
+      // version's value is the LAST occurrence in the JSON
+      val custs = lastBy(events.filter(_._3 == "C")) { j =>
+        """"c_mktsegment":"(\w+)"""".r.findAllMatchIn(j).toSeq.last.group(1)
+      }.collect { case (k, Some(s)) => k -> s }
+      val ords = lastBy(events.filter(_._3 == "O")) { j =>
+        val c = """"o_custkey":(\d+)""".r.findAllMatchIn(j).toSeq.last
+          .group(1).toLong
+        val p = """"o_totalprice":"(\d+)\.00"""".r.findAllMatchIn(j).toSeq
+          .last.group(1).toLong
+        (c, p)
+      }.collect { case (k, Some(v)) => k -> v }
+      val expected = ords.values.toSeq
+        .flatMap { case (c, p) => custs.get(c).map(s => (s, p * 100L)) }
+        .groupBy(_._1).map { case (s, xs) =>
+          (s, xs.map(_._2).sum, xs.size.toLong) }.toSet
+      val snap = tmpDir(); val bkt = tmpDir()
+      (0 to 2).foreach { b =>
+        def df(side: String) = {
+          val batch = events.filter(e => e._3 == side && e._4 == b).map(_._1)
+          val raw = batch.toDF("value").select(lit("t").as("topic"),
+            lit("{}").as("key"), col("value"))
+          graft.sources.Debezium.parseEnvelope(raw,
+            if (side == "C") graft.sources.Debezium.customerRowSchema
+            else graft.sources.Debezium.ordersRowSchema)
+        }
+        val fe = IncrementalJoinView.factEvents(df("O"))
+        val de = IncrementalJoinView.dimEvents(df("C"))
+        IncrementalJoinView.applyBatchEvents(fe, de, b.toLong, snap)
+        BucketedJoinView.applyBatchEvents(fe, de, b.toLong, bkt, 4)
+      }
+      val vSnap = joinView(snap).toSet
+      val vBkt = bucketedView(bkt).toSet
+      withClue(s"seed=${0xB17L + i}: ") {
+        assert(vSnap.map(t => (t._1, t._2, t._3)) == expected)
+        assert(vBkt == vSnap)
+      }
+    }
+  }
+
   test("min/max view: a deleted minimum RECOVERS to the surviving runner-up") {
     import graft.streaming.{IncrementalMinMax, IncrementalView}
     import spark.implicits._
