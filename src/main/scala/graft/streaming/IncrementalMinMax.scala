@@ -86,6 +86,31 @@ object IncrementalMinMax {
           sum(col("n")).as("n_orders"))
     }
 
+  /** Exact order statistics from the SAME support state — the payoff of
+    * keeping the value multiset rather than scalar min/max: any quantile
+    * is read-side arithmetic over (value, n) rows, delete-safe for free.
+    * Per group: cumulative count over values ascending, pick the first
+    * value whose running count reaches ceil(q·total) — the exact
+    * lower-interpolation quantile of the SURVIVING rows. One keyed
+    * window over support-cardinality state; no rescan of any changelog. */
+  def readQuantile(spark: SparkSession, path: String, q: Double)
+      : Option[DataFrame] = {
+    require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
+    committed(spark, path).lastOption.map { case (_, p) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy("cents")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus")
+      readSupport(spark, p)
+        .withColumn("_cum", sum(col("n")).over(w))
+        .withColumn("_tot", sum(col("n")).over(wAll))
+        .filter(col("_cum") >= ceil(col("_tot") * q))
+        .groupBy("o_orderstatus")
+        .agg(min(col("cents")).as("q_cents"))
+    }
+  }
+
   private val supportSchema = StructType(Seq(
     StructField("o_orderstatus", StringType),
     StructField("cents", LongType),

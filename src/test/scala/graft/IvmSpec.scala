@@ -719,6 +719,41 @@ class IvmSpec extends SparkSpec {
     assert(view().isEmpty)
   }
 
+  test("min/max support answers exact quantiles, delete-safely, from the same state") {
+    import graft.streaming.{IncrementalMinMax, IncrementalView}
+    import spark.implicits._
+    val path = tmpDir()
+    def env(json: String) =
+      IncrementalView.eventsOf(graft.sources.Debezium.parseEnvelope(
+        Seq(("t", "{}", json)).toDF("topic", "key", "value"),
+        graft.sources.Debezium.ordersRowSchema))
+    def oRow(k: Long, price: String) =
+      s"""{"o_orderkey":$k,"o_custkey":1,"o_orderstatus":"S","o_totalprice":"$price","o_orderdate_us":0,"o_orderpriority":"1"}"""
+    def wrap(before: String, after: String, op: String, lsn: Long) =
+      s"""{"before":$before,"after":$after,"source":{"lsn":$lsn,"table":"t","ts_ms":0},"op":"$op","ts_ms":0}"""
+    // batch 0: S = {10, 20, 20, 30, 40} (cents ×100)
+    val ins = Seq((1L, "10.00"), (2L, "20.00"), (3L, "20.00"),
+      (4L, "30.00"), (5L, "40.00"))
+      .map { case (k, p) => env(wrap("null", oRow(k, p), "c", k)) }
+      .reduce(_ unionByName _)
+    IncrementalMinMax.applyBatchEvents(ins, 0L, path)
+    def quant(q: Double): Seq[(String, Long)] =
+      IncrementalMinMax.readQuantile(spark, path, q).get
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // exact lower-interpolation quantiles of {1000,2000,2000,3000,4000}
+    assert(quant(0.5) == Seq(("S", 2000L)))   // 3rd of 5
+    assert(quant(0.9) == Seq(("S", 4000L)))   // ceil(4.5) = 5th
+    assert(quant(0.2) == Seq(("S", 1000L)))   // 1st
+    // delete BOTH 20.00 rows — the median must recover upward to 30.00,
+    // which a scalar percentile sketch folded over deltas cannot do
+    val dels = Seq((2L, "20.00"), (3L, "20.00"))
+      .map { case (k, p) => env(wrap(oRow(k, p), "null", "d", 100 + k)) }
+      .reduce(_ unionByName _)
+    IncrementalMinMax.applyBatchEvents(dels, 1L, path)
+    assert(quant(0.5) == Seq(("S", 3000L)))   // {10,30,40} → 2nd of 3
+    assert(quant(1.0) == Seq(("S", 4000L)))   // max, agreeing with readView
+  }
+
   test("duplicate deliveries within a batch fold once") {
     val path = tmpDir()
     // the fixture's update phase contains the %20 replay rows twice;
