@@ -49,8 +49,9 @@ object BucketedJoinView {
       batchId: Long, path: String, nBuckets: Int = 64): Unit = {
     val spark = factEv.sparkSession
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    recoverCrashedSwap(fs, s"$path/A")
-    recoverCrashedSwap(fs, s"$path/B")
+    pinGeometry(fs, path, nBuckets)
+    BucketCommit.recover(fs, s"$path/A")
+    BucketCommit.recover(fs, s"$path/B")
     val wIds = committedW(fs, path)
     require(wIds.isEmpty || batchId >= wIds.last,
       s"batchId $batchId is behind committed W snapshot ${wIds.last} at " +
@@ -60,9 +61,11 @@ object BucketedJoinView {
     // each delta feeds the touched-bucket probe, two bilinear terms and
     // its state merge — persist so dedup + groupBy run once per batch
     val dA = IncrementalJoinView.factDeltaOfEvents(factEv)
-      .withColumn("_bucket", bucketOf(col("k"), nBuckets)).persist()
+      .withColumn("_bucket", BucketCommit.bucketOf(col("k"), nBuckets))
+      .persist()
     val dB = IncrementalJoinView.dimDeltaOfEvents(dimEv)
-      .withColumn("_bucket", bucketOf(col("k"), nBuckets)).persist()
+      .withColumn("_bucket", BucketCommit.bucketOf(col("k"), nBuckets))
+      .persist()
     // ONE bucket-pruned read per side per batch, shared by the bilinear
     // probe and the state merge (each multi-dir read pays a driver
     // listing — reading a side twice doubled it). The union of probe +
@@ -84,7 +87,8 @@ object BucketedJoinView {
       val touchedAll = (touchedA ++ touchedB).distinct
       def prevSide(root: String, schema: StructType): DataFrame = {
         val df = readBuckets(spark, fs, root, schema, touchedAll)
-          .withColumn("_bucket", bucketOf(col("k"), nBuckets)).persist()
+          .withColumn("_bucket", BucketCommit.bucketOf(col("k"), nBuckets))
+          .persist()
         cached ::= df
         df
       }
@@ -94,7 +98,8 @@ object BucketedJoinView {
       if (!wCommitted) {
         // W from the PRE-batch states (all markers < batchId here — a
         // crash can only have happened before any bucket advanced,
-        // because W commits first)
+        // because W commits first). term/merge are IncrementalJoinView's
+        // own — the algebra is shared, only the state layout differs.
         val dW = term(dA, bPrev.select(col("k"), col("seg"),
             col("m").as("d_m")))
           .unionByName(term(aPrev.select(col("k"), col("cents").as("d_cents"),
@@ -163,36 +168,44 @@ object BucketedJoinView {
     val out = merge(Some(inApply(prevAll).drop("_bucket")),
         inApply(delta).drop("_bucket"), keys, cols)
       .filter(live)
-      .withColumn("_bucket", bucketOf(col(keys.head), nBuckets))
+      .withColumn("_bucket", BucketCommit.bucketOf(col(keys.head), nBuckets))
     val stage = new Path(root + s".stage-$batchId")
     out.repartition(col("_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
       .parquet(stage.toString)
-    publish(fs, root, stage, toApply, batchId)
+    BucketCommit.publish(fs, new Path(root), stage, toApply, batchId,
+      markers = true)
   }
 
   // -- helpers ---------------------------------------------------------
 
-  private def term(aSide: DataFrame, bSide: DataFrame): DataFrame =
-    aSide.join(bSide, "k").select(col("seg"),
-      (col("d_cents") * col("d_m")).as("c"),
-      (col("d_rows") * col("d_m")).as("r"))
-
+  // the bilinear term and the additive merge are IncrementalJoinView's
+  // (private[streaming]) — one definition of the algebra for both layouts
+  private def term(a: DataFrame, b: DataFrame) = IncrementalJoinView.term(a, b)
   private def merge(prev: Option[DataFrame], delta: DataFrame,
       keys: Seq[String], cols: Seq[(String, String)]): DataFrame =
-    prev match {
-      case None =>
-        delta.select(keys.map(col) ++
-          cols.map { case (o, d) => col(d).as(o) }: _*)
-      case Some(p) =>
-        p.join(delta, keys, "full")
-          .select(keys.map(col) ++ cols.map { case (o, d) =>
-            (coalesce(col(o), lit(0L)) + coalesce(col(d), lit(0L))).as(o)
-          }: _*)
-    }
+    IncrementalJoinView.merge(prev, delta, keys, cols)
 
-  private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
-    pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
+  /** Bucket geometry is part of the on-disk state: reading or rewriting
+    * with a DIFFERENT nBuckets than the store was built with would probe
+    * the wrong directories and silently drop rows during a rewrite — pin
+    * it in a `_nbuckets` file on first use and require equality after. */
+  private def pinGeometry(fs: FileSystem, path: String, nBuckets: Int): Unit = {
+    val f = new Path(path, "_nbuckets")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      val stored =
+        try new String(in.readAllBytes(), "UTF-8").trim.toInt
+        finally in.close()
+      require(stored == nBuckets,
+        s"store at $path was built with nBuckets=$stored, this batch " +
+          s"passed $nBuckets — bucket geometry is immutable for a store " +
+          "(rebuild under the new geometry to change it)")
+    } else {
+      val out = fs.create(f, true)
+      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   private val aSchema = StructType(Seq(
     StructField("k", LongType), StructField("cents", LongType),
@@ -213,15 +226,15 @@ object BucketedJoinView {
       spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
   }
 
+  private val wSchema = StructType(Seq(
+    StructField("seg", StringType),
+    StructField("revenue_cents", LongType),
+    StructField("n_orders", LongType)))
+
   private def readW(spark: SparkSession, fs: FileSystem, path: String,
       before: Long): Option[DataFrame] =
-    committedW(fs, path).filter(_ < before).lastOption.map { id =>
-      spark.read.schema(StructType(Seq(
-          StructField("seg", StringType),
-          StructField("revenue_cents", LongType),
-          StructField("n_orders", LongType))))
-        .parquet(s"$path/W/batch=$id")
-    }
+    committedW(fs, path).filter(_ < before).lastOption.map(id =>
+      spark.read.schema(wSchema).parquet(s"$path/W/batch=$id"))
 
   private def committedW(fs: FileSystem, path: String): Seq[Long] = {
     val root = new Path(s"$path/W")
@@ -247,51 +260,6 @@ object BucketedJoinView {
       if (ms.isEmpty) -1L else ms.map(_.stripPrefix("_applied-").toLong).max
     }
 
-  /** Displace-then-publish per-bucket swap with `_applied` markers (the
-    * [[Sinks.upsertByKey]] commit, plus markers for additive replay
-    * safety). An all-keys-cancelled bucket still publishes: its staged
-    * dir is created empty so the marker survives. */
-  private def publish(fs: FileSystem, root: String, stage: Path,
-      buckets: Seq[Int], batchId: Long): Unit = {
-    val rootPath = new Path(root)
-    if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
-    val trash = new Path(root + s".trash-$batchId")
-    fs.mkdirs(trash)
-    for (b <- buckets) {
-      val staged = new Path(stage, s"_bucket=$b")
-      if (!fs.exists(staged)) fs.mkdirs(staged) // zero-row bucket
-      // marker travels with the rename — commit and marker are atomic
-      fs.create(new Path(staged, s"_applied-$batchId"), true).close()
-      val live = new Path(rootPath, s"_bucket=$b")
-      if (fs.exists(live) && !fs.rename(live, new Path(trash, s"_bucket=$b")))
-        throw new java.io.IOException(s"ivm commit: cannot displace $live")
-      if (!fs.rename(staged, live))
-        throw new java.io.IOException(s"ivm commit: cannot publish $staged")
-    }
-    fs.delete(trash, true)
-    fs.delete(stage, true)
-  }
-
-  /** Same crash-recovery contract as [[Sinks.upsertByKey]]: a trash
-    * bucket with no live twin was displaced but never replaced — restore
-    * it (its marker still reads pre-batch, so the replay re-merges it);
-    * one WITH a live twin was already replaced — drop the trash copy.
-    * Stage leftovers are rebuilt by the replay. */
-  private def recoverCrashedSwap(fs: FileSystem, root: String): Unit = {
-    val trashes = fs.globStatus(new Path(root + ".trash-*"))
-    if (trashes != null) trashes.foreach { t =>
-      fs.listStatus(t.getPath).foreach { b =>
-        val live = new Path(root, b.getPath.getName)
-        if (!fs.exists(live) && !fs.rename(b.getPath, live))
-          throw new java.io.IOException(
-            s"ivm recovery: cannot restore ${b.getPath}")
-      }
-      fs.delete(t.getPath, true)
-    }
-    val stale = fs.globStatus(new Path(root + ".stage-*"))
-    if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
-  }
-
   /** Versioned-maintenance as a streaming sink over the RAW multi-topic
     * stream — the [[IncrementalJoinView.maintain]] contract (one Kafka
     * subscription carries both tables' envelopes; each micro-batch splits
@@ -305,14 +273,9 @@ object BucketedJoinView {
     val w = rawStream.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatchEvents(
-          IncrementalJoinView.factEvents(graft.sources.Debezium.parseEnvelope(
-            batch.filter(col("topic").endsWith(".orders")),
-            graft.sources.Debezium.ordersRowSchema)),
-          IncrementalJoinView.dimEvents(graft.sources.Debezium.parseEnvelope(
-            batch.filter(col("topic").endsWith(".customers")),
-            graft.sources.Debezium.customerRowSchema)),
-          batchId, path, nBuckets)
+        val (o, c) = IncrementalJoinView.splitAndParse(batch)
+        applyBatchEvents(IncrementalJoinView.factEvents(o),
+          IncrementalJoinView.dimEvents(c), batchId, path, nBuckets)
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c))
   }
@@ -321,11 +284,7 @@ object BucketedJoinView {
   def readView(spark: SparkSession, path: String): Option[DataFrame] = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     committedW(fs, path).lastOption.map(id =>
-      spark.read.schema(StructType(Seq(
-          StructField("seg", StringType),
-          StructField("revenue_cents", LongType),
-          StructField("n_orders", LongType))))
-        .parquet(s"$path/W/batch=$id"))
+      spark.read.schema(wSchema).parquet(s"$path/W/batch=$id"))
   }
 
   /** Current A/B states (all buckets) — for the spec's invariant check. */

@@ -161,10 +161,6 @@ object IncrementalJoinView {
     // deltas are batch-sized — Spark broadcasts them against the
     // key-cardinality state sides on its own (AQE size estimate), and at
     // scale the custkey equi-joins co-partition on the same key
-    def term(aSide: DataFrame, bSide: DataFrame): DataFrame =
-      aSide.join(bSide, "k").select(col("seg"),
-        (col("d_cents") * col("d_m")).as("c"),
-        (col("d_rows") * col("d_m")).as("r"))
     val aAsDelta = aPrev.map(_.select(col("k"),
       col("cents").as("d_cents"), col("rows").as("d_rows")))
     val bAsDelta = bPrev.map(_.select(col("k"), col("seg"),
@@ -208,9 +204,19 @@ object IncrementalJoinView {
     } finally { dA.unpersist(false); dB.unpersist(false) }
   }
 
+  /** One bilinear term: a signed fact stream (k, d_cents, d_rows) joined
+    * to a signed dimension stream (k, seg, d_m) → signed (seg, c, r)
+    * contributions. Shared with [[BucketedJoinView]] — the algebra is
+    * identical across state layouts, only the storage differs. */
+  private[streaming] def term(aSide: DataFrame, bSide: DataFrame): DataFrame =
+    aSide.join(bSide, "k").select(col("seg"),
+      (col("d_cents") * col("d_m")).as("c"),
+      (col("d_rows") * col("d_m")).as("r"))
+
   /** Additive outer merge `prev ⊎ delta` on `keys`; `cols` maps each
-    * output measure to its delta column. */
-  private def merge(prev: Option[DataFrame], delta: DataFrame,
+    * output measure to its delta column (shared with
+    * [[BucketedJoinView]]). */
+  private[streaming] def merge(prev: Option[DataFrame], delta: DataFrame,
       keys: Seq[String], cols: Seq[(String, String)]): DataFrame =
     prev match {
       case None =>
@@ -260,17 +266,23 @@ object IncrementalJoinView {
     val w = rawStream.writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(
-          graft.sources.Debezium.parseEnvelope(
-            batch.filter(col("topic").endsWith(".orders")),
-            graft.sources.Debezium.ordersRowSchema),
-          graft.sources.Debezium.parseEnvelope(
-            batch.filter(col("topic").endsWith(".customers")),
-            graft.sources.Debezium.customerRowSchema),
-          batchId, path)
+        val (o, c) = splitAndParse(batch)
+        applyBatch(o, c, batchId, path)
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c))
   }
+
+  /** Split one multi-topic micro-batch into its parsed orders/customers
+    * halves — the production feed shape both stores' maintain() sinks
+    * share (one Kafka subscription carries both tables' envelopes). */
+  private[streaming] def splitAndParse(batch: DataFrame)
+      : (DataFrame, DataFrame) = (
+    graft.sources.Debezium.parseEnvelope(
+      batch.filter(col("topic").endsWith(".orders")),
+      graft.sources.Debezium.ordersRowSchema),
+    graft.sources.Debezium.parseEnvelope(
+      batch.filter(col("topic").endsWith(".customers")),
+      graft.sources.Debezium.customerRowSchema))
 
   /** The current view (highest fully-committed snapshot), if any. */
   def readView(spark: SparkSession, path: String): Option[DataFrame] =

@@ -102,10 +102,16 @@ object IncrementalMinMax {
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val wAll = org.apache.spark.sql.expressions.Window
         .partitionBy("o_orderstatus")
+      // rank target computed in DECIMAL, not double: ceil(q·total) in
+      // binary floats bumps the rank by one whenever the exact product
+      // is an integer whose double form rounds up (q=0.07, total=100 →
+      // 7.000000000000001 → ceil 8). BigDecimal(q.toString) is the
+      // decimal the caller wrote, so the product and ceil are exact.
+      val qd = BigDecimal(q.toString)
       readSupport(spark, p)
         .withColumn("_cum", sum(col("n")).over(w))
         .withColumn("_tot", sum(col("n")).over(wAll))
-        .filter(col("_cum") >= ceil(col("_tot") * q))
+        .filter(col("_cum") >= ceil(col("_tot").cast("decimal(20,0)") * lit(qd)))
         .groupBy("o_orderstatus")
         .agg(min(col("cents")).as("q_cents"))
     }

@@ -77,8 +77,9 @@ object Sinks {
     val spark = batch.sparkSession
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    recoverCrashedSwap(fs, path)
-    val bucketed = batch.withColumn("_bucket", bucketOf(col(key), nBuckets))
+    BucketCommit.recover(fs, path)
+    val bucketed = batch.withColumn("_bucket",
+      BucketCommit.bucketOf(col(key), nBuckets))
     val touched = bucketed.select("_bucket").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.nonEmpty) {
@@ -103,57 +104,14 @@ object Sinks {
       merged.repartition(col("_bucket"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("_bucket").parquet(stage.toString)
-      // commit: per touched bucket, move the old dir aside then rename the
-      // staged dir into place. Old data is never deleted before its
-      // replacement is live, so a crash at ANY point leaves every bucket
-      // recoverable: recoverCrashedSwap restores displaced buckets from
-      // trash, and the replayed batch (same batchId) re-merges idempotently.
-      val trash = new Path(path + s".trash-$batchId")
-      if (!fs.exists(target)) fs.mkdirs(target)
-      fs.mkdirs(trash)
-      for (b <- touched) {
-        val live = new Path(target, s"_bucket=$b")
-        val staged = new Path(stage, s"_bucket=$b")
-        if (fs.exists(live) && !fs.rename(live, new Path(trash, s"_bucket=$b")))
-          throw new java.io.IOException(s"sink commit: cannot displace $live")
-        if (!fs.rename(staged, live))
-          throw new java.io.IOException(s"sink commit: cannot publish $staged")
-      }
-      fs.delete(trash, true)
-      fs.delete(stage, true)
+      // commit: the shared displace-then-publish swap (BucketCommit) —
+      // no markers, because this merge is idempotent: a replayed batch
+      // (same batchId) re-merges to the identical bucket contents.
+      BucketCommit.publish(fs, target, stage, touched, batchId,
+        markers = false)
     }
     ()
   }
-
-  /** Restore a crashed [[upsertBatch]] commit. Batches are serial per
-    * query, so any `.trash-*` / `.stage-*` dir present at batch start was
-    * orphaned by a crash mid-swap: a bucket sitting in trash with no live
-    * twin was displaced but never replaced — rename it back (pre-batch
-    * state; the failed batch replays with the same data and merges
-    * idempotently). A trash bucket WITH a live twin was already replaced —
-    * the live side is newer, drop the trash copy. Stage leftovers are
-    * never partially live (publish rename is atomic per bucket), so they
-    * are simply deleted and rebuilt by the replay. */
-  private def recoverCrashedSwap(
-      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
-    val trashes = fs.globStatus(new Path(path + ".trash-*"))
-    if (trashes != null) trashes.foreach { t =>
-      fs.listStatus(t.getPath).foreach { b =>
-        val live = new Path(path, b.getPath.getName)
-        if (!fs.exists(live) && !fs.rename(b.getPath, live))
-          throw new java.io.IOException(
-            s"sink recovery: cannot restore ${b.getPath}")
-      }
-      fs.delete(t.getPath, true)
-    }
-    val stale = fs.globStatus(new Path(path + ".stage-*"))
-    if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
-  }
-
-  /** Key → state bucket. Int-typed so the hive partition directory value
-    * round-trips under partition-column type inference. */
-  private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
-    pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
 
   /** Read current sink state (the data columns, without the internal
     * `_bucket` partition column). */

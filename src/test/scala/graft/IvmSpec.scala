@@ -537,6 +537,28 @@ class IvmSpec extends SparkSpec {
     assert(b.collect().toSet == rb.collect().toSet)
   }
 
+  test("bucketed join view: a batch with mismatched bucket geometry is rejected, not silently corrupting") {
+    import graft.streaming.{BucketedJoinView, IncrementalJoinView}
+    val path = tmpDir()
+    def ops(df: DataFrame, o: Seq[String]) =
+      df.filter(col("op").isin(o: _*))
+    val fe = IncrementalJoinView.factEvents(parsed)
+    val de = IncrementalJoinView.dimEvents(parsedDim)
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("c", "r")), ops(de, Seq("c")), 0L, path, nBuckets = 8)
+    // resuming with a different nBuckets would probe the wrong dirs and
+    // drop rows during rewrites — the geometry pin must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      BucketedJoinView.applyBatchEvents(
+        ops(fe, Seq("u")), ops(de, Seq("u")), 1L, path, nBuckets = 64)
+    }
+    assert(e.getMessage.contains("nBuckets=8"))
+    // and the correct geometry still proceeds
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("u")), ops(de, Seq("u")), 1L, path, nBuckets = 8)
+    assert(bucketedView(path).nonEmpty)
+  }
+
   test("bucketed join view: streaming maintain over the raw multi-topic stream equals the one-shot apply") {
     import graft.streaming.{BucketedJoinView, IncrementalJoinView}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -752,6 +774,20 @@ class IvmSpec extends SparkSpec {
     IncrementalMinMax.applyBatchEvents(dels, 1L, path)
     assert(quant(0.5) == Seq(("S", 3000L)))   // {10,30,40} → 2nd of 3
     assert(quant(1.0) == Seq(("S", 4000L)))   // max, agreeing with readView
+
+    // float-trap regression: 0.07 * 100 is 7.000000000000001 in doubles,
+    // whose ceil is 8 — the decimal rank arithmetic must return the 7th
+    // value, not the 8th
+    val path2 = tmpDir()
+    val hundred = IncrementalView.eventsOf(
+      graft.sources.Debezium.parseEnvelope(
+        (1 to 100).map(k => ("t", "{}", wrap("null", oRow(k, s"$k.00"), "c", k)))
+          .toDF("topic", "key", "value"),
+        graft.sources.Debezium.ordersRowSchema))
+    IncrementalMinMax.applyBatchEvents(hundred, 0L, path2)
+    val q07 = IncrementalMinMax.readQuantile(spark, path2, 0.07).get
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(q07 == Seq(("S", 700L)))
   }
 
   test("duplicate deliveries within a batch fold once") {
