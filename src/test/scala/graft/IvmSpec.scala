@@ -681,6 +681,7 @@ class IvmSpec extends SparkSpec {
         .groupBy(_._1).map { case (s, xs) =>
           (s, xs.map(_._2).sum, xs.size.toLong) }.toSet
       val snap = tmpDir(); val bkt = tmpDir()
+      var lastBatch: (DataFrame, DataFrame) = null
       (0 to 2).foreach { b =>
         def df(side: String) = {
           val batch = events.filter(e => e._3 == side && e._4 == b).map(_._1)
@@ -694,12 +695,22 @@ class IvmSpec extends SparkSpec {
         val de = IncrementalJoinView.dimEvents(df("C"))
         IncrementalJoinView.applyBatchEvents(fe, de, b.toLong, snap)
         BucketedJoinView.applyBatchEvents(fe, de, b.toLong, bkt, 4)
+        lastBatch = (fe, de)
       }
       val vSnap = joinView(snap).toSet
       val vBkt = bucketedView(bkt).toSet
       withClue(s"seed=${0xB17L + i}: ") {
         assert(vSnap.map(t => (t._1, t._2, t._3)) == expected)
         assert(vBkt == vSnap)
+        // replay safety on random data: re-delivering the committed last
+        // batch changes NEITHER store (the snapshot store recomputes from
+        // its predecessor; the bucketed store's markers gate the merge)
+        IncrementalJoinView.applyBatchEvents(
+          lastBatch._1, lastBatch._2, 2L, snap)
+        BucketedJoinView.applyBatchEvents(
+          lastBatch._1, lastBatch._2, 2L, bkt, 4)
+        assert(joinView(snap).toSet == vSnap)
+        assert(bucketedView(bkt).toSet == vBkt)
       }
     }
   }
