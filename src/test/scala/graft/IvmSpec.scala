@@ -537,6 +537,25 @@ class IvmSpec extends SparkSpec {
     assert(b.collect().toSet == rb.collect().toSet)
   }
 
+  test("bucketed join view: an uncommitted W snapshot directory is invisible to readers") {
+    import graft.streaming.{BucketedJoinView, IncrementalJoinView}
+    val path = tmpDir()
+    def ops(df: DataFrame, o: Seq[String]) =
+      df.filter(col("op").isin(o: _*))
+    BucketedJoinView.applyBatchEvents(
+      ops(IncrementalJoinView.factEvents(parsed), Seq("c", "r")),
+      ops(IncrementalJoinView.dimEvents(parsedDim), Seq("c")),
+      0L, path, 8)
+    val before = bucketedView(path)
+    // crash mid-W-write: a batch=99 dir with data files but no _SUCCESS
+    val crashed = new java.io.File(s"$path/W/batch=99")
+    assert(crashed.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/W/batch=99/part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(bucketedView(path) == before)
+  }
+
   test("bucketed join view: a batch with mismatched bucket geometry is rejected, not silently corrupting") {
     import graft.streaming.{BucketedJoinView, IncrementalJoinView}
     val path = tmpDir()
