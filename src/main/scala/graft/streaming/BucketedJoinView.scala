@@ -37,8 +37,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *      which is bit-wise pre-batch state (displace-then-publish rename
   *      swap with trash recovery, as [[Sinks.upsertByKey]]).
   * A crash at ANY point therefore resumes to the identical state: before
-  * the W commit nothing moved; after it, per-bucket markers say exactly
-  * which merges remain.
+  * the W commit nothing moved (staged files are not state — recover()
+  * deletes orphans); after it, per-bucket markers say exactly which
+  * merges remain. Compute is NOT serialized by the protocol: both sides'
+  * merge+stage writes overlap the W compute+write, and only the
+  * rename-only publishes wait for W's commit.
   */
 object BucketedJoinView {
 
@@ -95,6 +98,24 @@ object BucketedJoinView {
       val aPrev = prevSide(s"$path/A", aSchema)
       val bPrev = prevSide(s"$path/B", bSchema)
 
+      // The crash protocol constrains COMMIT order (W first, then bucket
+      // markers), not COMPUTE order: staged files advance nothing until
+      // publish, and recover() deletes orphaned stage dirs on replay. So
+      // the two sides' merge+stage writes run CONCURRENTLY with the W
+      // compute+write — three independent jobs the scheduler overlaps —
+      // and only the (cheap, rename-only) publishes wait for W's commit.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fA = Future(stageBuckets(spark, fs, s"$path/A", aPrev,
+        dA.select(col("k"), col("d_cents"), col("d_rows"), col("_bucket")),
+        Seq("k"), Seq("cents" -> "d_cents", "rows" -> "d_rows"),
+        col("cents") =!= 0L || col("rows") =!= 0L, touchedA, batchId, nBuckets))
+      val fB = Future(stageBuckets(spark, fs, s"$path/B", bPrev,
+        dB.select(col("k"), col("seg"), col("d_m"), col("_bucket")),
+        Seq("k", "seg"), Seq("m" -> "d_m"),
+        col("m") =!= 0L, touchedB, batchId, nBuckets))
+
       if (!wCommitted) {
         // W from the PRE-batch states (all markers < batchId here — a
         // crash can only have happened before any bucket advanced,
@@ -116,41 +137,38 @@ object BucketedJoinView {
         pruneW(fs, path, keep = 2)
       }
 
-      // state merges: only buckets whose marker is still behind batchId
-      // (on the normal path, all touched buckets; on replay, the ones the
-      // crash left pre-batch). The two sides are independent — run their
-      // commit actions concurrently so the scheduler overlaps them (W is
-      // already committed above, so the crash protocol is unaffected by
-      // either side finishing first)
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val fA = Future(mergeBuckets(spark, fs, s"$path/A", aPrev,
-        dA.select(col("k"), col("d_cents"), col("d_rows"), col("_bucket")),
-        Seq("k"), Seq("cents" -> "d_cents", "rows" -> "d_rows"),
-        col("cents") =!= 0L || col("rows") =!= 0L, touchedA, batchId, nBuckets))
-      val fB = Future(mergeBuckets(spark, fs, s"$path/B", bPrev,
-        dB.select(col("k"), col("seg"), col("d_m"), col("_bucket")),
-        Seq("k", "seg"), Seq("m" -> "d_m"),
-        col("m") =!= 0L, touchedB, batchId, nBuckets))
-      Await.result(fA, Duration.Inf)
-      Await.result(fB, Duration.Inf)
+      // publishes: rename-only swaps of the already-staged buckets whose
+      // marker is still behind batchId (on the normal path, all touched
+      // buckets; on replay, the ones the crash left pre-batch). W is
+      // committed above, so a crash between here and the last marker
+      // resumes via per-bucket markers.
+      Await.result(fA, Duration.Inf).foreach { case (toApply, stage) =>
+        BucketCommit.publish(fs, new Path(s"$path/A"), stage, toApply,
+          batchId, markers = true)
+      }
+      Await.result(fB, Duration.Inf).foreach { case (toApply, stage) =>
+        BucketCommit.publish(fs, new Path(s"$path/B"), stage, toApply,
+          batchId, markers = true)
+      }
     } finally {
       dA.unpersist(false); dB.unpersist(false)
       cached.foreach(_.unpersist(false))
     }
   }
 
-  /** Merge one side's delta into its touched buckets: outer-merge the
-    * pre-read bucket state, stage one file per bucket, swap atomically
-    * with per-bucket `_applied` markers. On replay, `prevAll` may contain
-    * post-batch buckets — they are excluded from `toApply`, and the rows
-    * feeding the merge are filtered to the pre-batch buckets only. */
-  private def mergeBuckets(spark: SparkSession, fs: FileSystem,
+  /** Merge one side's delta into its touched buckets and STAGE the
+    * result (no publish — the caller swaps after the W commit):
+    * outer-merge the pre-read bucket state, one staged file per bucket.
+    * On replay, `prevAll` may contain post-batch buckets — they are
+    * excluded from the returned `toApply`, and the rows feeding the
+    * merge are filtered to the pre-batch buckets only. Returns None when
+    * every touched bucket was already committed by a crashed attempt. */
+  private def stageBuckets(spark: SparkSession, fs: FileSystem,
       root: String, prevAll: DataFrame, delta: DataFrame, keys: Seq[String],
       cols: Seq[(String, String)],
       live: org.apache.spark.sql.Column,
-      touchedBuckets: Seq[Int], batchId: Long, nBuckets: Int): Unit = {
+      touchedBuckets: Seq[Int], batchId: Long, nBuckets: Int)
+      : Option[(Seq[Int], Path)] = {
     // replay filter: a bucket whose marker already reached batchId was
     // committed by the crashed attempt — its merge must not re-run
     val toApply = touchedBuckets.filter { b =>
@@ -159,7 +177,7 @@ object BucketedJoinView {
         s"bucket $root/_bucket=$b is at $id, ahead of replayed $batchId")
       id < batchId
     }
-    if (toApply.isEmpty) return
+    if (toApply.isEmpty) return None
     def inApply(df: DataFrame) =
       df.filter(col("_bucket").isin(toApply.map(Int.box): _*))
     // recompute the bucket from the key (the hash is stable) rather than
@@ -173,8 +191,7 @@ object BucketedJoinView {
     out.repartition(col("_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
       .parquet(stage.toString)
-    BucketCommit.publish(fs, new Path(root), stage, toApply, batchId,
-      markers = true)
+    Some((toApply, stage))
   }
 
   // -- helpers ---------------------------------------------------------
