@@ -224,6 +224,98 @@ object BucketedJoinView {
     }
   }
 
+  /** OFFLINE geometry migration — the real form of [[pinGeometry]]'s
+    * "rebuild under the new geometry": rebuild the quiescent store at
+    * `src` under `newNBuckets` buckets at `dst`. `nBuckets` sizes
+    * per-batch I/O, and as state grows the original choice goes stale
+    * exactly like an under-sharded search index or an under-partitioned
+    * topic (the reference resizes both the same way —
+    * values-prod.yaml:22-28, prod-resources.yaml:94); the cure is the
+    * same too: reshard offline, then point the consumer at the new path.
+    *
+    * Safety gates — a reshard must not launder a half-applied batch into
+    * "committed":
+    *   1. refuse on crash residue (`.stage-*`/`.trash-*` next to either
+    *      side): an unhealed store is healed by resuming its stream once
+    *      (replay + [[BucketCommit.recover]] finish the batch), not here;
+    *   2. refuse unless latest W == Agg(A ⋈ B) — the store's own
+    *      consistency invariant; a crash caught after the W commit but
+    *      before any stage write (the one window that leaves no residue)
+    *      cannot pass it.
+    * The new store is staged in full under `<dst>.inprogress` (leftovers
+    * of a crashed attempt are deleted and rebuilt, never trusted) and
+    * committed with ONE directory rename.
+    *
+    * Marker collapse: per-bucket `_applied` frontiers cannot survive a
+    * reshard (keys move between buckets), so EVERY new bucket — empty
+    * ones included — gets `_applied-<lastW>`. Sound because gate 2
+    * proved every batch ≤ lastW fully applied, and the only replay the
+    * foreachBatch contract can deliver to the migrated store is batch
+    * lastW itself (`applyBatchEvents` rejects anything older), which
+    * must be skipped in every bucket it probes. */
+  def rebucket(spark: SparkSession, src: String, dst: String,
+      newNBuckets: Int): Unit = {
+    require(newNBuckets > 0, s"newNBuckets must be positive: $newNBuckets")
+    val fs = new Path(src).getFileSystem(spark.sessionState.newHadoopConf())
+    val dstPath = new Path(dst)
+    require(fs.makeQualified(dstPath) != fs.makeQualified(new Path(src)),
+      "rebucket rewrites into a NEW path (one-rename commit) — " +
+        "in-place resharding is not supported")
+    require(!fs.exists(dstPath), s"rebucket destination $dst already exists")
+    for (side <- Seq("A", "B"); kind <- Seq("stage", "trash")) {
+      val g = fs.globStatus(new Path(s"$src/$side.$kind-*"))
+      require(g == null || g.isEmpty,
+        s"store at $src has unhealed crash residue " +
+          s"(${Option(g).toSeq.flatten.map(_.getPath.getName).mkString(", ")}) " +
+          "— resume its stream once to heal it, then rebucket")
+    }
+    val wIds = committedW(fs, src)
+    val (a, b) = readStates(spark, src)
+    val agg = a.join(b, "k").groupBy("seg")
+      .agg(sum(col("cents") * col("m")).as("revenue_cents"),
+        sum(col("rows") * col("m")).as("n_orders"))
+      .filter(col("revenue_cents") =!= 0L || col("n_orders") =!= 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = wIds.lastOption.map(id =>
+      spark.read.schema(wSchema).parquet(s"$src/W/batch=$id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet).getOrElse(Set.empty)
+    require(w == agg,
+      s"store at $src is inconsistent (W ≠ Agg(A ⋈ B): " +
+        s"${(w diff agg) ++ (agg diff w)}) — a half-applied batch must be " +
+        "healed by its own stream's replay, not frozen into a reshard")
+
+    val tmp = new Path(dst + ".inprogress")
+    fs.delete(tmp, true)
+    def rewrite(df: DataFrame, side: String): Unit =
+      df.withColumn("_bucket", BucketCommit.bucketOf(col("k"), newNBuckets))
+        .repartition(col("_bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+        .parquet(new Path(tmp, side).toString)
+    rewrite(a, "A")
+    rewrite(b, "B")
+    wIds.lastOption.foreach { last =>
+      for (side <- Seq("A", "B"); bkt <- 0 until newNBuckets) {
+        val d = new Path(tmp, s"$side/_bucket=$bkt")
+        if (!fs.exists(d)) fs.mkdirs(d)
+        fs.create(new Path(d, s"_applied-$last"), true).close()
+      }
+    }
+    // W snapshots keep their batch ids — the migrated store resumes from
+    // the same checkpoint frontier as the original
+    wIds.foreach { id =>
+      spark.read.schema(wSchema).parquet(s"$src/W/batch=$id")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(new Path(tmp, s"W/batch=$id").toString)
+    }
+    val out = fs.create(new Path(tmp, "_nbuckets"), true)
+    try out.write(newNBuckets.toString.getBytes("UTF-8")) finally out.close()
+    val parent = dstPath.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    if (!fs.rename(tmp, dstPath))
+      throw new java.io.IOException(s"rebucket: cannot commit $tmp -> $dst")
+  }
+
   private val aSchema = StructType(Seq(
     StructField("k", LongType), StructField("cents", LongType),
     StructField("rows", LongType)))

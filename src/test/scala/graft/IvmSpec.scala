@@ -578,6 +578,95 @@ class IvmSpec extends SparkSpec {
     assert(bucketedView(path).nonEmpty)
   }
 
+  test("bucketed join view: rebucket resharding keeps the view, states, replay gate, and continuation") {
+    import graft.streaming.{BucketedJoinView, IncrementalJoinView}
+    import spark.implicits._
+    val src = tmpDir()
+    applyBucketedPhases(src, nBuckets = 8)
+    val dst = src + "-wide"
+    // a crashed earlier attempt's staging leftovers are rebuilt, not trusted
+    new java.io.File(dst + ".inprogress/A/_bucket=0").mkdirs()
+    BucketedJoinView.rebucket(spark, src, dst, newNBuckets = 16)
+    assert(!new java.io.File(dst + ".inprogress").exists())
+    // view and states survive the reshard as identical row sets
+    assert(bucketedView(dst) == bucketedView(src))
+    val (sa, sb) = BucketedJoinView.readStates(spark, src)
+    val (da, db) = BucketedJoinView.readStates(spark, dst)
+    assert(da.collect().toSet == sa.collect().toSet)
+    assert(db.collect().toSet == sb.collect().toSet)
+    // layout actually moved: all 16 bucket dirs exist (marker collapse
+    // touches empty ones too) and every row sits in the bucket its key
+    // hashes to under the NEW geometry
+    val aDirs = new java.io.File(s"$dst/A").listFiles()
+      .filter(_.getName.startsWith("_bucket=")).map(_.getName).toSet
+    assert(aDirs == (0 until 16).map(b => s"_bucket=$b").toSet)
+    val misplaced = (0 until 16).flatMap { bkt =>
+      val d = new java.io.File(s"$dst/A/_bucket=$bkt")
+      if (d.listFiles().exists(_.getName.endsWith(".parquet")))
+        spark.read.parquet(d.toString)
+          .filter(pmod(xxhash64(col("k")), lit(16L)).cast("int") =!= bkt)
+          .collect().toSeq
+      else Seq.empty
+    }
+    assert(misplaced.isEmpty, s"rows outside their new-geometry bucket: $misplaced")
+    // the old geometry is rejected on the migrated store
+    def ops(df: DataFrame, o: Seq[String]) =
+      df.filter(col("op").isin(o: _*))
+    val fe = IncrementalJoinView.factEvents(parsed)
+    val de = IncrementalJoinView.dimEvents(parsedDim)
+    intercept[IllegalArgumentException] {
+      BucketedJoinView.applyBatchEvents(
+        ops(fe, Seq("d")), ops(de, Seq("d")), 3L, dst, nBuckets = 8)
+    }
+    // replay of the LAST pre-migration batch is a no-op: collapsed
+    // markers gate every bucket the replayed delta probes
+    val viewBefore = bucketedView(dst)
+    BucketedJoinView.applyBatchEvents(
+      ops(fe, Seq("d")), ops(de, Seq("d")), 2L, dst, nBuckets = 16)
+    assert(bucketedView(dst) == viewBefore)
+    // continuation: the same NEXT batch applied to both geometries gives
+    // the same view
+    def env(json: String) = graft.sources.Debezium.parseEnvelope(
+      Seq(("t", "{}", json)).toDF("topic", "key", "value"),
+      graft.sources.Debezium.ordersRowSchema)
+    val before = """{"o_orderkey":900001,"o_custkey":77,"o_orderstatus":"O","o_totalprice":"10.00","o_orderdate_us":0,"o_orderpriority":"1"}"""
+    val after = """{"o_orderkey":900001,"o_custkey":77,"o_orderstatus":"O","o_totalprice":"25.00","o_orderdate_us":0,"o_orderpriority":"1"}"""
+    val fe3 = IncrementalJoinView.factEvents(env(
+      s"""{"before":$before,"after":$after,"source":{"lsn":999901,"table":"t","ts_ms":0},"op":"u","ts_ms":0}"""))
+    val de3 = IncrementalJoinView.dimEvents(graft.sources.Debezium.parseEnvelope(
+      Seq.empty[(String, String, String)].toDF("topic", "key", "value"),
+      graft.sources.Debezium.customerRowSchema))
+    BucketedJoinView.applyBatchEvents(fe3, de3, 3L, src, nBuckets = 8)
+    BucketedJoinView.applyBatchEvents(fe3, de3, 3L, dst, nBuckets = 16)
+    assert(bucketedView(dst) == bucketedView(src))
+  }
+
+  test("rebucket refuses an unhealed store and an inconsistent one") {
+    import graft.streaming.BucketedJoinView
+    val src = tmpDir()
+    applyBucketedPhases(src, nBuckets = 8)
+    // crash residue next to a side: heal by resuming the stream, not here
+    assert(new java.io.File(s"$src/A.stage-99").mkdirs())
+    val e1 = intercept[IllegalArgumentException](
+      BucketedJoinView.rebucket(spark, src, src + "-x", 16))
+    assert(e1.getMessage.contains("crash residue"))
+    assert(new java.io.File(s"$src/A.stage-99").delete())
+    // destination must be fresh
+    val e2 = intercept[IllegalArgumentException](
+      BucketedJoinView.rebucket(spark, src, src, 16))
+    assert(e2.getMessage.contains("NEW path"))
+    // silently losing a bucket breaks W == Agg(A ⋈ B) — refuse to freeze
+    // the inconsistency into a reshard
+    val victim = new java.io.File(s"$src/A").listFiles()
+      .filter(d => d.getName.startsWith("_bucket=") &&
+        d.listFiles().exists(_.getName.endsWith(".parquet"))).head
+    victim.listFiles().foreach(f => assert(f.delete()))
+    assert(victim.delete())
+    val e3 = intercept[IllegalArgumentException](
+      BucketedJoinView.rebucket(spark, src, src + "-y", 16))
+    assert(e3.getMessage.contains("inconsistent"))
+  }
+
   test("bucketed join view: streaming maintain over the raw multi-topic stream equals the one-shot apply") {
     import graft.streaming.{BucketedJoinView, IncrementalJoinView}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
