@@ -35,4 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // local A/B profiling knob only (the driver never sets it): pass ad-hoc
+  // spark confs into the forked Verify/Bench JVM, e.g.
+  // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false"
+  sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(';'))
+    .filter(_.contains("=")).map("-Dspark." + _.stripPrefix("spark."))

@@ -41,9 +41,26 @@ object Bench {
     // where a stage needs cores, narrow where it needs scheduling — at
     // sf1 set SPARK_GRAFT_SHUFFLE=32 (the sweep protocol in NOTES.md).
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    // AQE at the benchmark SF is pure overhead, by the same
+    // data-volume-not-core-count rule as the width-8 shuffle: every
+    // exchange here carries a few MB across 8 partitions, so there is
+    // nothing for runtime re-planning to decide — no skew worth
+    // splitting, nothing to coalesce below width 8, no join small enough
+    // to convert that the static planner didn't already broadcast — and
+    // each adaptive stage still pays its stats materialization barrier.
+    // A/B at sf0.1 (suite-wide per-query minima, 2026-08-14): AQE off
+    // 98.4 s vs on 104.6 s, the gap concentrated in the multi-job IVM /
+    // state-store queries (cdc_ivm_join_view 2.96 vs 4.36) whose many
+    // tiny exchanges each paid the re-plan. At sweep scale re-enable it
+    // alongside the wider shuffle: SPARK_GRAFT_AQE=true, the same knob
+    // direction as SPARK_GRAFT_SHUFFLE=32 (NOTES sweep protocol) —
+    // runtime re-planning pays exactly when exchanges are big enough to
+    // have skew/coalesce decisions worth making.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -168,13 +185,13 @@ object Bench {
       .map { case (tag, t) => "\"" + tag + "\":" + fmt(t) }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","queries":$qs,"failed":$fs,"runs":$ts,"noise":$ns,"noise_pre_post":$nps,"shared_builds":$sb,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","queries":$qs,"failed":$fs,"runs":$ts,"noise":$ns,"noise_pre_post":$nps,"shared_builds":$sb,"reps":$reps,"cpus":$cpus,"aqe":$aqe,"sf":"$sfDir"}"""
     // a SHORT summary line without the ~2 KB per-query map: the driver
     // captures only a bounded tail of stdout, and in rounds 4 and 5 the
     // long line's HEAD was clipped (recorded "parsed": null). The short
     // line carries everything the gate needs and is printed LAST.
     val short =
-      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","failed":$fs,"runs":$ts,"noise":$ns,"reps":$reps,"cpus":$cpus,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(headline)},"unit":"sec","failed":$fs,"runs":$ts,"noise":$ns,"reps":$reps,"cpus":$cpus,"aqe":$aqe,"sf":"$sfDir"}"""
     // belt-and-braces: persist both lines to a file (env-overridable path)
     // so the result is machine-readable even if the stdout tail is clipped
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
