@@ -34,6 +34,31 @@ private[streaming] object BucketCommit {
   def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
 
+  /** Bucket geometry is part of the on-disk state: reading or rewriting
+    * with a DIFFERENT nBuckets than the store was built with probes the
+    * wrong directories — for the additive store that silently drops rows
+    * during a rewrite; for the idempotent upsert sink it splits a key
+    * across its old and new bucket, so reads return stale duplicates.
+    * Pin the count in a `_nbuckets` file on first use (the underscore
+    * name is invisible to parquet readers over the store root) and
+    * require equality after. */
+  def pinGeometry(fs: FileSystem, path: String, nBuckets: Int): Unit = {
+    val f = new Path(path, "_nbuckets")
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      val stored =
+        try new String(in.readAllBytes(), "UTF-8").trim.toInt
+        finally in.close()
+      require(stored == nBuckets,
+        s"store at $path was built with nBuckets=$stored, this batch " +
+          s"passed $nBuckets — bucket geometry is immutable for a store " +
+          "(rebucket to a new path to change it)")
+    } else {
+      val out = fs.create(f, true)
+      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Swap the staged buckets into the live tree. */
   def publish(fs: FileSystem, root: Path, stage: Path, buckets: Seq[Int],
       batchId: Long, markers: Boolean): Unit = {

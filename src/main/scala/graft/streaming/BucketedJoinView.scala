@@ -203,26 +203,10 @@ object BucketedJoinView {
       keys: Seq[String], cols: Seq[(String, String)]): DataFrame =
     IncrementalJoinView.merge(prev, delta, keys, cols)
 
-  /** Bucket geometry is part of the on-disk state: reading or rewriting
-    * with a DIFFERENT nBuckets than the store was built with would probe
-    * the wrong directories and silently drop rows during a rewrite — pin
-    * it in a `_nbuckets` file on first use and require equality after. */
-  private def pinGeometry(fs: FileSystem, path: String, nBuckets: Int): Unit = {
-    val f = new Path(path, "_nbuckets")
-    if (fs.exists(f)) {
-      val in = fs.open(f)
-      val stored =
-        try new String(in.readAllBytes(), "UTF-8").trim.toInt
-        finally in.close()
-      require(stored == nBuckets,
-        s"store at $path was built with nBuckets=$stored, this batch " +
-          s"passed $nBuckets — bucket geometry is immutable for a store " +
-          "(rebuild under the new geometry to change it)")
-    } else {
-      val out = fs.create(f, true)
-      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-    }
-  }
+  // geometry pinning is the shared BucketCommit.pinGeometry — one
+  // definition for every hash-bucketed store (this one and the upsert sink)
+  private def pinGeometry(fs: FileSystem, path: String, nBuckets: Int): Unit =
+    BucketCommit.pinGeometry(fs, path, nBuckets)
 
   /** OFFLINE geometry migration — the real form of [[pinGeometry]]'s
     * "rebuild under the new geometry": rebuild the quiescent store at
@@ -308,8 +292,7 @@ object BucketedJoinView {
         .write.mode(SaveMode.Overwrite)
         .parquet(new Path(tmp, s"W/batch=$id").toString)
     }
-    val out = fs.create(new Path(tmp, "_nbuckets"), true)
-    try out.write(newNBuckets.toString.getBytes("UTF-8")) finally out.close()
+    BucketCommit.pinGeometry(fs, tmp.toString, newNBuckets)
     val parent = dstPath.getParent
     if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
     if (!fs.rename(tmp, dstPath))

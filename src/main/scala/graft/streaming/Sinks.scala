@@ -77,17 +77,23 @@ object Sinks {
     val spark = batch.sparkSession
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // geometry is state: resuming with a different nBuckets would split a
+    // key across its old and new bucket — the touched-bucket read (step 2)
+    // misses the old row, and readState then returns stale duplicates.
+    // Fail loudly instead (rebucket() is the migration path).
+    BucketCommit.pinGeometry(fs, path, nBuckets)
     BucketCommit.recover(fs, path)
     val bucketed = batch.withColumn("_bucket",
       BucketCommit.bucketOf(col(key), nBuckets))
     val touched = bucketed.select("_bucket").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.nonEmpty) {
-      // only a missing path (first batch) may fall back to empty state;
-      // any other read failure must fail the batch — a blanket catch
-      // would silently wipe accumulated sink state
+      // only a store with no bucket dirs yet (first batch — the root may
+      // already exist holding the `_nbuckets` pin) may fall back to empty
+      // state; any other read failure must fail the batch — a blanket
+      // catch would silently wipe accumulated sink state
       val existing =
-        if (fs.exists(target))
+        if (hasBuckets(fs, target))
           spark.read.parquet(path)
             .filter(col("_bucket").isin(touched.map(Int.box): _*))
         else bucketed.limit(0)
@@ -113,10 +119,52 @@ object Sinks {
     ()
   }
 
+  private def hasBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Boolean = {
+    if (!fs.exists(root)) return false
+    val g = fs.globStatus(new Path(root, "_bucket=*"))
+    g != null && g.nonEmpty
+  }
+
   /** Read current sink state (the data columns, without the internal
     * `_bucket` partition column). */
   def readState(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("_bucket")
+
+  /** OFFLINE geometry migration for the upsert sink state — the
+    * idempotent sibling of [[BucketedJoinView.rebucket]], and much
+    * simpler for the same reason the sink needs no `_applied` markers:
+    * merges are idempotent, so a crashed batch is healed by
+    * [[BucketCommit.recover]] (pre-batch state) + the stream's own
+    * replay re-merging — which stays correct against the NEW geometry.
+    * No consistency gate is needed; recover-then-reshard is always
+    * sound. The resharded store is staged in full under
+    * `<dst>.inprogress` and committed with ONE rename; point the
+    * resumed stream at `dst` with the new `nBuckets`. */
+  def rebucket(spark: SparkSession, src: String, dst: String,
+      key: String, newNBuckets: Int): Unit = {
+    require(newNBuckets > 0, s"newNBuckets must be positive: $newNBuckets")
+    val fs = new Path(src).getFileSystem(spark.sessionState.newHadoopConf())
+    val dstPath = new Path(dst)
+    require(fs.makeQualified(dstPath) != fs.makeQualified(new Path(src)),
+      "rebucket rewrites into a NEW path (one-rename commit) — " +
+        "in-place resharding is not supported")
+    require(!fs.exists(dstPath), s"rebucket destination $dst already exists")
+    require(hasBuckets(fs, new Path(src)), s"no sink state at $src")
+    BucketCommit.recover(fs, src)
+    val tmp = new Path(dst + ".inprogress")
+    fs.delete(tmp, true)
+    readState(spark, src)
+      .withColumn("_bucket", BucketCommit.bucketOf(col(key), newNBuckets))
+      .repartition(col("_bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket")
+      .parquet(tmp.toString)
+    BucketCommit.pinGeometry(fs, tmp.toString, newNBuckets)
+    val parent = dstPath.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    if (!fs.rename(tmp, dstPath))
+      throw new java.io.IOException(s"rebucket: cannot commit $tmp -> $dst")
+  }
 
   /** A8/A9 analog: append aggregated results to a warehouse table,
     * partitioned by a date-ish column so downstream reads prune. */

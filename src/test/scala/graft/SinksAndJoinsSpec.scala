@@ -157,6 +157,44 @@ class SinksAndJoinsSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(dir + ".stage-*")).isEmpty)
   }
 
+  test("upsert sink: mismatched bucket geometry is rejected, and rebucket migrates it") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_rbsink").toString
+    val dir = base + "/t"
+    def batch(rows: (Long, Long, String)*) =
+      rows.toDF("k", "lsn", "v")
+    Sinks.upsertBatch(batch((1L, 10L, "a"), (2L, 20L, "b"), (77L, 5L, "c")),
+      0L, dir, "k", "lsn", nBuckets = 4)
+    // resuming with a different count would split keys across old/new
+    // buckets and read back stale duplicates — pinned geometry fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertBatch(batch((1L, 11L, "a2")), 1L, dir, "k", "lsn",
+        nBuckets = 8)
+    }
+    assert(e.getMessage.contains("nBuckets=4"))
+    // the migration path: reshard to 8 buckets at a new path
+    val wide = base + "/t8"
+    Sinks.rebucket(spark, dir, wide, "k", 8)
+    assert(!new java.io.File(wide + ".inprogress").exists())
+    def state(p: String) = Sinks.readState(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(state(wide) == state(dir))
+    // every migrated row sits in the bucket its key hashes to under the
+    // NEW geometry
+    val misplaced = spark.read.parquet(wide)
+      .filter(pmod(xxhash64(col("k")), lit(8L)).cast("int") =!= col("_bucket"))
+      .count()
+    assert(misplaced == 0L)
+    // the resumed stream continues against the new geometry (old rejected)
+    intercept[IllegalArgumentException] {
+      Sinks.upsertBatch(batch((1L, 11L, "a2")), 1L, wide, "k", "lsn",
+        nBuckets = 4)
+    }
+    Sinks.upsertBatch(batch((1L, 11L, "a2")), 1L, wide, "k", "lsn",
+      nBuckets = 8)
+    assert(state(wide) == Set((1L, 11L, "a2"), (2L, 20L, "b"), (77L, 5L, "c")))
+  }
+
   test("upsertByKey accumulates state on a file:-URI path (Hadoop FS probe)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
