@@ -789,7 +789,8 @@ class IvmSpec extends SparkSpec {
         .groupBy(_._1).map { case (s, xs) =>
           (s, xs.map(_._2).sum, xs.size.toLong) }.toSet
       val snap = tmpDir(); val bkt = tmpDir()
-      var lastBatch: (DataFrame, DataFrame) = null
+      val batches = scala.collection.mutable.ArrayBuffer
+        .empty[(DataFrame, DataFrame)]
       (0 to 2).foreach { b =>
         def df(side: String) = {
           val batch = events.filter(e => e._3 == side && e._4 == b).map(_._1)
@@ -803,8 +804,9 @@ class IvmSpec extends SparkSpec {
         val de = IncrementalJoinView.dimEvents(df("C"))
         IncrementalJoinView.applyBatchEvents(fe, de, b.toLong, snap)
         BucketedJoinView.applyBatchEvents(fe, de, b.toLong, bkt, 4)
-        lastBatch = (fe, de)
+        batches += ((fe, de))
       }
+      val lastBatch = batches.last
       val vSnap = joinView(snap).toSet
       val vBkt = bucketedView(bkt).toSet
       withClue(s"seed=${0xB17L + i}: ") {
@@ -819,6 +821,25 @@ class IvmSpec extends SparkSpec {
           lastBatch._1, lastBatch._2, 2L, bkt, 4)
         assert(joinView(snap).toSet == vSnap)
         assert(bucketedView(bkt).toSet == vBkt)
+        // mid-stream reshard equivalence: the same changelog with an
+        // OFFLINE rebucket (4 → 7) between batches 1 and 2 must land on
+        // the identical view, and the collapsed markers must still gate
+        // a replay of the post-reshard batch
+        val mig = tmpDir()
+        BucketedJoinView.applyBatchEvents(
+          batches(0)._1, batches(0)._2, 0L, mig, 4)
+        BucketedJoinView.applyBatchEvents(
+          batches(1)._1, batches(1)._2, 1L, mig, 4)
+        val mig2 = mig + "-resharded"
+        BucketedJoinView.rebucket(spark, mig, mig2, 7)
+        BucketedJoinView.applyBatchEvents(
+          batches(2)._1, batches(2)._2, 2L, mig2, 7)
+        assert(bucketedView(mig2).toSet == vSnap,
+          "mid-stream reshard diverged from the never-resharded stores")
+        BucketedJoinView.applyBatchEvents(
+          batches(2)._1, batches(2)._2, 2L, mig2, 7)
+        assert(bucketedView(mig2).toSet == vSnap,
+          "replay after a reshard re-applied a committed batch")
       }
     }
   }
