@@ -254,7 +254,12 @@ object BucketedJoinView {
           "— resume its stream once to heal it, then rebucket")
     }
     val wIds = committedW(fs, src)
-    val (a, b) = readStates(spark, src)
+    // each side feeds the consistency aggregate AND the reshard rewrite —
+    // persist so the whole-store read happens once per side, not twice
+    val (a, b) = readStates(spark, src) match {
+      case (x, y) => (x.persist(), y.persist())
+    }
+    try {
     val agg = a.join(b, "k").groupBy("seg")
       .agg(sum(col("cents") * col("m")).as("revenue_cents"),
         sum(col("rows") * col("m")).as("n_orders"))
@@ -297,6 +302,7 @@ object BucketedJoinView {
     if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
     if (!fs.rename(tmp, dstPath))
       throw new java.io.IOException(s"rebucket: cannot commit $tmp -> $dst")
+    } finally { a.unpersist(false); b.unpersist(false) }
   }
 
   private val aSchema = StructType(Seq(
