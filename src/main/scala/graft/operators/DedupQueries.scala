@@ -684,6 +684,44 @@ object DedupQueries extends QueryGroup {
             / (col("na") * col("nb"))).as("cosine"))
         .filter(col("cosine") >= 0.35)
         .orderBy("va", "vb")
+    }),
+
+    // op 45g: SemDeDup-style SEMANTIC dedup (cluster-then-dedup — Abbas
+    // et al. 2023): coarse clustering bounds the candidate space, then
+    // exact cosine dedup runs only WITHIN a cluster. Deterministic
+    // geometry so both engines agree bit-for-bit: the k=16 lowest
+    // vec_ids' vectors are the centroids (no RNG, no Lloyd state to
+    // reproduce cross-engine) and every vector assigns to its max-cosine
+    // centroid via the map-side HOF argmax ([[SimilarityQueries
+    // .assignNearest]] — zero shuffle on the vector side; ties break to
+    // the lowest centroid id in both engines). Pairs: the id-bounded
+    // canonical-candidate side BROADCASTs against the cluster-keyed
+    // corpus, so per-candidate cost is |cluster| ≈ n/k, not n — and the
+    // b-side is UNBOUNDED, so a wrong assignment anywhere in the corpus
+    // can surface as a wrong pair. The va < 2000 bound (like
+    // dedup_embedding's, documented) exists solely so the DuckDB oracle
+    // twin stays constant-cost as sf grows; at 100 TB the bound lifts
+    // and k scales with n (clusters stay O(1) rows), giving the
+    // SemDeDup economics: O(n²/k) total, partition-parallel by cluster.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = Tables.scanPar(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"),
+          VectorFunctions.floatNorm(col("embedding")).as("nrm"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val asg = SimilarityQueries.assignNearest(e, cents)
+      val cand = asg.filter(col("vec_id") < 2000)
+        .select(col("cid").as("cluster"), col("vec_id").as("va"),
+          col("v").as("av"), col("nrm").as("an"))
+      val all = asg.select(col("cid").as("cluster"),
+        col("vec_id").as("vb"), col("v").as("bv"), col("nrm").as("bn"))
+      broadcast(cand).join(all, "cluster")
+        .filter(col("va") < col("vb"))
+        .select(col("cluster"), col("va"), col("vb"),
+          (VectorFunctions.floatDot(col("av"), col("bv"))
+            / (col("an") * col("bn"))).as("cosine"))
+        .filter(col("cosine") >= 0.35)
+        .orderBy("va", "vb")
     }))
 
   /** Connected components over an undirected pair graph `(da, db)` by
@@ -1009,6 +1047,38 @@ object DedupQueries extends QueryGroup {
         |    (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_zip(a.v, b.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.35
+        |ORDER BY va, vb""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding AS v,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+        |  WHERE vec_id < 16),
+        |sc AS (SELECT e.vec_id, e.v, e.nrm, c.cid,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(e.v, c.cv),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |      (x, y) -> x + y) / (e.nrm * c.cn) AS cos
+        |  FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, v, nrm, cid AS cluster FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid) AS rn FROM sc) WHERE rn = 1)
+        |SELECT a.cluster AS cluster, a.vec_id AS va, b.vec_id AS vb,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_zip(a.v, b.v),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |    (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+        |FROM asg a JOIN asg b
+        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |WHERE a.vec_id < 2000
+        |  AND list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    list_transform(list_zip(a.v, b.v),
         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
         |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.35

@@ -33,6 +33,11 @@ object TextQueries extends QueryGroup {
     * letter runs | digit runs | single non-alnum). */
   private val bpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** The fixed BM25 bag-of-words query (see `text_bm25`): one rare term
+    * plus three common ones, in the FIXED order the per-doc score sums
+    * them (the oracle adds in the same literal order). */
+  private val bm25Terms = Seq("dup", "vector", "spark", "merge")
+
   /** Stopword markers per language for n-gram/marker language ID. On real
     * multilingual corpora these separate languages sharply; the synthetic
     * testdata is English-vocabulary for every `lang`, so the *machinery*
@@ -275,6 +280,50 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // BM25 retrieval — the search side of a corpus pipeline (quality-
+    // targeted retrieval, decontamination lookups, eval-set mining).
+    // Okapi BM25 (k1=1.2, b=0.75) over a fixed 4-term bag-of-words query
+    // ("dup" is the corpus's one rare term, df≈5% — the discriminative
+    // case; the rest are common, so the score mixes a rare-term spike
+    // with tf/length normalization), top-10 documents. Distributed shape
+    // = an inverted-index probe: the postings list is the shared
+    // [[tfTable]] FILTERED to the query terms — candidate docs, not the
+    // corpus, flow onward — df is a 4-row broadcast, per-doc length joins
+    // doc-keyed, corpus stats (n_docs, tot_tok) are a broadcast scalar,
+    // and the top-10 is a TakeOrdered, never a global sort. DETERMINISM
+    // (the §7.4.3 discipline): log-free Robertson idf, and the length
+    // norm is multiplied through by tot_tok = avgdl·n_docs (an exact
+    // long) so the whole score is one fixed-shape double tree over
+    // exact-int inputs — both engines produce bit-identical doubles; the
+    // per-doc sum adds the ≤4 term scores in FIXED literal order via a
+    // pivot, never a nondeterministic double SUM.
+    "text_bm25" -> ((s, dir) => {
+      val tf = tfTable(s, dir)
+      val post = tf.filter(col("term").isin(bm25Terms: _*))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tok"))
+      val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+      val idf = (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))
+      val num = col("tf").cast("double") * lit(2.2) *
+        col("tot_tok").cast("double")
+      val den = col("tf").cast("double") * col("tot_tok").cast("double") +
+        lit(1.2) * (lit(0.25) * col("tot_tok").cast("double") +
+          lit(0.75) * (col("dl").cast("double") *
+            col("n_docs").cast("double")))
+      val scored = post.join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"), (idf * (num / den)).as("s"))
+      val termScore = bm25Terms.map(t =>
+        coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_hit"),
+          termScore.reduce(_ + _).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // boilerplate detection (CCNet-style, per-source): a term that appears
     // in ≥ half of a source's documents is that source's boilerplate
     // vocabulary (nav text, legal footers, templates); per document,
@@ -452,6 +501,40 @@ object TextQueries extends QueryGroup {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
         |FROM m ORDER BY event_id""".stripMargin,
+
+    "text_bm25" ->
+      """WITH terms AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM terms GROUP BY doc_id, term),
+        |post AS (SELECT * FROM tf
+        |  WHERE term IN ('dup', 'vector', 'spark', 'merge')),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tok FROM dl),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+        |sc AS (SELECT post.doc_id AS doc_id, post.term AS term,
+        |    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |    * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+        |          * CAST(tot_tok AS DOUBLE))
+        |       / (CAST(tf AS DOUBLE) * CAST(tot_tok AS DOUBLE)
+        |          + CAST(1.2 AS DOUBLE)
+        |            * (CAST(0.25 AS DOUBLE) * CAST(tot_tok AS DOUBLE)
+        |               + CAST(0.75 AS DOUBLE)
+        |                 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)))))
+        |      AS s
+        |  FROM post JOIN dfreq ON post.term = dfreq.term
+        |  JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN stats)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_hit,
+        |  COALESCE(MAX(CASE WHEN term = 'dup' THEN s END), CAST(0 AS DOUBLE))
+        |  + COALESCE(MAX(CASE WHEN term = 'vector' THEN s END),
+        |      CAST(0 AS DOUBLE))
+        |  + COALESCE(MAX(CASE WHEN term = 'spark' THEN s END),
+        |      CAST(0 AS DOUBLE))
+        |  + COALESCE(MAX(CASE WHEN term = 'merge' THEN s END),
+        |      CAST(0 AS DOUBLE)) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "text_boilerplate" ->
       """WITH terms AS (SELECT doc_id,

@@ -36,6 +36,43 @@ class AggContractsSpec extends SparkSpec {
     assert(ap.getAs[Boolean]("p50_ok") && ap.getAs[Boolean]("p99_ok"))
   }
 
+  test("bm25: rare term dominates the ranking, output is score-sorted, " +
+      "and the top-k is a TakeOrdered, not a global sort") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val dir = "/root/testdata/sf0.01"
+    val q = graft.operators.TextQueries.queries("text_bm25")(spark, dir)
+    val out = q.collect()
+    assert(out.length == 10)
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "top-10 must come back in descending score order")
+    assert(scores.last > 0.0)
+    // idf("dup") ≈ 18.6 vs ≈0.3 for the common terms, so a single "dup"
+    // occurrence outranks any all-common document — with df("dup") ≥ 10
+    // the whole top-10 must contain the rare term. This is the contract
+    // that makes the operator a SEARCH (rare terms dominate), not a
+    // length-normalized popularity count.
+    val dupDocs = Tables.scan(spark, dir, "documents")
+      .filter(array_contains(
+        split(lower(trim(col("text"))), "\\s+"), "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dupDocs.size >= 10, "corpus premise: rare term df ≥ k")
+    assert(out.map(_.getAs[Long]("doc_id")).forall(dupDocs.contains),
+      "every top-10 doc must contain the rare query term")
+    // plan shape: orderBy+limit must plan as TakeOrderedAndProject —
+    // a distributed per-partition heap — never a full Sort exchange
+    // (AQE off so executedPlan is the full static tree, not an adaptive
+    // wrapper whose children collect() can't see)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.TextQueries.queries("text_bm25")(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"expected TakeOrderedAndProject in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("hll sketch merge: bounded merged-vs-one-pass gap + ≤5% error contract") {
     import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union_agg}
     val dir = "/root/testdata/sf0.01"

@@ -462,4 +462,31 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.35)
     }
   }
+
+  test("semantic dedup: pairs are canonical true near-dups, and " +
+      "cluster-bucketing only ever DROPS cross-cluster pairs ⊆ exact") {
+    val sem = DedupQueries.queries("dedup_semantic")(spark, sfDir).collect()
+    assert(sem.nonEmpty, "τ/cluster geometry should be non-vacuous here")
+    sem.foreach { r =>
+      assert(r.getAs[Long]("va") < r.getAs[Long]("vb"))
+      assert(r.getAs[Double]("cosine") >= 0.35)
+    }
+    // soundness vs the unclustered exact twin on the range both cover
+    // (dedup_embedding bounds both sides at vec_id < 500): a semantic
+    // pair is found ONLY by looking inside one cluster, so every such
+    // pair must also be an exact near-dup pair — clustering can lose
+    // cross-cluster pairs (the SemDeDup recall tradeoff) but can never
+    // invent one, and the shared-cosine values must agree bit-for-bit.
+    val exact = DedupQueries.queries("dedup_embedding")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val semIn = sem.filter(_.getAs[Long]("vb") < 500)
+    assert(semIn.nonEmpty)
+    semIn.foreach { r =>
+      val k = (r.getAs[Long]("va"), r.getAs[Long]("vb"))
+      assert(exact.contains(k), s"semantic pair $k not in the exact set")
+      assert(exact(k) == r.getAs[Double]("cosine"),
+        s"cosine mismatch for $k — kernels must agree bit-for-bit")
+    }
+  }
 }
