@@ -177,6 +177,56 @@ object CurationQueries extends QueryGroup {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // sequence packing — the pretraining step that concatenates documents
+    // into fixed-capacity context windows ("sequences", capacity 512
+    // tokens) with NEXT-FIT semantics: scan docs in order, append to the
+    // open sequence while it fits, else close it and start a new one; an
+    // oversize doc occupies a sequence alone. Packing is inherently a
+    // sequential fold, so it runs WITHIN a doc_id block (the same
+    // [[blockSize]] geometry as packShards) — exactly how production
+    // packers work (each worker packs its own shard independently), which
+    // makes the operator embarrassingly parallel: one shuffle keyed by
+    // block, then a pure Catalyst higher-order `aggregate` fold over the
+    // ≤blockSize-doc array — no UDF, no driver loop, no global state.
+    // (seq, off_tok) are block-local; (block, seq) is the global sequence
+    // id. The oracle is a DuckDB recursive CTE computing the identical
+    // fold — recursion depth = blockSize, width = #blocks.
+    "curate_pack_sequences" -> ((s, dir) => {
+      val cap = 512L
+      val outT = "array<struct<doc_id:bigint,tokens:bigint," +
+        "seq:bigint,off:bigint>>"
+      withTokens(s, dir)
+        .withColumn("block", floor(col("doc_id") / blockSize))
+        .groupBy("block")
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("tokens"))))
+          .as("docs"))
+        .withColumn("p",
+          explode(aggregate(col("docs"),
+            struct(lit(0L).as("seq"), lit(0L).as("fill"),
+              array().cast(outT).as("out")),
+            (acc, x) => {
+              // first doc (fill=0) always opens seq 0 — even oversize
+              val fits = acc.getField("fill") === 0L ||
+                acc.getField("fill") + x.getField("tokens") <= lit(cap)
+              val seq2 = when(fits, acc.getField("seq"))
+                .otherwise(acc.getField("seq") + 1L)
+              val off2 = when(fits, acc.getField("fill")).otherwise(lit(0L))
+              val fill2 = when(fits,
+                acc.getField("fill") + x.getField("tokens"))
+                .otherwise(x.getField("tokens"))
+              struct(seq2.as("seq"), fill2.as("fill"),
+                concat(acc.getField("out"), array(struct(
+                  x.getField("doc_id").as("doc_id"),
+                  x.getField("tokens").as("tokens"),
+                  seq2.as("seq"), off2.as("off")))).as("out"))
+            },
+            acc => acc.getField("out"))))
+        .select(col("block"), col("p.doc_id").as("doc_id"),
+          col("p.tokens").as("tokens"), col("p.seq").as("seq"),
+          col("p.off").as("off_tok"))
+        .orderBy("doc_id")
+    }),
+
     // Z-order (Morton) clustering key — the Delta/Iceberg-style layout
     // key for two-dimensional pruning, as a pure bitwise column
     // expression ([[Layout.zValue]]; writeZOrdered sorts by it so each
@@ -254,6 +304,34 @@ object CurationQueries extends QueryGroup {
         |    w[CAST(start + 1 AS INT):CAST(start + 128 AS INT)], ' '))
         |    AS chunk_md5
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the identical next-fit fold as a recursive CTE: base case = each
+    // block's first doc (seq 0, fill = its tokens), inductive step walks
+    // rn+1 carrying (seq, fill) — depth ≤ blockSize, width = #blocks
+    "curate_pack_sequences" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS tokens,
+        |    CAST(doc_id // 64 AS BIGINT) AS block
+        |  FROM documents),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY block
+        |    ORDER BY doc_id) AS BIGINT) AS rn FROM t),
+        |step AS (
+        |  SELECT block, rn, doc_id, tokens,
+        |    CAST(0 AS BIGINT) AS seq, tokens AS fill,
+        |    CAST(0 AS BIGINT) AS off
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.block, r.rn, r.doc_id, r.tokens,
+        |    CASE WHEN s.fill + r.tokens <= 512 THEN s.seq
+        |         ELSE s.seq + 1 END,
+        |    CASE WHEN s.fill + r.tokens <= 512 THEN s.fill + r.tokens
+        |         ELSE r.tokens END,
+        |    CASE WHEN s.fill + r.tokens <= 512 THEN s.fill
+        |         ELSE CAST(0 AS BIGINT) END
+        |  FROM step s JOIN r ON r.block = s.block AND r.rn = s.rn + 1)
+        |SELECT block, doc_id, tokens, seq, off AS off_tok
+        |FROM step ORDER BY doc_id""".stripMargin,
 
     // same 16-bit interleave, unrolled with DuckDB's bit operators
     "curate_zorder" -> {

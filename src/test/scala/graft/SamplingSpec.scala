@@ -96,6 +96,39 @@ class SamplingSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("sequence packing: bins respect capacity (oversize docs sit " +
+      "alone), offsets are exact prefix fills, seq ids are contiguous") {
+    val cap = 512L
+    val rows = graft.operators.CurationQueries
+      .queries("curate_pack_sequences")(spark, sfDir).collect()
+    val nDocs = Tables.scan(spark, sfDir, "documents").count()
+    assert(rows.length == nDocs, "every doc packs exactly once")
+    val byBin = rows.groupBy(r =>
+      (r.getAs[Long]("block"), r.getAs[Long]("seq")))
+    byBin.foreach { case ((blk, seq), docs) =>
+      val fill = docs.map(_.getAs[Long]("tokens")).sum
+      assert(fill <= cap || docs.length == 1,
+        s"bin ($blk,$seq) overfull at $fill with ${docs.length} docs")
+      // next-fit layout: offsets are the running fill in doc_id order
+      val inOrder = docs.sortBy(_.getAs[Long]("doc_id"))
+      var run = 0L
+      inOrder.foreach { d =>
+        assert(d.getAs[Long]("off_tok") == run,
+          s"bin ($blk,$seq): doc ${d.getAs[Long]("doc_id")} offset " +
+            s"${d.getAs[Long]("off_tok")} != running fill $run")
+        run += d.getAs[Long]("tokens")
+      }
+    }
+    // seqs within a block are contiguous from 0 (next-fit never skips)
+    rows.groupBy(_.getAs[Long]("block")).foreach { case (blk, docs) =>
+      val seqs = docs.map(_.getAs[Long]("seq")).distinct.sorted
+      assert(seqs.head == 0L && seqs.last == seqs.length - 1,
+        s"block $blk seq ids not contiguous: ${seqs.mkString(",")}")
+    }
+    // the geometry is non-trivial here: multi-doc bins exist
+    assert(byBin.exists(_._2.length > 1))
+  }
+
   test("stratified sample caps each stratum at k and is a corpus subset") {
     val docs = Tables.scan(spark, sfDir, "documents")
     val strata = docs.groupBy("lang").count().collect()
