@@ -177,6 +177,59 @@ object CurationQueries extends QueryGroup {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // weighted source interleaving — the EXECUTION step of data mixing
+    // (curate_mix_weights computes targets; this emits the actual
+    // training order): classic stride scheduling, where doc k of
+    // language l gets virtual time k / p_l for target mixture p, and
+    // the global order is ascending virtual time — every prefix of the
+    // output then holds each source in ≈ its target proportion (the
+    // property the mixture exists for, and what an RNG-draw interleave
+    // only achieves in expectation; spec asserts it on real prefixes).
+    // Within a language, docs arrive in the deterministic content-hash
+    // shuffle order (the curate_shuffle discipline — seedless,
+    // retry-stable). Scale shape: rank-in-lang is a lang-PARTITIONED
+    // window; the global position reuses the two-phase prefix-sum trick
+    // with bucket = floor(vt) — per-lang density is p_l docs per unit
+    // vt, so a bucket holds ≤ ~|langs| rows no matter the corpus size,
+    // and only the thin bucket-offset table pays a global window. The
+    // oracle is the naive single-window ROW_NUMBER over vt.
+    "curate_interleave" -> ((s, dir) => {
+      // declared target mixture (sums to 1; en upweighted, the common
+      // DoReMi-style non-uniform target)
+      val p = Seq("de" -> 0.2, "en" -> 0.4, "es" -> 0.2,
+        "fr" -> 0.1, "zh" -> 0.1)
+      val pCol = p.tail.foldLeft(when(col("lang") === p.head._1,
+        lit(p.head._2))) { case (acc, (l, w)) =>
+        acc.when(col("lang") === l, lit(w))
+      }.otherwise(lit(0.1))
+      val wLang = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      // localCheckpoint (the connectedComponents discipline): the ranked
+      // frame feeds BOTH the per-bucket position branch and the bucket
+      // count branch, and without materialization each branch re-executes
+      // the lang-rank window over the corpus (Catalyst has no cross-branch
+      // common-subplan reuse); eager + lineage-truncated, blocks reclaimed
+      // by the ContextCleaner once the returned plan is collected
+      val d = Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(wLang).cast("long"))
+        .withColumn("vt", col("rk").cast("double") / pCol)
+        .withColumn("bucket", floor(col("vt")))
+        .localCheckpoint(true)
+      val wLocal = Window.partitionBy("bucket")
+        .orderBy("vt", "lang", "rk")
+      val local = d.withColumn("local_rn", row_number().over(wLocal))
+      val wBucket = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = d.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .withColumn("offset", coalesce(sum("n").over(wBucket), lit(0L)))
+        .select("bucket", "offset")
+      local.join(offsets, "bucket")
+        .select(col("doc_id"), col("lang"), col("rk"), col("vt"),
+          (col("offset") + col("local_rn") - 1).cast("long").as("pos"))
+        .orderBy("pos")
+    }),
+
     // sequence packing — the pretraining step that concatenates documents
     // into fixed-capacity context windows ("sequences", capacity 512
     // tokens) with NEXT-FIT semantics: scan docs in order, append to the
@@ -304,6 +357,28 @@ object CurationQueries extends QueryGroup {
         |    w[CAST(start + 1 AS INT):CAST(start + 128 AS INT)], ' '))
         |    AS chunk_md5
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the naive single-window rank over virtual time — same math the
+    // two-phase bucketed plan computes
+    "curate_interleave" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS rk
+        |  FROM documents),
+        |v AS (SELECT doc_id, lang, rk,
+        |    CAST(rk AS DOUBLE) / (CASE lang
+        |      WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+        |      WHEN 'en' THEN CAST(0.4 AS DOUBLE)
+        |      WHEN 'es' THEN CAST(0.2 AS DOUBLE)
+        |      WHEN 'fr' THEN CAST(0.1 AS DOUBLE)
+        |      WHEN 'zh' THEN CAST(0.1 AS DOUBLE)
+        |      ELSE CAST(0.1 AS DOUBLE) END) AS vt
+        |  FROM r)
+        |SELECT doc_id, lang, rk, vt,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY vt, lang, rk) - 1 AS BIGINT)
+        |    AS pos
+        |FROM v ORDER BY pos""".stripMargin,
 
     // the identical next-fit fold as a recursive CTE: base case = each
     // block's first doc (seq 0, fill = its tokens), inductive step walks

@@ -117,6 +117,39 @@ object SamplingQueries extends QueryGroup {
         .orderBy("lang", "rk")
     }),
 
+    // quality-weighted importance sampling (the quality-filter /
+    // data-selection flavor): each document keeps with probability equal
+    // to its quality score, using a deterministic content-hash coin
+    // instead of rand() — u = first 24 md5 bits / 2^24, an EXACT double
+    // (integer over a power of two), so the keep decision is
+    // retry-stable and bit-identical cross-engine (same SPARK-23207
+    // argument as the rest of the family). The score is the SAME
+    // expression tree as `text_quality` (both oracles share it), so the
+    // sampler and the quality report can never disagree about a doc.
+    // Pure map-side: coin, score, and keep decision are all column
+    // expressions over the scan — zero shuffles before the harness sort.
+    "sample_importance" -> ((s, dir) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+        16, 10).cast("double") / lit(16777216.0)
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextQueries.toks(col("text"))).cast("double").as("n_tokens"),
+          length(col("text")).cast("double").as("n_chars"),
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
+            .as("n_punct"),
+          regexp_count(lower(col("text")),
+            lit("\\b(the|a|of|and|to|in|is|it)\\b")).cast("double")
+            .as("n_stop"),
+          u.as("u01"))
+        .select(col("doc_id"), col("lang"), col("u01"),
+          (least(lit(1.0), col("n_tokens") / lit(50.0))
+            * (lit(1.0) - col("n_punct") / col("n_chars"))
+            * (lit(1.0) - lit(0.5) * col("n_stop") / col("n_tokens")))
+            .as("q"))
+        .filter(col("u01") < col("q"))
+        .orderBy("doc_id")
+    }),
+
     // the same operator on a DIFFERENT table and grouping — per-priority QA
     // sample of orders (proves topKPerGroup is table-agnostic, not a
     // documents/lang special case)
@@ -162,6 +195,26 @@ object SamplingQueries extends QueryGroup {
         |  FROM documents)
         |SELECT doc_id, lang, rk FROM r
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    "sample_importance" ->
+      """WITH m AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)
+        |    AS n_tokens,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |    AS n_punct,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE) AS n_stop,
+        |  CAST(CAST(concat('0x',
+        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+        |    AS DOUBLE) / CAST(16777216 AS DOUBLE) AS u01
+        |  FROM documents),
+        |sc AS (SELECT doc_id, lang, u01,
+        |    least(1.0, n_tokens / 50.0) * (1.0 - n_punct / n_chars)
+        |      * (1.0 - 0.5 * n_stop / n_tokens) AS q
+        |  FROM m)
+        |SELECT doc_id, lang, u01, q FROM sc
+        |WHERE u01 < q ORDER BY doc_id""".stripMargin,
 
     "sample_topk_group" ->
       """WITH r AS (SELECT o_orderkey, o_orderpriority,

@@ -260,6 +260,25 @@ class PlanSpec extends SparkSpec {
       s"the per-document rank must be partitioned by bucket:\n$plan")
   }
 
+  test("curate_interleave: per-lang rank and per-bucket position are " +
+      "partitioned; only the bucket-offset window is global") {
+    val (_, plan) = staticPlan("curate_interleave")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the lang-rank window lives BEHIND the localCheckpoint (it feeds
+    // both branches, so it is materialized once and does not reappear
+    // here); downstream, only the bucket-partitioned position window and
+    // the thin bucket-offset global window remain
+    val (global, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    assert(global.size == 1 && partitioned.size == 1,
+      s"one global (bucket offsets) + one partitioned window:\n$plan")
+    assert(global.head.windowExpression.mkString.contains("n#"),
+      s"the global window must be over bucket counts only:\n$plan")
+    assert(partitioned.head.partitionSpec.mkString.contains("bucket"),
+      s"the position rank must be partitioned by vt bucket:\n$plan")
+  }
+
   test("alert_availability: every islands window is partitioned by the " +
       "rule key — monitoring series never funnel into one task") {
     val (_, plan) = staticPlan("alert_availability")

@@ -96,6 +96,62 @@ class SamplingSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("importance sampling is map-side, keeps exactly u<q, and is " +
+      "quality-biased (kept mean quality > dropped mean quality)") {
+    val df = q("sample_importance")
+    if (Layout.hasShuffleExchange(df))
+      fail("importance sampling must not shuffle:\n"
+        + df.queryExecution.executedPlan)
+    val kept = df.collect()
+    assert(kept.nonEmpty)
+    kept.foreach(r =>
+      assert(r.getAs[Double]("u01") < r.getAs[Double]("q")))
+    // the sampler must actually BIAS toward quality: compare the kept
+    // mean score against the full-corpus mean recomputed independently
+    // from text_quality (the shared-expression contract)
+    val all = graft.operators.TextQueries
+      .queries("text_quality")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score"))
+      .toMap
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    val keptMean = keptIds.toSeq.map(all).sum / keptIds.size
+    val dropped = all.keys.filterNot(keptIds).toSeq
+    assert(dropped.nonEmpty, "a sampler that keeps everything is vacuous")
+    val dropMean = dropped.map(all).sum / dropped.size
+    assert(keptMean > dropMean,
+      f"kept mean $keptMean%.3f must exceed dropped mean $dropMean%.3f")
+    // and the score the sampler used must BE text_quality's score
+    kept.foreach(r =>
+      assert(r.getAs[Double]("q") == all(r.getAs[Long]("doc_id")),
+        "sampler and text_quality disagree on a doc's score"))
+  }
+
+  test("interleave: every prefix holds each source near its target " +
+      "mixture until a source exhausts — the stride guarantee") {
+    val p = Map("de" -> 0.2, "en" -> 0.4, "es" -> 0.2,
+      "fr" -> 0.1, "zh" -> 0.1)
+    val rows = graft.operators.CurationQueries
+      .queries("curate_interleave")(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("pos"))
+    val langs = rows.map(_.getAs[String]("lang"))
+    assert(langs.toSet.subsetOf(p.keySet))
+    // position sequence is the contiguous 0..n-1 permutation
+    assert(rows.map(_.getAs[Long]("pos")).toSeq == (0L until rows.length))
+    // no source exhausts before vt touches the smallest corpus/weight
+    // ratio; below that every prefix tracks the target within ±|langs|
+    val counts = langs.groupBy(identity).view.mapValues(_.length)
+    val exhaustVt = counts.map { case (l, n) => n / p(l) }.min
+    val safeLen = rows.count(_.getAs[Double]("vt") <= exhaustVt)
+    for (m <- Seq(50, 100, 200, 300).filter(_ <= safeLen)) {
+      val pre = langs.take(m).groupBy(identity).view.mapValues(_.length)
+      p.foreach { case (l, w) =>
+        val c = pre.getOrElse(l, 0)
+        assert(math.abs(c - m * w) <= p.size,
+          s"prefix $m: lang $l count $c vs target ${m * w}")
+      }
+    }
+  }
+
   test("sequence packing: bins respect capacity (oversize docs sit " +
       "alone), offsets are exact prefix fills, seq ids are contiguous") {
     val cap = 512L
