@@ -117,6 +117,30 @@ object SamplingQueries extends QueryGroup {
         .orderBy("lang", "rk")
     }),
 
+    // LEAKAGE-SAFE split assignment: hashing each doc independently
+    // (sample_split) lets a near-dup pair straddle train/test — the
+    // classic eval-contamination bug (the model "generalizes" to a test
+    // doc it effectively saw in train). The fix: hash the near-dup
+    // COMPONENT's canonical id, so a whole cluster lands in one split.
+    // Pure composition of catalog operators: the shared verified pair
+    // table ([[DedupQueries.sharedPairs]] — its build is already paid by
+    // the dedup family within a session), distributed CC labels
+    // ([[DedupQueries.connectedComponents]] — large-star/small-star, no
+    // closure materialized), and the SAME md5 split CASE ([[splitOf]])
+    // applied to the component id. Singleton docs are their own
+    // component, so their assignment equals sample_split's.
+    "sample_split_safe" -> ((s, dir) => {
+      val pairs = DedupQueries.sharedPairs(s, dir)
+        .select(col("da"), col("db"))
+      val (labels, _) = DedupQueries.connectedComponents(pairs)
+      Tables.scan(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(labels, col("doc_id") === col("v"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("lbl"), col("doc_id")).as("component"))
+        .withColumn("split", splitOf(col("component")))
+        .orderBy("doc_id")
+    }),
+
     // quality-weighted importance sampling (the quality-filter /
     // data-selection flavor): each document keeps with probability equal
     // to its quality score, using a deterministic content-hash coin
@@ -195,6 +219,51 @@ object SamplingQueries extends QueryGroup {
         |  FROM documents)
         |SELECT doc_id, lang, rk FROM r
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    // the pair/CC prefix (through `comp`) is VERBATIM dedup_clusters'
+    // oracle — including the `e AS (SELECT` seam tools/check.py --sf1
+    // slices at to swap the recursive closure for bounded min-label
+    // propagation on dup-dense corpora
+    "sample_split_safe" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+        |cand0 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN rare r ON a.s = r.s
+        |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+        |cand AS (SELECT c.da, c.db, COUNT(*) AS common
+        |  FROM cand0 c
+        |  JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT da, db FROM cand
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE common / (sa.n + sb.n - common) >= 0.5),
+        |e AS (SELECT da, db FROM jp UNION SELECT db, da FROM jp),
+        |reach(v, r) AS (
+        |  SELECT da AS v, da AS r FROM e
+        |  UNION
+        |  SELECT e.da, reach.r FROM e JOIN reach ON e.db = reach.v),
+        |comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(c.component, d.doc_id) AS component,
+        |  CASE WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id)
+        |         AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+        |       WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id)
+        |         AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+        |ORDER BY doc_id""".stripMargin,
 
     "sample_importance" ->
       """WITH m AS (SELECT doc_id, lang,

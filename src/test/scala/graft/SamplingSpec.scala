@@ -126,6 +126,37 @@ class SamplingSpec extends SparkSpec {
         "sampler and text_quality disagree on a doc's score"))
   }
 
+  test("leakage-safe split: no near-dup pair straddles a split boundary " +
+      "(and the naive per-doc hash WOULD have leaked)") {
+    val safe = q("sample_split_safe").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[String]("split"))).toMap
+    val pairs = graft.operators.DedupQueries
+      .sharedPairs(spark, sfDir).select("da", "db").collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    assert(pairs.nonEmpty, "corpus premise: near-dup pairs exist")
+    pairs.foreach { case (a, b) =>
+      assert(safe(a)._2 == safe(b)._2,
+        s"pair ($a,$b) split across ${safe(a)._2}/${safe(b)._2}")
+      assert(safe(a)._1 == safe(b)._1, "paired docs share a component")
+    }
+    // the guarantee is non-vacuous: independent per-doc hashing assigns
+    // at least one near-dup pair to different splits on this corpus
+    import graft.operators.SamplingQueries.splitOf
+    val naive = Tables.scan(spark, sfDir, "documents")
+      .select(col("doc_id"), splitOf(col("doc_id")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
+      "premise: naive split must leak on this corpus, else the test " +
+        "proves nothing")
+    // singleton docs keep the naive assignment (component = own id)
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    safe.filterNot { case (id, _) => paired(id) }.foreach {
+      case (id, (comp, s)) =>
+        assert(comp == id && s == naive(id))
+    }
+  }
+
   test("interleave: every prefix holds each source near its target " +
       "mixture until a source exhausts — the stride guarantee") {
     val p = Map("de" -> 0.2, "en" -> 0.4, "es" -> 0.2,

@@ -94,6 +94,16 @@ CC_FINAL = {
         FROM cc_lbl GROUP BY l ORDER BY component""",
     "pipeline_clean_corpus_cc": None,     # prefix-dependent, built below
     "pipeline_clean_keep_longest": None,  # prefix-dependent, built below
+    "sample_split_safe": """
+        SELECT d.doc_id, d.lang,
+          COALESCE(l.l, d.doc_id) AS component,
+          CASE WHEN substr(md5(CAST(COALESCE(l.l, d.doc_id)
+                 AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+               WHEN substr(md5(CAST(COALESCE(l.l, d.doc_id)
+                 AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test'
+               ELSE 'train' END AS split
+        FROM documents d LEFT JOIN cc_lbl l ON d.doc_id = l.v
+        ORDER BY doc_id""",
 }
 
 
@@ -102,7 +112,7 @@ def bounded_cc(con, name, sql):
         raise RuntimeError(f"{name}: oracle SQL has no `e AS` seam")
     prefix = sql[:sql.index(CC_SEAM)]  # WITH ... jp AS (...)
     iterative_cc(con, prefix + "\nSELECT da, db FROM jp")
-    if name == "dedup_clusters":
+    if name in ("dedup_clusters", "sample_split_safe"):
         return con.sql(CC_FINAL[name])
     if name == "pipeline_clean_corpus_cc":
         return con.sql(prefix + """
