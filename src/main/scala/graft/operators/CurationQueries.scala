@@ -86,6 +86,35 @@ object CurationQueries extends QueryGroup {
         floor(col("cum_before").cast("double") / lit(budget.toDouble)))
   }
 
+  /** Content-defined chunking core (see the `curate_chunk_cdc` entry):
+    * docs(doc_id, text) → (doc_id, chunk_id, start_tok, n_tok,
+    * chunk_md5). Pure map-side HOFs — hash every token, cut after each
+    * token whose hash ≡ 0 (mod 32), slice+md5 each [start, end] run.
+    * Hoisted so the boundary-stability contract (edits only touch
+    * overlapping chunks) is spec-testable on synthetic docs. */
+  private[graft] def chunkCdc(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextQueries.toks(col("text")).as("w"))
+      .withColumn("h", transform(col("w"), t => TextQueries.charFold(t)))
+      // boundary AFTER 1-based position i, never after the last token
+      .withColumn("bnd", filter(
+        when(size(col("w")) > 1, sequence(lit(1), size(col("w")) - 1))
+          .otherwise(array().cast("array<int>")),
+        i => element_at(col("h"), i) % 32 === lit(0L)))
+      .withColumn("starts",
+        concat(array(lit(1)), transform(col("bnd"), i => i + 1)))
+      .withColumn("ends", concat(col("bnd"), array(size(col("w")))))
+      .select(col("doc_id"), col("w"),
+        posexplode(arrays_zip(col("starts"), col("ends")))
+          .as(Seq("chunk_id", "se")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("se.starts") - 1).cast("long").as("start_tok"),
+        (col("se.ends") - col("se.starts") + 1).cast("long").as("n_tok"),
+        md5(array_join(
+          slice(col("w"), col("se.starts"),
+            col("se.ends") - col("se.starts") + 1), " ").cast("binary"))
+          .as("chunk_md5"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token-budget shard packing: document i goes to the shard where its
     // FIRST token lands in the concatenated corpus token stream (docs may
@@ -176,6 +205,27 @@ object CurationQueries extends QueryGroup {
             " ").cast("binary")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")
     }),
+
+    // CONTENT-DEFINED chunking — the dedup-stable complement of
+    // curate_chunk's fixed stride: a boundary falls after token i
+    // whenever the token's rolling hash ≡ 0 (mod 32), so boundaries are
+    // decided by LOCAL content. Insert a paragraph and only the chunks
+    // that overlap the edit change identity — every chunk after the edit
+    // re-aligns on the same hash boundaries (fixed-stride chunking
+    // shifts EVERY later chunk, defeating chunk-level dedup between
+    // corpus snapshots; same reason backup/dedup systems use CDC
+    // chunking, here applied to token streams). The hash is THE shared
+    // rolling hash ([[TextQueries.charFold]] — text_fingerprint's), so
+    // chunk identity never drifts from the fingerprint family. Pure
+    // map-side HOFs per document (boundary positions, starts/ends,
+    // slice+md5): no shuffle at all, embarrassingly parallel at any
+    // scale; expected chunk length = the modulus (32 tokens).
+    // scanPar: the per-token char-fold hash is the heavy map stage —
+    // spread it instead of one task over the single-split test parquet
+    // (16.5 s → ~1 s at sf0.1)
+    "curate_chunk_cdc" -> ((s, dir) =>
+      chunkCdc(Tables.scanPar(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_id")),
 
     // weighted source interleaving — the EXECUTION step of data mixing
     // (curate_mix_weights computes targets; this emits the actual
@@ -357,6 +407,37 @@ object CurationQueries extends QueryGroup {
         |    w[CAST(start + 1 AS INT):CAST(start + 128 AS INT)], ' '))
         |    AS chunk_md5
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // relational twin of the map-side HOF form: per-token rows, boundary
+    // flag from the same rolling hash, chunk id = running count of
+    // boundaries strictly before the token, group back to chunks
+    "curate_chunk_cdc" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, w,
+        |    unnest(generate_series(CAST(1 AS BIGINT),
+        |      CAST(len(w) AS BIGINT))) AS i
+        |  FROM toks),
+        |h AS (SELECT doc_id, i, w[CAST(i AS INT)] AS t,
+        |    CAST(len(w) AS BIGINT) AS n,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(w[CAST(i AS INT)], ''),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |      (a, b) -> (a * 1000003 + b) % 1000000007) AS hv
+        |  FROM tok),
+        |cid AS (SELECT doc_id, i, t,
+        |    COALESCE(SUM(CASE WHEN i < n AND hv % 32 = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_id
+        |  FROM h)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(MIN(i) - 1 AS BIGINT) AS start_tok,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  md5(string_agg(t, ' ' ORDER BY i)) AS chunk_md5
+        |FROM cid GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // the naive single-window rank over virtual time — same math the
     // two-phase bucketed plan computes

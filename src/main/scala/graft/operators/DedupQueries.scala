@@ -662,6 +662,48 @@ object DedupQueries extends QueryGroup {
       }
     }),
 
+    // graph centrality over the near-dup similarity graph: 3 rounds of
+    // FIXED-POINT PageRank (d=0.85) — the quality-signal-propagation
+    // pattern (Common-Crawl domain ranking, representative selection
+    // inside dup clusters: the member most connected to its cluster
+    // scores highest). Determinism is the design: rank lives in 2^-20
+    // fixed point; the two per-round divisions (pr/deg, ·85/100) are
+    // floor'd IEEE double divisions over exact integers < 2^53 — the
+    // SAME expression both engines evaluate, so even a floor sitting on
+    // a rounding boundary lands identically — and every sum is an exact
+    // BIGINT aggregate (order-independent, partial-agg friendly). Scale
+    // shape: each round is one edge⋈rank hash join + one dst-keyed sum —
+    // the standard distributed PageRank; at 100 TB the edge table is
+    // pre-partitioned by vertex once so every round's join co-locates.
+    // Vertex set = pair endpoints (isolated docs have no centrality to
+    // propagate); edges from the session-shared verified pair table.
+    "dedup_pagerank" -> ((s, dir) => {
+      val scale = 1048576L
+      val tele = 157286L // floor(0.15 * 2^20)
+      val pairs = sharedPairs(s, dir).select(col("da"), col("db"))
+      val edges = pairs.union(pairs.select(col("db"), col("da")))
+        .toDF("src", "dst")
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      var pr = deg.select(col("src").as("v"), lit(scale).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr.withColumnRenamed("v", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst"),
+            floor(col("pr").cast("double") / col("deg").cast("double"))
+              .cast("long").as("c"))
+          .groupBy("dst").agg(sum("c").as("sc"))
+        pr = deg.select(col("src").as("v"))
+          .join(contrib.withColumnRenamed("dst", "v"), Seq("v"), "left")
+          .select(col("v"), (lit(tele) +
+            floor((coalesce(col("sc"), lit(0L)) * 85).cast("double")
+              / lit(100.0)).cast("long")).as("pr"))
+      }
+      pr.select(col("v").as("doc_id"), col("pr").as("pr_fix"),
+        (col("pr").cast("double") / lit(1048576.0)).as("pr"))
+        .orderBy("doc_id")
+    }),
+
     // op 45d: embedding-cosine near-dup pairs — exact, oracle-verified.
     // τ=0.35 sits above the corpus's p99.9 pairwise cosine (0.377 max 0.513
     // at sf0.01) so the result is selective but non-empty.
@@ -1032,6 +1074,67 @@ object DedupQueries extends QueryGroup {
         |SELECT component, COUNT(*) AS size,
         |  array_to_string(list_sort(list(v)), ',') AS members
         |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+
+    // pair/edge prefix (through `e`) is VERBATIM dedup_clusters'; the 3
+    // PageRank rounds are unrolled plainly (no recursion), each round
+    // the identical floor'd-double/BIGINT expressions the Spark side runs
+    "dedup_pagerank" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+        |cand0 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN rare r ON a.s = r.s
+        |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+        |cand AS (SELECT c.da, c.db, COUNT(*) AS common
+        |  FROM cand0 c
+        |  JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |  GROUP BY 1, 2),
+        |jp AS (SELECT da, db FROM cand
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE common / (sa.n + sb.n - common) >= 0.5),
+        |e AS (SELECT da, db FROM jp UNION SELECT db, da FROM jp),
+        |deg AS (SELECT da AS v, COUNT(*) AS deg FROM e GROUP BY da),
+        |pr0 AS (SELECT v, CAST(1048576 AS BIGINT) AS pr FROM deg),
+        |c1 AS (SELECT e.db AS v, CAST(SUM(CAST(floor(
+        |      CAST(p.pr AS DOUBLE) / CAST(d.deg AS DOUBLE)) AS BIGINT))
+        |    AS BIGINT) AS sc
+        |  FROM e JOIN pr0 p ON e.da = p.v JOIN deg d ON e.da = d.v
+        |  GROUP BY e.db),
+        |pr1 AS (SELECT deg.v, CAST(157286 + CAST(floor(
+        |    CAST(COALESCE(c.sc, 0) * 85 AS DOUBLE) / 100.0) AS BIGINT)
+        |    AS BIGINT) AS pr
+        |  FROM deg LEFT JOIN c1 c ON deg.v = c.v),
+        |c2 AS (SELECT e.db AS v, CAST(SUM(CAST(floor(
+        |      CAST(p.pr AS DOUBLE) / CAST(d.deg AS DOUBLE)) AS BIGINT))
+        |    AS BIGINT) AS sc
+        |  FROM e JOIN pr1 p ON e.da = p.v JOIN deg d ON e.da = d.v
+        |  GROUP BY e.db),
+        |pr2 AS (SELECT deg.v, CAST(157286 + CAST(floor(
+        |    CAST(COALESCE(c.sc, 0) * 85 AS DOUBLE) / 100.0) AS BIGINT)
+        |    AS BIGINT) AS pr
+        |  FROM deg LEFT JOIN c2 c ON deg.v = c.v),
+        |c3 AS (SELECT e.db AS v, CAST(SUM(CAST(floor(
+        |      CAST(p.pr AS DOUBLE) / CAST(d.deg AS DOUBLE)) AS BIGINT))
+        |    AS BIGINT) AS sc
+        |  FROM e JOIN pr2 p ON e.da = p.v JOIN deg d ON e.da = d.v
+        |  GROUP BY e.db),
+        |pr3 AS (SELECT deg.v, CAST(157286 + CAST(floor(
+        |    CAST(COALESCE(c.sc, 0) * 85 AS DOUBLE) / 100.0) AS BIGINT)
+        |    AS BIGINT) AS pr
+        |  FROM deg LEFT JOIN c3 c ON deg.v = c.v)
+        |SELECT v AS doc_id, pr AS pr_fix,
+        |  CAST(pr AS DOUBLE) / 1048576.0 AS pr
+        |FROM pr3 ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding AS v,

@@ -187,6 +187,44 @@ object SimilarityQueries extends QueryGroup {
               * VectorFunctions.doubleNorm(col("cb"))))
             .as("cosine"))
         .orderBy("la", "lb")
+    }),
+
+    // one GRADED Lloyd round of k-means — the oracle-checked twin of the
+    // Lloyd machinery the IVF path ([[lloydCentroids]]) runs rows-only:
+    // same deterministic seeds-by-id, same map-side [[assignNearest]]
+    // argmax (zero vector-side shuffle), same 1e-6 fixed-point
+    // re-centering (floor to integer micros, BIGINT sums — exact,
+    // order-independent, partial-agg friendly, bit-reproducible across
+    // engines where float/decimal casts are not). Per cluster: member
+    // count, the re-centered mean (ARRAY<DOUBLE> in dim order), and the
+    // centroid shift — dim-ordered fold of squared deltas against the
+    // seed, one sqrt at the end (sqrt is correctly-rounded IEEE, unlike
+    // ln/exp). Shuffle budget: one (cid, dim)-keyed exchange of integer
+    // partials — k×dims rows to the final agg, nothing corpus-sized.
+    "sim_kmeans" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val newC = assignNearest(e, cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(sum(floor(col("x").cast("double") * 1e6).cast("long")).as("sx"),
+          count(lit(1)).as("cnt"))
+        .groupBy("cid")
+        .agg(max(col("cnt")).as("n"),
+          array_sort(collect_list(struct(col("dim"),
+            (col("sx").cast("double")
+              / (col("cnt").cast("double") * 1e6)).as("cx")))).as("dc"))
+        .select(col("cid").as("cluster"), col("n"),
+          transform(col("dc"), p => p.getField("cx")).as("centroid"))
+      newC.join(broadcast(cents.select(col("cid").as("cluster"),
+          col("c").as("seed"))), "cluster")
+        .select(col("cluster"), col("n"), col("centroid"),
+          sqrt(aggregate(
+            zip_with(col("centroid"), col("seed"),
+              (a, b) => (a - b.cast("double")) * (a - b.cast("double"))),
+            lit(0.0), (acc, d) => acc + d)).as("shift"))
+        .orderBy("cluster")
     }))
 
 
@@ -432,5 +470,48 @@ object SimilarityQueries extends QueryGroup {
         |      list_transform(b.centroid, x -> x * x)), (x, y) -> x + y)))
         |  AS cosine
         |FROM cent a JOIN cent b ON a.label < b.label
-        |ORDER BY la, lb""".stripMargin)
+        |ORDER BY la, lb""".stripMargin,
+
+    // assignment CTEs (e/c/sc/asg) mirror dedup_semantic's oracle — the
+    // proven cross-engine-identical cosine-argmax formulation; the
+    // re-centering CTEs mirror sim_centroids' fixed-point mean
+    "sim_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding AS v,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+        |  WHERE vec_id < 16),
+        |sc AS (SELECT e.vec_id, e.v, c.cid,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(e.v, c.cv),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |      (x, y) -> x + y) / (e.nrm * c.cn) AS cos
+        |  FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, v, cid AS cluster FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid) AS rn FROM sc) WHERE rn = 1),
+        |dims AS (SELECT cluster, u.dim - 1 AS dim, u.x
+        |  FROM (SELECT cluster, unnest(v) AS x,
+        |          generate_subscripts(v, 1) AS dim
+        |        FROM asg) u(cluster, x, dim)),
+        |cd AS (SELECT cluster, dim,
+        |    CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |      AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000) AS cx,
+        |    COUNT(*) AS cnt
+        |  FROM dims GROUP BY cluster, dim),
+        |nc AS (SELECT cluster, CAST(MAX(cnt) AS BIGINT) AS n,
+        |    list_transform(list_sort(list(struct_pack(dim := dim, cx := cx))),
+        |      s -> s.cx) AS centroid
+        |  FROM cd GROUP BY cluster)
+        |SELECT nc.cluster, nc.n, nc.centroid,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(list_zip(nc.centroid, c.cv),
+        |      p -> (p[1] - CAST(p[2] AS DOUBLE))
+        |         * (p[1] - CAST(p[2] AS DOUBLE)))),
+        |    (x, y) -> x + y)) AS shift
+        |FROM nc JOIN c ON nc.cluster = c.cid
+        |ORDER BY cluster""".stripMargin)
 }

@@ -19,7 +19,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Determinism note: quality/langid scores use only +,-,*,/ and integer
   * counts (IEEE-exact, bit-identical across engines); no transcendental
   * functions (exp/ln/pow), whose last-ULP rounding differs between libm
-  * implementations and would break the DuckDB hash-compare.
+  * implementations and would break the DuckDB hash-compare (measured:
+  * 6/300k integer inputs differ in the last ulp, JVM vs DuckDB ln). The
+  * one deliberate exception is `text_perplexity`, which QUANTIZES ln to
+  * 2^-20 fixed point at the vocabulary seam — a quantization flip needs
+  * the 1-ulp disagreement interval to straddle a 2^-20 grid line
+  * (P ≈ 2^-29 per input) — and is exact BIGINT arithmetic downstream.
   */
 object TextQueries extends QueryGroup {
 
@@ -53,7 +58,7 @@ object TextQueries extends QueryGroup {
   /** Polynomial rolling hash of a string, char by char:
     * h = (h * 1000003 + code(c)) mod 1000000007. Stays within Long
     * (max ~1e9*1e6+1114111 < 2^63) so both engines compute it exactly. */
-  private def charFold(c: Column): Column =
+  private[operators] def charFold(c: Column): Column =
     aggregate(split(c, ""), lit(0L),
       (acc, ch) => (acc * 1000003L + ascii(ch)) % 1000000007L)
 
@@ -354,6 +359,77 @@ object TextQueries extends QueryGroup {
           (coalesce(col("n_boiler"), lit(0L)).cast("double")
             / col("n_tokens").cast("double")).as("boiler_frac"))
         .orderBy("doc_id")
+    }),
+
+    // BPE tokenizer training, step one: adjacent-symbol pair counts over
+    // the word-frequency dictionary — the statistic every merge round of
+    // byte-pair encoding (Sennrich et al. 2016) maximizes. The classic
+    // scale trick IS the plan shape: pairs are counted over DISTINCT
+    // words weighted by corpus frequency, never over corpus positions —
+    // the pair-enumeration stage is O(|vocab| × word-length) regardless
+    // of corpus size, and the corpus-sized work (word counting) is the
+    // one shuffle the shared [[tfTable]] already paid. Map-side HOF pair
+    // enumeration (no per-position explode of the corpus), one
+    // vocabulary-sized shuffle on `pair`, TakeOrdered top-20. Counts are
+    // exact integers; ties break lexicographically.
+    "text_bpe_pairs" -> ((s, dir) => {
+      val wf = tfTable(s, dir)
+        .groupBy("term").agg(sum("tf").as("freq"))
+      wf.filter(length(col("term")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("term")) - 1),
+          i => col("term").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair")
+        .agg(sum("freq").as("cnt"), count(lit(1)).as("n_types"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // CCNet-style unigram language-model cross-entropy — the perplexity
+    // quality filter (Wenzek et al. 2020): score each document by how
+    // surprising its tokens are under the corpus's own unigram LM; high
+    // cross-entropy = tail/noise, low = head/common text. Determinism is
+    // the whole design: ln() is NOT cross-engine bit-stable (measured
+    // here: 6/300k integer inputs differ in the last ulp between JVM
+    // Math.log and DuckDB libm), so each term's log-probability is
+    // QUANTIZED ONCE to 2^-20 fixed point — lnq(x) = floor(ln(x)·2^20)
+    // on exact-integer inputs, where a quantization flip needs the 1-ulp
+    // disagreement interval to straddle a 2^-20 grid line (P ≈ 2^-29 per
+    // distinct input — ignorable) — and EVERYTHING downstream is exact
+    // BIGINT arithmetic: per-token surprisal = lnqN − lnq(freq), per-doc
+    // sum is an order-independent integer SUM (no sorted-fold needed, so
+    // partial aggregation parallelizes freely), and the reported double
+    // is one exact division at the end. Distributed shape: vocabulary-
+    // sized freq aggregate off the shared [[tfTable]], term-keyed join
+    // back (vocab too big to broadcast at corpus scale), one doc-keyed
+    // sum; head/tail bucket thresholds are fixed literals on the
+    // per-token integer score (integer compares, no percentile pass).
+    "text_perplexity" -> ((s, dir) => {
+      val tf = tfTable(s, dir)
+      val lnq = (c: Column) =>
+        floor(log(c.cast("double")) * lit(1048576.0)).cast("long")
+      // quantize once per VOCABULARY term (not per (doc, term) row — the
+      // joined frame is corpus-sized, the vocab is not)
+      val freq = tf.groupBy("term").agg(sum("tf").as("freq"))
+        .select(col("term"), col("freq"), lnq(col("freq")).as("lnq_f"))
+      val stats = freq.agg(sum("freq").as("tot_tok"))
+        .select(lnq(col("tot_tok")).as("lnq_n"))
+      tf.join(freq, "term")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tok"),
+          sum(col("tf") * (col("lnq_n") - col("lnq_f"))).as("xent_fix"))
+        .select(col("doc_id"), col("n_tok"), col("xent_fix"),
+          (col("xent_fix").cast("double")
+            / (col("n_tok").cast("double") * lit(1048576.0))).as("xent"),
+          // fixed literal thresholds in 2^-20 nats/token (3.40 / 3.41 —
+          // tuned to the synthetic corpus's spread the way a deployment
+          // tunes them to a reference-corpus quantile pass; integer
+          // compares, no global percentile stage)
+          when(col("xent_fix") < col("n_tok") * lit(3565158L), "head")
+            .when(col("xent_fix") < col("n_tok") * lit(3575644L), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -561,5 +637,47 @@ object TextQueries extends QueryGroup {
         |  CAST(COALESCE(bt.n_boiler, 0) AS DOUBLE)
         |    / CAST(t.n_tokens AS DOUBLE) AS boiler_frac
         |FROM tot t LEFT JOIN bt USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |            AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |wf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS freq
+        |  FROM tf GROUP BY term),
+        |p AS (SELECT freq,
+        |    unnest(list_transform(range(1, length(term)),
+        |      i -> substr(term, CAST(i AS INT), 2))) AS pair
+        |  FROM wf WHERE length(term) >= 2)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "text_perplexity" ->
+      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |            AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |freq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS freq
+        |  FROM tf GROUP BY term),
+        |st AS (SELECT CAST(floor(ln(CAST(SUM(freq) AS DOUBLE)) * 1048576.0)
+        |    AS BIGINT) AS lnq_n FROM freq),
+        |sc AS (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
+        |    CAST(SUM(tf.tf * (st.lnq_n
+        |      - CAST(floor(ln(CAST(f.freq AS DOUBLE)) * 1048576.0)
+        |          AS BIGINT))) AS BIGINT) AS xent_fix
+        |  FROM tf JOIN freq f USING (term) CROSS JOIN st
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, n_tok, xent_fix,
+        |  CAST(xent_fix AS DOUBLE)
+        |    / (CAST(n_tok AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS xent,
+        |  CASE WHEN xent_fix < n_tok * 3565158 THEN 'head'
+        |       WHEN xent_fix < n_tok * 3575644 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc ORDER BY doc_id""".stripMargin)
 }

@@ -183,6 +183,20 @@ class PlanSpec extends SparkSpec {
       s"PII redaction must not shuffle:\n$plan")
   }
 
+  test("curate_chunk_cdc: content-defined chunking is map-side — " +
+      "no hash exchange at all") {
+    val (_, plan) = staticPlan("curate_chunk_cdc")
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    // boundary hash, chunk pairing, slice+md5 are all per-document HOFs;
+    // the only exchanges are scanPar's round-robin widening and the
+    // harness ORDER BY's range partition
+    assert(hashShuffles.isEmpty,
+      s"content-defined chunking must not shuffle:\n$plan")
+  }
+
   test("ts_interval_merge: lag, running sum, and the interval rollup " +
       "share one user_id exchange") {
     val (_, plan) = staticPlan("ts_interval_merge")
