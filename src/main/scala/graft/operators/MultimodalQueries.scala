@@ -175,6 +175,35 @@ object MultimodalQueries extends QueryGroup {
     // deployment digests the BINARY column directly and halves the bytes
     // hashed. (At sf0.1 the corpus contains real byte-identical payload
     // groups; smaller SFs are all singletons — both states oracle-checked.)
+    // frame sampling — the video-modality access pattern: from each media
+    // payload emit every 4th fixed-size (64 B) frame as (index, offset,
+    // length, header bytes) WITHOUT decoding — pure offset arithmetic and
+    // byte slicing, the seek-and-slice a real container demuxer performs
+    // before handing frames to a decoder (which at deploy time replaces
+    // the slice via the MediaPipeline mapPartitions seam). Shapes: the
+    // payload is hexed ONCE per media row BEFORE the frame explode (the
+    // explode multiplies rows, not the encode work), everything is
+    // map-side — zero shuffles, and at 100 TB the stride-4 sampling is
+    // the 4× scan reducer it is in production frame pipelines.
+    "mm_frames" -> ((s, dir) => {
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"), hex(col("payload")).as("ph"),
+          octet_length(col("payload")).as("plen"))
+        .filter(col("plen") > 0)
+        .select(col("doc_id"), col("ph"), col("plen"),
+          explode(sequence(lit(0L),
+            ceil(col("plen") / lit(64.0)).cast("long") - lit(1L),
+            lit(4L))).as("fi"))
+        .select(col("doc_id"), col("fi").cast("int").as("frame_idx"),
+          (col("fi") * lit(64L)).as("frame_off"),
+          least(lit(64L), col("plen").cast("long") - col("fi") * lit(64L))
+            .as("frame_len"),
+          col("ph").substr((col("fi") * lit(128L) + lit(1L)).cast("int"),
+            lit(32)).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "mm_dedup" -> ((s, dir) => {
       Tables.scan(s, dir, "documents")
         .select(col("doc_id"),
@@ -195,6 +224,20 @@ object MultimodalQueries extends QueryGroup {
         |  substr(hex(encode(text)), 1, 16) AS header_hex,
         |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """WITH m AS (SELECT doc_id, encode(text) AS payload FROM documents),
+        |f AS (SELECT doc_id, hex(payload) AS ph,
+        |    octet_length(payload) AS plen
+        |  FROM m WHERE octet_length(payload) > 0),
+        |s AS (SELECT doc_id, ph, plen,
+        |  unnest(range(0, CAST(ceil(plen / 64.0) AS BIGINT), 4)) AS fi
+        |  FROM f)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(fi * 64 AS BIGINT) AS frame_off,
+        |  CAST(least(64, plen - fi * 64) AS BIGINT) AS frame_len,
+        |  substr(ph, CAST(fi * 128 + 1 AS BIGINT), 32) AS frame_hex
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id AS media_id,

@@ -430,6 +430,54 @@ object TextQueries extends QueryGroup {
             .when(col("xent_fix") < col("n_tok") * lit(3575644L), "middle")
             .otherwise("tail").as("bucket"))
         .orderBy("doc_id")
+    }),
+
+    // BPE tokenizer TRAINING — the iterated merge loop `text_bpe_pairs`
+    // is one round of (Sennrich et al. 2016, learn_bpe). Five rounds:
+    // each counts adjacent-symbol pairs over the DISTINCT-word frequency
+    // dictionary (vocab-sized work, never corpus-sized — the BPE scale
+    // property; the corpus-sized shuffle was paid once by the shared
+    // [[tfTable]]), picks the max-count pair (ties lexicographic — a
+    // total order, so the 1-row TakeOrdered is deterministic), and
+    // applies the merge before recounting. The per-round merge decision
+    // is a bounded 1-row collect (the same driver-loop shape as Lloyd
+    // rounds in the IVF builder); the merge APPLICATION stays a
+    // distributed column expression — `replace` on the space-separated
+    // symbol string " a b c " performs exactly the leftmost
+    // non-overlapping merge in both engines (shared-delimiter overlaps
+    // resolve left-first: " a a a " → " aa a "), and the corpus is
+    // ASCII (checked) so Java-regex vs RE2 per-char splits agree.
+    "text_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val wf = tfTable(s, dir).groupBy("term").agg(sum("tf").as("freq"))
+        .select(col("freq"),
+          concat(lit(" "), regexp_replace(col("term"), "(.)", "$1 "))
+            .as("repr"))
+      var cur = wf
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (r <- 1 to 5) {
+        val syms = split(trim(col("repr")), " ")
+        val best = cur
+          .filter(size(syms) >= 2)
+          .select(col("freq"),
+            explode(zip_with(
+              slice(syms, lit(1), size(syms) - 1),
+              slice(syms, lit(2), size(syms) - 1),
+              (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()(0)
+        val a = best.getString(0)
+        val b = best.getString(1)
+        merges += ((r, a, b, best.getLong(2)))
+        cur = cur.select(col("freq"),
+          replace(col("repr"), lit(s" $a $b "), lit(s" $a$b ")).as("repr"))
+      }
+      merges.result().toDF("round", "a", "b", "cnt")
+        .select(col("round"), col("a"), col("b"),
+          concat(col("a"), col("b")).as("merged"), col("cnt"))
+        .orderBy("round")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -679,5 +727,42 @@ object TextQueries extends QueryGroup {
         |  CASE WHEN xent_fix < n_tok * 3565158 THEN 'head'
         |       WHEN xent_fix < n_tok * 3575644 THEN 'middle'
         |       ELSE 'tail' END AS bucket
-        |FROM sc ORDER BY doc_id""".stripMargin)
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // five plainly-unrolled merge rounds (the dedup_pagerank oracle
+    // pattern): each round = pair count over the current spaced-symbol
+    // dictionary, 1-row best-pair CTE, literal `replace` apply
+    "text_bpe_train" -> {
+      val base =
+        """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+          |  FROM (SELECT doc_id,
+          |          unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+          |            AS term
+          |        FROM documents)
+          |  GROUP BY doc_id, term),
+          |wf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS freq
+          |  FROM tf GROUP BY term),
+          |w0 AS (SELECT freq,
+          |  ' ' || regexp_replace(term, '(.)', '\1 ', 'g') AS repr
+          |  FROM wf)""".stripMargin
+      val rounds = (1 to 5).map { i =>
+        s"""p$i AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, syms[i] AS a, syms[i+1] AS b FROM (
+           |      SELECT freq, syms, unnest(range(1, len(syms))) AS i
+           |      FROM (SELECT freq, string_split(trim(repr), ' ') AS syms
+           |            FROM w${i - 1})))
+           |  GROUP BY a, b),
+           |b$i AS (SELECT a, b, cnt FROM p$i
+           |  ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$i AS (SELECT freq, replace(repr,
+           |    ' ' || (SELECT a FROM b$i) || ' ' ||
+           |      (SELECT b FROM b$i) || ' ',
+           |    ' ' || (SELECT a || b FROM b$i) || ' ') AS repr
+           |  FROM w${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 5).map { i =>
+        s"SELECT CAST($i AS INT) AS round, a, b, a||b AS merged, cnt FROM b$i"
+      }.mkString(" UNION ALL ")
+      s"$base,\n$rounds\nSELECT * FROM ($rows) ORDER BY round"
+    })
 }

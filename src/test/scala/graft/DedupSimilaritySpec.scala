@@ -489,4 +489,44 @@ class DedupSimilaritySpec extends SparkSpec {
         s"cosine mismatch for $k — kernels must agree bit-for-bit")
     }
   }
+
+  test("sim_quantize: codes match a driver-side IEEE recompute; absmax " +
+      "element saturates; SSE obeys the half-step error bound") {
+    val vecs = graft.sources.Tables.scan(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).toArray)
+      .toMap
+    val graded = SparkEntry.queries("sim_quantize")(spark, sfDir).collect()
+    assert(graded.length == vecs.size)
+    graded.foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      val maxabs = v.map(x => math.abs(x.toDouble)).max
+      val scale = maxabs / 127.0
+      def q(x: Float): Long =
+        if (scale == 0.0) 0L else math.floor(x.toDouble / scale + 0.5).toLong
+      assert(r.getAs[Double]("maxabs") == maxabs)
+      assert(r.getAs[Double]("scale") == scale)
+      // same fixed expression tree per element → bit-identical fold
+      val checksum = v.zipWithIndex.map { case (x, i) => q(x) * (i + 1) }.sum
+      assert(r.getAs[Long]("checksum") == checksum)
+      val nSat = v.count(x => math.abs(q(x)) == 127L)
+      assert(r.getAs[Long]("n_sat") == nSat)
+      assert(nSat >= 1, "the absmax element must saturate to ±127")
+      var sse = 0.0
+      v.foreach { x =>
+        val d = x.toDouble - q(x).toDouble * scale
+        sse += d * d
+      }
+      assert(r.getAs[Double]("sse") == sse)
+      // each code is within half a quantization step of its input, so
+      // SSE ≤ dims · (scale/2)² (+1 ulp headroom for the rounding chain)
+      assert(sse <= v.length * (scale / 2.0) * (scale / 2.0) * 1.0001,
+        s"SSE $sse exceeds the half-step bound for ${r.getAs[Long]("vec_id")}")
+      // codes fit int8: |q| ≤ 127 for every element
+      v.foreach(x => assert(math.abs(q(x)) <= 127L))
+    }
+  }
 }

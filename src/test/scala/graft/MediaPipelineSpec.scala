@@ -224,6 +224,38 @@ class MediaPipelineSpec extends SparkSpec {
       .collect().map(f => f.media_id -> f.frame_checksums).toMap
     assert(a == b)
   }
+
+  test("mm_frames: stride-4 sampling emits exactly every 4th frame, " +
+      "offsets/lengths tile the payload, slices are the payload's bytes") {
+    import org.apache.spark.sql.functions._
+    val payloads = graft.sources.Tables.scan(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("p"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val rows = SparkEntry.queries("mm_frames")(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    payloads.filter(_._2.nonEmpty).foreach { case (id, p) =>
+      val nFrames = math.ceil(p.length / 64.0).toLong
+      val expectIdx = (0L until nFrames by 4L).map(_.toInt)
+      val got = byDoc(id).sortBy(_.getAs[Int]("frame_idx"))
+      assert(got.map(_.getAs[Int]("frame_idx")).toSeq == expectIdx,
+        s"doc $id: sampled frame indices")
+      got.foreach { r =>
+        val off = r.getAs[Long]("frame_off")
+        val len = r.getAs[Long]("frame_len")
+        assert(off == r.getAs[Int]("frame_idx").toLong * 64L)
+        assert(len == math.min(64L, p.length - off),
+          s"doc $id frame ${r.getAs[Int]("frame_idx")}: length")
+        // header hex = first min(16, len) bytes of the slice, verbatim
+        val want = p.slice(off.toInt, off.toInt + math.min(16L, len).toInt)
+          .map("%02X".format(_)).mkString
+        assert(r.getAs[String]("frame_hex") == want,
+          s"doc $id frame ${r.getAs[Int]("frame_idx")}: header bytes")
+      }
+    }
+    // every emitted row belongs to a known payload (no phantom frames)
+    assert(byDoc.keySet.subsetOf(payloads.keySet))
+  }
 }
 
 /** Executor-side probe for the batch seam: fails the task on an

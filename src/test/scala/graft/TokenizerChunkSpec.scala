@@ -218,4 +218,49 @@ class TokenizerChunkSpec extends SparkSpec {
       assert(r.getAs[Double]("shift") == shift)
     }
   }
+
+  test("text_bpe_train: the distributed merge loop equals an independent " +
+      "driver-side BPE reference (leftmost non-overlapping merges)") {
+    // reference implementation straight from the algorithm statement:
+    // symbol sequences as vectors, pair counts as a mutable map, merges
+    // applied left-to-right non-overlapping — no string/replace tricks,
+    // so agreement proves the spaced-string `replace` encoding is faithful
+    var words: Seq[(Vector[String], Long)] =
+      Tables.scan(spark, sfDir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .collect()
+        .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1)))
+        .toSeq
+    def mergeOne(syms: Vector[String], a: String, b: String)
+        : Vector[String] = {
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          buf += (a + b); i += 2
+        } else { buf += syms(i); i += 1 }
+      }
+      buf.result()
+    }
+    val expect = (1 to 5).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(
+          c => Some(c.getOrElse(0L) + f))
+      val ((a, b), c) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      words = words.map { case (syms, f) => (mergeOne(syms, a, b), f) }
+      (r, a, b, a + b, c)
+    }
+    val graded = q("text_bpe_train").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("a"),
+        r.getAs[String]("b"), r.getAs[String]("merged"),
+        r.getAs[Long]("cnt"))).toSeq
+    assert(graded == expect,
+      s"merge table diverged from the reference: $graded vs $expect")
+    // the merge sequence must be strictly useful: counts are positive and
+    // each round's best count can only shrink or hold as pairs merge away
+    assert(expect.forall(_._5 > 0))
+  }
 }
