@@ -745,6 +745,30 @@ object CdcQueries extends QueryGroup {
       TxnApply.applyStatusBatch(seen, meta, r.getLong(1)).orderBy("txid")
     }),
 
+    // Same apply decision when the TRANSACTION topic itself lags: END
+    // records ride at a transaction's max lsn, and the tx consumer has
+    // only reached 80% of the feed — every transaction whose END is
+    // beyond that cutoff reports expected = NULL ("END not yet seen", the
+    // third tear mode) and must never be applied no matter how many data
+    // events arrived. Covers the null-expected branch of
+    // applyStatusBatch the caught-up variant above makes vacuous.
+    "cdc_txn_apply_lag" -> ((s, dir) => {
+      import graft.streaming.TxnApply
+      val ev = CdcOps.txnEvents(
+        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
+      val meta = CdcOps.txnMeta(
+        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
+        .select("txid", "event_count", "max_lsn")
+      val r = ev.agg(
+        max(when(col("collection") === "users", col("lsn"))).as("mu"),
+        max(col("lsn")).as("mx")).head()
+      val usersOffset = java.lang.Math.floorDiv(r.getLong(0) * 7, 10)
+      val endCutoff = java.lang.Math.floorDiv(r.getLong(1) * 8, 10)
+      val seen = ev.filter(
+        col("collection") =!= "users" || col("lsn") <= usersOffset)
+      TxnApply.applyStatusBatch(seen, meta, endCutoff).orderBy("txid")
+    }),
+
     "cdc_revenue_by_segment" -> ((s, dir) => {
       val state = CdcOps.ordersCompacted(s, dir)
       val cust = Tables.scan(s, dir, "customer")
@@ -1083,6 +1107,38 @@ object CdcQueries extends QueryGroup {
         |       t.event_count AS expected,
         |       (COALESCE(a.arrived, 0) = t.event_count) AS applied
         |FROM tx t LEFT JOIN arr a USING (txid)
+        |ORDER BY t.txid""".stripMargin,
+
+    // the lagging-tx-topic variant: END cutoff at 80% of the global max
+    // lsn — expected is NULL past it, applied additionally gated on it
+    "cdc_txn_apply_lag" ->
+      """WITH ev AS (
+        |  SELECT 'orders' AS tbl, o_orderkey*5 AS txid, o_orderkey*10 AS lsn
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', o_orderkey*5+2, o_orderkey*10+5
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'orders', o_orderkey*5+4, o_orderkey*10+8
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'users', c_custkey*5, c_custkey*10 FROM customer
+        |  UNION ALL
+        |  SELECT 'users', c_custkey*5+2, c_custkey*10+5
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |tx AS (SELECT txid, COUNT(*) AS event_count, MAX(lsn) AS max_lsn
+        |       FROM ev GROUP BY txid),
+        |ucut AS (SELECT (7 * MAX(lsn)) // 10 AS c FROM ev WHERE tbl = 'users'),
+        |tcut AS (SELECT (8 * MAX(lsn)) // 10 AS c FROM ev),
+        |seen AS (SELECT txid FROM ev, ucut
+        |         WHERE tbl = 'orders' OR lsn <= c),
+        |arr AS (SELECT txid, COUNT(*) AS arrived FROM seen GROUP BY txid)
+        |SELECT t.txid, COALESCE(a.arrived, 0) AS arrived,
+        |       CASE WHEN t.max_lsn <= tcut.c THEN t.event_count END
+        |         AS expected,
+        |       (t.max_lsn <= tcut.c
+        |        AND COALESCE(a.arrived, 0) = t.event_count) AS applied
+        |FROM tx t LEFT JOIN arr a USING (txid) CROSS JOIN tcut
         |ORDER BY t.txid""".stripMargin,
 
     "cdc_revenue_by_segment" ->
