@@ -267,6 +267,53 @@ object SimilarityQueries extends QueryGroup {
             }),
             lit(0.0), (acc, t) => acc + t).as("sse"))
         .orderBy("vec_id")
+    }),
+
+    // product quantization — the codebook layer of IVF-PQ, THE canonical
+    // billion-vector layout (Jégou et al., TPAMI'11): the 64-dim vector
+    // splits into 4 subspaces of 16 dims, each subvector coarse-quantizes
+    // to the nearest of 16 per-subspace centroids, so a vector stores as
+    // 4 nibbles (one packed short) instead of 256 fp32 bytes. Centroids
+    // are the deterministic seed rule every clustering op here shares
+    // (vec_id < 16; sim_kmeans grades the re-centering machinery).
+    // Distributed shape: the 16×4 codebook is a bounded driver collect
+    // turned into a BROADCAST LITERAL, so assignment is pure map-side
+    // codegen — zero shuffles over the vector corpus, the same
+    // assign-without-moving-vectors property the IVF path has. Distances
+    // are fixed-element-order double folds; argmin tie-breaks to the
+    // lowest centroid id via first-position-of-min — bit-reproducible
+    // cross-engine end to end.
+    "sim_pq" -> ((s, dir) => {
+      val e = Tables.scan(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      val seeds = e.filter(col("vec_id") < 16).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Float]](1).toArray))
+        .sortBy(_._1)
+      val m = 4
+      val d = seeds.head._2.length / m
+      def centLit(i: Int): Column = typedlit(
+        seeds.toSeq.map(_._2.slice(i * d, (i + 1) * d)
+          .map(_.toDouble).toSeq))
+      def dists(i: Int): Column = transform(centLit(i), c =>
+        aggregate(
+          zip_with(slice(col("v"), lit(i * d + 1), lit(d)), c,
+            (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+          lit(0.0), (acc, t) => acc + t))
+      val withD = e.select(
+        col("vec_id") +: (0 until m).map(i => dists(i).as(s"_d$i")): _*)
+      def code(i: Int): Column =
+        (array_position(col(s"_d$i"), array_min(col(s"_d$i"))) - 1L)
+          .cast("int")
+      withD.select(col("vec_id"),
+          code(0).as("code0"), code(1).as("code1"),
+          code(2).as("code2"), code(3).as("code3"),
+          (code(0).cast("long") + code(1).cast("long") * 16L
+            + code(2).cast("long") * 256L + code(3).cast("long") * 4096L)
+            .as("code_packed"),
+          (lit(0.0) + array_min(col("_d0")) + array_min(col("_d1"))
+            + array_min(col("_d2")) + array_min(col("_d3"))).as("sse"))
+        .orderBy("vec_id")
     }))
 
 
@@ -585,5 +632,32 @@ object SimilarityQueries extends QueryGroup {
         |         ELSE CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT)
         |         END) * scale))),
         |    (a, b) -> a + b) AS sse
-        |FROM s ORDER BY vec_id""".stripMargin)
+        |FROM s ORDER BY vec_id""".stripMargin,
+
+    "sim_pq" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |sub AS (SELECT vec_id, m, v[m*16+1 : (m+1)*16] AS sv
+        |  FROM (SELECT vec_id, v, unnest(range(0, 4)) AS m FROM e)),
+        |csub AS (SELECT cid, m, cv[m*16+1 : (m+1)*16] AS cs
+        |  FROM (SELECT cid, cv, unnest(range(0, 4)) AS m FROM c)),
+        |d AS (SELECT s.vec_id, s.m, cs.cid,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(s.sv, cs.cs),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |      (a, b) -> a + b) AS dist
+        |  FROM sub s JOIN csub cs ON s.m = cs.m),
+        |best AS (SELECT vec_id, m, cid AS code, dist FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1)
+        |SELECT vec_id,
+        |  CAST(MAX(CASE WHEN m = 0 THEN code END) AS INT) AS code0,
+        |  CAST(MAX(CASE WHEN m = 1 THEN code END) AS INT) AS code1,
+        |  CAST(MAX(CASE WHEN m = 2 THEN code END) AS INT) AS code2,
+        |  CAST(MAX(CASE WHEN m = 3 THEN code END) AS INT) AS code3,
+        |  CAST(SUM(code * (16 ** m)) AS BIGINT) AS code_packed,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(dist ORDER BY m)), (a, b) -> a + b) AS sse
+        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin)
 }

@@ -449,36 +449,71 @@ object TextQueries extends QueryGroup {
     // ASCII (checked) so Java-regex vs RE2 per-char splits agree.
     "text_bpe_train" -> ((s, dir) => {
       import s.implicits._
-      val wf = tfTable(s, dir).groupBy("term").agg(sum("tf").as("freq"))
-        .select(col("freq"),
-          concat(lit(" "), regexp_replace(col("term"), "(.)", "$1 "))
-            .as("repr"))
-      var cur = wf
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
-      for (r <- 1 to 5) {
-        val syms = split(trim(col("repr")), " ")
-        val best = cur
-          .filter(size(syms) >= 2)
-          .select(col("freq"),
-            explode(zip_with(
-              slice(syms, lit(1), size(syms) - 1),
-              slice(syms, lit(2), size(syms) - 1),
-              (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()(0)
-        val a = best.getString(0)
-        val b = best.getString(1)
-        merges += ((r, a, b, best.getLong(2)))
-        cur = cur.select(col("freq"),
-          replace(col("repr"), lit(s" $a $b "), lit(s" $a$b ")).as("repr"))
-      }
-      merges.result().toDF("round", "a", "b", "cnt")
+      bpeLearn(s, dir)._1.toDF("round", "a", "b", "cnt")
         .select(col("round"), col("a"), col("b"),
           concat(col("a"), col("b")).as("merged"), col("cnt"))
         .orderBy("round")
+    }),
+
+    // BPE tokenizer APPLICATION — encode the corpus with the learned
+    // merge table. The apply-side twin of the training scale trick:
+    // merges are applied to the VOCABULARY's symbol strings (vocab-sized
+    // replace work), and per-document token counts come from joining the
+    // per-word symbol count back to the shared (doc, term) tf table —
+    // corpus positions are never materialized. Reports the compression
+    // the tokenizer achieves (chars per BPE token), the statistic
+    // tokenizer training monitors.
+    "text_bpe_encode" -> ((s, dir) => {
+      val vocab = bpeLearn(s, dir)._2
+        .select(col("term"),
+          size(split(trim(col("repr")), " ")).as("n_syms"))
+      tfTable(s, dir).join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_words"),
+          sum(col("tf") * length(col("term"))).as("n_chars_tok"),
+          sum(col("tf") * col("n_syms")).as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_chars_tok"),
+          col("n_bpe_tokens"),
+          (col("n_chars_tok").cast("double")
+            / col("n_bpe_tokens").cast("double")).as("compression"))
+        .orderBy("doc_id")
     }))
+
+  /** Learn 5 BPE merges over the corpus vocabulary (the `text_bpe_train`
+    * loop, shared with `text_bpe_encode`): each round counts adjacent
+    * symbol pairs freq-weighted over DISTINCT words, collects the 1-row
+    * best pair (bounded control-plane — the Lloyd-round driver-loop
+    * shape), and applies it as a distributed leftmost-non-overlapping
+    * `replace` on the spaced symbol strings. Returns (merge table,
+    * post-merge vocabulary with term/freq/repr). */
+  private def bpeLearn(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var cur = tfTable(s, dir).groupBy("term").agg(sum("tf").as("freq"))
+      .select(col("term"), col("freq"),
+        concat(lit(" "), regexp_replace(col("term"), "(.)", "$1 "))
+          .as("repr"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to 5) {
+      val syms = split(trim(col("repr")), " ")
+      val best = cur
+        .filter(size(syms) >= 2)
+        .select(col("freq"),
+          explode(zip_with(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val a = best.getString(0)
+      val b = best.getString(1)
+      merges += ((r, a, b, best.getLong(2)))
+      cur = cur.select(col("term"), col("freq"),
+        replace(col("repr"), lit(s" $a $b "), lit(s" $a$b ")).as("repr"))
+    }
+    (merges.result(), cur)
+  }
 
   val oracles: Map[String, String] = Map(
     "text_compress" ->
@@ -733,36 +768,59 @@ object TextQueries extends QueryGroup {
     // pattern): each round = pair count over the current spaced-symbol
     // dictionary, 1-row best-pair CTE, literal `replace` apply
     "text_bpe_train" -> {
-      val base =
-        """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
-          |  FROM (SELECT doc_id,
-          |          unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
-          |            AS term
-          |        FROM documents)
-          |  GROUP BY doc_id, term),
-          |wf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS freq
-          |  FROM tf GROUP BY term),
-          |w0 AS (SELECT freq,
-          |  ' ' || regexp_replace(term, '(.)', '\1 ', 'g') AS repr
-          |  FROM wf)""".stripMargin
-      val rounds = (1 to 5).map { i =>
-        s"""p$i AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT freq, syms[i] AS a, syms[i+1] AS b FROM (
-           |      SELECT freq, syms, unnest(range(1, len(syms))) AS i
-           |      FROM (SELECT freq, string_split(trim(repr), ' ') AS syms
-           |            FROM w${i - 1})))
-           |  GROUP BY a, b),
-           |b$i AS (SELECT a, b, cnt FROM p$i
-           |  ORDER BY cnt DESC, a, b LIMIT 1),
-           |w$i AS (SELECT freq, replace(repr,
-           |    ' ' || (SELECT a FROM b$i) || ' ' ||
-           |      (SELECT b FROM b$i) || ' ',
-           |    ' ' || (SELECT a || b FROM b$i) || ' ') AS repr
-           |  FROM w${i - 1})""".stripMargin
-      }.mkString(",\n")
       val rows = (1 to 5).map { i =>
         s"SELECT CAST($i AS INT) AS round, a, b, a||b AS merged, cnt FROM b$i"
       }.mkString(" UNION ALL ")
-      s"$base,\n$rounds\nSELECT * FROM ($rows) ORDER BY round"
-    })
+      s"$bpeOracleCtes\nSELECT * FROM ($rows) ORDER BY round"
+    },
+
+    // the apply side over the same unrolled chain: per-word symbol count
+    // from the final dictionary, joined back to the tf table
+    "text_bpe_encode" ->
+      s"""$bpeOracleCtes,
+         |sc AS (SELECT term,
+         |  CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_syms
+         |  FROM w5)
+         |SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_words,
+         |  CAST(SUM(tf.tf * length(tf.term)) AS BIGINT) AS n_chars_tok,
+         |  CAST(SUM(tf.tf * sc.n_syms) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(tf.tf * length(tf.term)) AS DOUBLE)
+         |    / CAST(SUM(tf.tf * sc.n_syms) AS DOUBLE) AS compression
+         |FROM tf JOIN sc ON tf.term = sc.term
+         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)
+
+  /** The 5-round unrolled BPE merge chain as DuckDB CTEs (shared by the
+    * `text_bpe_train` and `text_bpe_encode` oracles): `tf`/`wf` = the
+    * corpus term-frequency dictionary, `w0..w5` carry (term, freq, repr)
+    * through the merges, `b1..b5` are the per-round best pairs. */
+  private def bpeOracleCtes: String = {
+    val base =
+      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |            AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |wf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS freq
+        |  FROM tf GROUP BY term),
+        |w0 AS (SELECT term, freq,
+        |  ' ' || regexp_replace(term, '(.)', '\1 ', 'g') AS repr
+        |  FROM wf)""".stripMargin
+    val rounds = (1 to 5).map { i =>
+      s"""p$i AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, syms[i] AS a, syms[i+1] AS b FROM (
+         |      SELECT freq, syms, unnest(range(1, len(syms))) AS i
+         |      FROM (SELECT freq, string_split(trim(repr), ' ') AS syms
+         |            FROM w${i - 1})))
+         |  GROUP BY a, b),
+         |b$i AS (SELECT a, b, cnt FROM p$i
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$i AS (SELECT term, freq, replace(repr,
+         |    ' ' || (SELECT a FROM b$i) || ' ' ||
+         |      (SELECT b FROM b$i) || ' ',
+         |    ' ' || (SELECT a || b FROM b$i) || ' ') AS repr
+         |  FROM w${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
 }

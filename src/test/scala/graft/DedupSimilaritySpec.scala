@@ -529,4 +529,46 @@ class DedupSimilaritySpec extends SparkSpec {
       v.foreach(x => assert(math.abs(q(x)) <= 127L))
     }
   }
+
+  test("sim_pq: codes match a driver-side recompute; seed vectors " +
+      "self-quantize losslessly; packed code is the nibble pack") {
+    val vecs = graft.sources.Tables.scan(spark, sfDir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).toArray)
+      .toMap
+    val cents = (0L until 16L).map(vecs) // seed rule: vec_id < 16
+    val d = vecs.head._2.length / 4
+    def sub(v: Array[Float], m: Int): Array[Float] =
+      v.slice(m * d, (m + 1) * d)
+    def dist(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, c)) =>
+        val dd = x.toDouble - c.toDouble; acc + dd * dd }
+    val graded = SparkEntry.queries("sim_pq")(spark, sfDir).collect()
+    assert(graded.length == vecs.size)
+    graded.foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      val codes = (0 until 4).map { m =>
+        val ds = cents.map(c => dist(sub(v, m), sub(c, m)))
+        ds.indexOf(ds.min) // first index of min = lowest-cid tie-break
+      }
+      val want = (0 until 4).map(m => r.getAs[Int](s"code$m"))
+      assert(want == codes, s"vec ${r.getAs[Long]("vec_id")}: codes")
+      assert(codes.forall(c => c >= 0 && c < 16), "codes fit one nibble")
+      assert(r.getAs[Long]("code_packed") ==
+        codes.zipWithIndex.map { case (c, m) =>
+          c.toLong * (1L << (4 * m)) }.sum)
+      val sse = (0 until 4).foldLeft(0.0) { (acc, m) =>
+        acc + cents.map(c => dist(sub(v, m), sub(c, m))).min }
+      assert(r.getAs[Double]("sse") == sse)
+    }
+    // a seed vector's nearest centroid in every subspace is itself
+    (0L until 16L).foreach { cid =>
+      val r = graded.find(_.getAs[Long]("vec_id") == cid).get
+      assert((0 until 4).forall(m => r.getAs[Int](s"code$m") == cid.toInt))
+      assert(r.getAs[Double]("sse") == 0.0)
+    }
+  }
 }

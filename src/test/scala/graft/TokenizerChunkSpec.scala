@@ -262,5 +262,34 @@ class TokenizerChunkSpec extends SparkSpec {
     // the merge sequence must be strictly useful: counts are positive and
     // each round's best count can only shrink or hold as pairs merge away
     assert(expect.forall(_._5 > 0))
+
+    // ENCODE side: per-doc BPE token counts equal the reference's
+    // (apply the same 5 merges to each word, count symbols, weight by tf)
+    val symCount = words.map { case (syms, _) =>
+      syms.mkString -> syms.length.toLong }.toMap
+    val tf = Tables.scan(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expectDoc = tf.groupBy(_._1).map { case (id, rows) =>
+      id -> (
+        rows.map(_._3).sum,                                // n_words
+        rows.map(r => r._3 * r._2.length).sum,             // n_chars_tok
+        rows.map(r => r._3 * symCount(r._2)).sum)          // n_bpe_tokens
+    }
+    val enc = q("text_bpe_encode").collect()
+    assert(enc.length == expectDoc.size)
+    enc.foreach { r =>
+      val (w, c, t) = expectDoc(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_words") == w)
+      assert(r.getAs[Long]("n_chars_tok") == c)
+      assert(r.getAs[Long]("n_bpe_tokens") == t,
+        s"doc ${r.getAs[Long]("doc_id")}: BPE token count")
+      // merges only ever shorten: words ≤ bpe tokens ≤ chars
+      assert(w <= t && t <= c)
+      assert(r.getAs[Double]("compression") == c.toDouble / t.toDouble)
+    }
   }
 }
