@@ -283,7 +283,101 @@ object SimilarityQueries extends QueryGroup {
     // are fixed-element-order double folds; argmin tie-breaks to the
     // lowest centroid id via first-position-of-min — bit-reproducible
     // cross-engine end to end.
-    "sim_pq" -> ((s, dir) => {
+    "sim_pq" -> ((s, dir) =>
+      pqCodes(s, dir).select(col("vec_id"),
+          col("code0"), col("code1"), col("code2"), col("code3"),
+          (col("code0").cast("long") + col("code1").cast("long") * 16L
+            + col("code2").cast("long") * 256L
+            + col("code3").cast("long") * 4096L).as("code_packed"),
+          (lit(0.0) + col("_md0") + col("_md1") + col("_md2")
+            + col("_md3")).as("sse"))
+        .orderBy("vec_id")),
+
+    // PQ SEARCH — asymmetric distance computation (ADC), the probe side
+    // of IVF-PQ: a query never decodes the corpus; it precomputes a
+    // 4×16 lookup table of (query-subvector → centroid) distances and
+    // scores every stored code with 4 table lookups + 3 adds. Here the
+    // 10 queries' LUTs (640 doubles) are computed driver-side from the
+    // same bounded seed collect and shipped as ONE broadcast literal, so
+    // scoring the whole corpus is map-side over the cached code table —
+    // the O(N·M) scan that replaces the O(N·D) exact scan, the entire
+    // point of PQ at billion-vector scale. Graded output: per query,
+    // hits@10 of ADC top-10 vs the exact L2 top-10 and the recall — the
+    // quality-vs-compression report a deployment tunes M and k by.
+    "sim_pq_recall" -> ((s, dir) => {
+      val e = Tables.scan(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      val seeds = e.filter(col("vec_id") < 16).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Float]](1).toArray))
+        .sortBy(_._1).map(_._2)
+      val qs = e.filter(col("vec_id") < 10).collect()
+        .map(r => (r.getLong(0),
+          r.getAs[scala.collection.Seq[Float]](1).toArray))
+        .sortBy(_._1)
+      val m = 4
+      val d = seeds.head.length / m
+      // LUT[qid][m][code]: fixed-element-order fold, the same IEEE tree
+      // the oracle's list_reduce evaluates — bit-identical entries
+      val lut = qs.toSeq.map { case (_, q) =>
+        (0 until m).map { i =>
+          seeds.toSeq.map { c =>
+            var acc = 0.0
+            var j = i * d
+            while (j < (i + 1) * d) {
+              val dd = q(j).toDouble - c(j).toDouble; acc += dd * dd; j += 1
+            }
+            acc
+          }
+        }
+      }
+      val lutLit = typedlit(lut)
+      def term(i: Int): Column = element_at(
+        element_at(element_at(lutLit, col("qid").cast("int") + 1),
+          i + 1), col(s"code$i") + 1)
+      import s.implicits._
+      val qids = qs.map(_._1)
+      val approx = pqCodes(s, dir)
+        .crossJoin(broadcast(qids.toSeq.toDF("qid")))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          (lit(0.0) + term(0) + term(1) + term(2) + term(3)).as("adist"))
+      val wA = Window.partitionBy("qid")
+        .orderBy(col("adist"), col("vec_id"))
+      val approxTop = approx.withColumn("rank", row_number().over(wA))
+        .filter(col("rank") <= 10).select("qid", "vec_id")
+      // exact L2 ground truth (the metric ADC approximates; the cosine
+      // ground truth sim_ann_recall uses belongs to the normalized ops)
+      val q10 = e.filter(col("vec_id") < 10).toDF("qid", "q")
+      val exact = broadcast(q10).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          aggregate(zip_with(col("q"), col("v"),
+            (a, b) => (a.cast("double") - b.cast("double"))
+              * (a.cast("double") - b.cast("double"))),
+            lit(0.0), (acc, t) => acc + t).as("dist"))
+      val wE = Window.partitionBy("qid")
+        .orderBy(col("dist"), col("vec_id"))
+      val exactTop = exact.withColumn("rank", row_number().over(wE))
+        .filter(col("rank") <= 10).select("qid", "vec_id")
+      // left join, not semi: a query with ZERO hits must still report
+      exactTop
+        .join(approxTop.withColumn("_hit", lit(1L)),
+          Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("_hit"), lit(0L))).as("hits"))
+        .select(col("qid"), col("hits"),
+          (col("hits").cast("double") / 10.0).as("recall"))
+        .orderBy("qid")
+    }))
+
+  /** Per-vector PQ code table (4 subspaces × 16 seed centroids; see
+    * `sim_pq`), materialized once per (session, corpus) and shared by
+    * the code-layout query and the ADC search: vec_id, code0..3, and the
+    * per-subspace min distances (`_md*`, the per-subspace quantization
+    * SSE terms). The 16×4 codebook is a bounded collect turned broadcast
+    * literal, so the assignment is pure map-side codegen. */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"sim:pqcodes:$dir") {
       val e = Tables.scan(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
       val seeds = e.filter(col("vec_id") < 16).collect()
@@ -305,16 +399,10 @@ object SimilarityQueries extends QueryGroup {
       def code(i: Int): Column =
         (array_position(col(s"_d$i"), array_min(col(s"_d$i"))) - 1L)
           .cast("int")
-      withD.select(col("vec_id"),
-          code(0).as("code0"), code(1).as("code1"),
-          code(2).as("code2"), code(3).as("code3"),
-          (code(0).cast("long") + code(1).cast("long") * 16L
-            + code(2).cast("long") * 256L + code(3).cast("long") * 4096L)
-            .as("code_packed"),
-          (lit(0.0) + array_min(col("_d0")) + array_min(col("_d1"))
-            + array_min(col("_d2")) + array_min(col("_d3"))).as("sse"))
-        .orderBy("vec_id")
-    }))
+      withD.select(col("vec_id") +:
+        ((0 until m).map(i => code(i).as(s"code$i")) ++
+          (0 until m).map(i => array_min(col(s"_d$i")).as(s"_md$i"))): _*)
+    }
 
 
   /** The `sim_ann_lsh` plan (see the entry's comment for the design):
@@ -659,5 +747,62 @@ object SimilarityQueries extends QueryGroup {
         |  CAST(SUM(code * (16 ** m)) AS BIGINT) AS code_packed,
         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    list(dist ORDER BY m)), (a, b) -> a + b) AS sse
-        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // ADC search oracle: recompute the code table (same CTEs as sim_pq),
+    // score every (query, vector) pair by joining each code to its
+    // centroid subvector — the relational statement of the LUT lookup —
+    // and compare ADC top-10 against the exact L2 top-10
+    "sim_pq_recall" ->
+      """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |sub AS (SELECT vec_id, m, v[m*16+1 : (m+1)*16] AS sv
+        |  FROM (SELECT vec_id, v, unnest(range(0, 4)) AS m FROM e)),
+        |csub AS (SELECT cid, m, cv[m*16+1 : (m+1)*16] AS cs
+        |  FROM (SELECT cid, cv, unnest(range(0, 4)) AS m FROM c)),
+        |d AS (SELECT s.vec_id, s.m, cs.cid,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(s.sv, cs.cs),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |      (a, b) -> a + b) AS dist
+        |  FROM sub s JOIN csub cs ON s.m = cs.m),
+        |best AS (SELECT vec_id, m, cid AS code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |qsub AS (SELECT qid, m, qv[m*16+1 : (m+1)*16] AS qs
+        |  FROM (SELECT qid, qv, unnest(range(0, 4)) AS m FROM q)),
+        |term AS (SELECT qs.qid, b.vec_id, b.m,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(qs.qs, cs.cs),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |      (a, b) -> a + b) AS t
+        |  FROM best b
+        |  JOIN csub cs ON b.m = cs.m AND b.code = cs.cid
+        |  JOIN qsub qs ON qs.m = b.m
+        |  WHERE qs.qid != b.vec_id),
+        |adist AS (SELECT qid, vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(t ORDER BY m)), (a, b) -> a + b) AS adist
+        |  FROM term GROUP BY qid, vec_id),
+        |atop AS (SELECT qid, vec_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY adist, vec_id) AS rn FROM adist) WHERE rn <= 10),
+        |ex AS (SELECT q.qid, e.vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(q.qv, e.v),
+        |        p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |           * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+        |      (a, b) -> a + b) AS dist
+        |  FROM q JOIN e ON q.qid != e.vec_id),
+        |etop AS (SELECT qid, vec_id FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY dist, vec_id) AS rn FROM ex) WHERE rn <= 10)
+        |SELECT et.qid, CAST(COUNT(at.vec_id) AS BIGINT) AS hits,
+        |  CAST(COUNT(at.vec_id) AS DOUBLE) / 10.0 AS recall
+        |FROM etop et LEFT JOIN atop at
+        |  ON et.qid = at.qid AND et.vec_id = at.vec_id
+        |GROUP BY et.qid ORDER BY et.qid""".stripMargin)
 }

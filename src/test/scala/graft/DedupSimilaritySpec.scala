@@ -571,4 +571,24 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("sse") == 0.0)
     }
   }
+
+  test("sim_pq_recall: every query reports, hits are bounded, and ADC " +
+      "beats the random-selection baseline by an order of magnitude") {
+    val rows = SparkEntry.queries("sim_pq_recall")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("qid")).toSeq == (0L until 10L),
+      "all 10 queries must report, zero-hit ones included")
+    val n = graft.sources.Tables.scan(spark, sfDir, "embeddings").count()
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hits")
+      assert(h >= 0L && h <= 10L)
+      assert(r.getAs[Double]("recall") == h.toDouble / 10.0)
+    }
+    // random 10-of-N top-10 expects 100/N hits per query (~0.2 at
+    // sf0.001); untrained seed codebooks are crude, but ADC must still
+    // carry real signal — an order of magnitude over chance across the
+    // 10 queries is a loose floor (observed ~5.5 avg hits at sf0.001)
+    val total = rows.map(_.getAs[Long]("hits")).sum
+    assert(total.toDouble >= 10 * (100.0 / n) * 10,
+      s"total hits $total is indistinguishable from random selection")
+  }
 }
