@@ -120,6 +120,55 @@ object CurationQueries extends QueryGroup {
     // FIRST token lands in the concatenated corpus token stream (docs may
     // straddle a boundary; assignment is by start offset, the standard
     // offset-index convention)
+    // quality-ranked data selection under a global token budget — the
+    // data-selection step (C4/DsDm shape): rank every document by the
+    // shared quality score, keep the best until 30% of the corpus's
+    // tokens are spent. The global running token sum in score order uses
+    // the same TWO-PHASE prefix sum as packShards/shuffle — per-band
+    // partitioned window + a constant-size band-offset table (bands =
+    // floor(q·20): ≤ ~20 rows at ANY corpus size; floor is monotone, so
+    // (band desc, q desc, doc_id) IS (q desc, doc_id) order) — never the
+    // single-task global window, which the DuckDB oracle deliberately
+    // is. The budget gate compares exact integers (cum·10 ≤ total·3), so
+    // the cut is bit-stable however large the corpus.
+    "curate_select_budget" -> ((s, dir) => {
+      val scored = Tables.scan(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextQueries.toks(col("text"))).cast("long").as("tokens"),
+          size(TextQueries.toks(col("text"))).cast("double")
+            .as("n_tokens"),
+          length(col("text")).cast("double").as("n_chars"),
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
+            .as("n_punct"),
+          regexp_count(lower(col("text")),
+            lit("\\b(the|a|of|and|to|in|is|it)\\b")).cast("double")
+            .as("n_stop"))
+        .select(col("doc_id"), col("tokens"),
+          (least(lit(1.0), col("n_tokens") / lit(50.0))
+            * (lit(1.0) - col("n_punct") / col("n_chars"))
+            * (lit(1.0) - lit(0.5) * col("n_stop") / col("n_tokens")))
+            .as("q"))
+        .withColumn("band", floor(col("q") * lit(20.0)).cast("long"))
+      val wLocal = Window.partitionBy("band")
+        .orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = scored
+        .withColumn("cum_local", sum("tokens").over(wLocal))
+      val wBand = Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = scored.groupBy("band").agg(sum("tokens").as("n"))
+        .withColumn("offset", coalesce(sum("n").over(wBand), lit(0L)))
+        .select("band", "offset")
+      val tot = scored.agg(sum("tokens").as("total"))
+      local.join(offsets, "band").crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("tokens"), col("q"),
+          (col("offset") + col("cum_local")).as("cum_tokens"),
+          col("total"),
+          ((col("offset") + col("cum_local")) * 10L <= col("total") * 3L)
+            .as("kept"))
+        .orderBy("doc_id")
+    }),
+
     "curate_pack_shards" -> ((s, dir) => {
       packShards(s, dir)
         .groupBy("shard")
@@ -347,6 +396,35 @@ object CurationQueries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    // the naive single-window statement of the two-phase selection
+    "curate_select_budget" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS tokens,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      AS DOUBLE) AS n_tokens,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |      AS DOUBLE) AS n_punct,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |s AS (SELECT doc_id, tokens,
+        |    least(1.0, n_tokens/50.0) * (1.0 - n_punct/n_chars)
+        |      * (1.0 - 0.5*n_stop/n_tokens) AS q
+        |  FROM m),
+        |c AS (SELECT doc_id, tokens, q,
+        |    SUM(tokens) OVER (ORDER BY q DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_tokens,
+        |    SUM(tokens) OVER () AS total
+        |  FROM s)
+        |SELECT doc_id, tokens, q,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(total AS BIGINT) AS total,
+        |  (cum_tokens * 10 <= total * 3) AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // the oracle is deliberately the NAIVE single-window global prefix
     // sum — same math, which is the whole point of the two-phase plan
     "curate_pack_shards" ->

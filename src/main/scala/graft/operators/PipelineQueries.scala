@@ -215,9 +215,69 @@ object PipelineQueries extends QueryGroup {
         .unionByName(stat("orders", orders, removedOrders))
         .unionByName(stat("lineitem", lineitem, removedLines))
         .orderBy("tbl")
+    }),
+
+    // SOURCE-level quality gate — the domain filter every web-scale
+    // pipeline runs before per-document gates (RefinedWeb/C4 shape: a
+    // domain whose aggregate quality is bad drops WHOLESALE, catching
+    // spam farms whose individual pages pass per-doc checks). The
+    // decision statistic is deliberately exact: per-doc scores quantize
+    // once to 2^-20 fixed point (the text_perplexity discipline) so the
+    // per-source SUM is an order-independent BIGINT — partial-agg
+    // friendly, bit-stable at any parallelism — and the gate compares
+    // sum_fix ≥ n_docs·THRESH in integers. One (source)-keyed shuffle of
+    // (long, long) partials; sources are unbounded at corpus scale so
+    // nothing here broadcasts.
+    "pipeline_source_filter" -> ((s, dir) => {
+      val threshFix = 828375L // floor(0.79 · 2^20) nats of quality
+      val scored = Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextQueries.toks(col("text"))).cast("double")
+            .as("n_tokens"),
+          length(col("text")).cast("double").as("n_chars"),
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
+            .as("n_punct"),
+          regexp_count(lower(col("text")),
+            lit("\\b(the|a|of|and|to|in|is|it)\\b")).cast("double")
+            .as("n_stop"))
+        .select(col("source"),
+          floor((least(lit(1.0), col("n_tokens") / lit(50.0))
+            * (lit(1.0) - col("n_punct") / col("n_chars"))
+            * (lit(1.0) - lit(0.5) * col("n_stop") / col("n_tokens")))
+            * lit(1048576.0)).cast("long").as("q_fix"))
+      scored.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("q_fix").as("q_sum_fix"))
+        .select(col("source"), col("n_docs"), col("q_sum_fix"),
+          (col("q_sum_fix").cast("double")
+            / (col("n_docs").cast("double") * lit(1048576.0)))
+            .as("q_mean"),
+          (col("q_sum_fix") >= col("n_docs") * threshFix).as("kept"))
+        .orderBy("source")
     }))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_source_filter" ->
+      """WITH m AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      AS DOUBLE) AS n_tokens,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |      AS DOUBLE) AS n_punct,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |s AS (SELECT source,
+        |    CAST(floor((least(1.0, n_tokens/50.0) * (1.0 - n_punct/n_chars)
+        |      * (1.0 - 0.5*n_stop/n_tokens)) * 1048576.0) AS BIGINT)
+        |      AS q_fix
+        |  FROM m)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(q_fix) AS BIGINT) AS q_sum_fix,
+        |  CAST(SUM(q_fix) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 1048576.0) AS q_mean,
+        |  (SUM(q_fix) >= COUNT(*) * 828375) AS kept
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+
     "pipeline_clean_corpus" ->
       """WITH gated AS (
         |  SELECT doc_id, lang, text,

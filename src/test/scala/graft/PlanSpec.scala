@@ -228,6 +228,26 @@ class PlanSpec extends SparkSpec {
       s"the per-document window must be partitioned by bucket:\n$plan")
   }
 
+  test("curate_select_budget: the score-ordered token prefix sum is " +
+      "partitioned by band, only the band-subtotal window is global") {
+    val (_, plan) = staticPlan("curate_select_budget")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected local + band windows:\n$plan")
+    val (global, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    assert(global.size == 1 && partitioned.size == 1,
+      s"one global (band subtotals) + one partitioned window:\n$plan")
+    // the global window may only see the ≤~20-row band-subtotal table
+    // (it sums `n`); the corpus-sized per-document running sum must be
+    // partitioned by the score band
+    assert(global.head.windowExpression.mkString.contains("n#")
+      || global.head.windowExpression.mkString.contains("(n "),
+      s"the global window must be over band subtotals only:\n$plan")
+    assert(partitioned.head.partitionSpec.mkString.contains("band"),
+      s"the per-document window must be partitioned by band:\n$plan")
+  }
+
   test("dedup_substring: the islands window's partitioning is reused " +
       "by the run aggregate") {
     // the run-length groupBy keys (da, db, diag, grp) are a SUPERSET of
