@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.QueryGroup
-import graft.multimodal.MediaPipeline
+import graft.multimodal.{MediaPipeline, MediaShardStore}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -204,6 +204,22 @@ object MultimodalQueries extends QueryGroup {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // WebDataset-style shard MANIFEST — the storage-layout decision of
+    // every large multimodal corpus (tar/TFRecord shards): blobs packed
+    // next-fit into 8 KiB-budget shards within doc_id blocks, manifest =
+    // (doc, byte_len, shard, byte_off), the tar index random access
+    // resolves through. The packing fold and its scale rationale live in
+    // MediaShardStore (shared with the persisted save/fetch path, which
+    // MediaPipelineSpec round-trips byte-for-byte with pruned reads);
+    // the oracle restates the fold as a recursive CTE.
+    "mm_shard_manifest" -> ((s, dir) => {
+      MediaShardStore.manifest(
+        Tables.scan(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        8192L)
+        .orderBy("doc_id")
+    }),
+
     "mm_dedup" -> ((s, dir) => {
       Tables.scan(s, dir, "documents")
         .select(col("doc_id"),
@@ -238,6 +254,34 @@ object MultimodalQueries extends QueryGroup {
         |  CAST(least(64, plen - fi * 64) AS BIGINT) AS frame_len,
         |  substr(ph, CAST(fi * 128 + 1 AS BIGINT), 32) AS frame_hex
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the identical next-fit fold as a recursive CTE (the
+    // curate_pack_sequences oracle pattern, bytes as the budget)
+    "mm_shard_manifest" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    CAST(doc_id // 64 AS BIGINT) AS block
+        |  FROM documents),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY block
+        |    ORDER BY doc_id) AS BIGINT) AS rn FROM t),
+        |step AS (
+        |  SELECT block, rn, doc_id, byte_len,
+        |    CAST(0 AS BIGINT) AS seq, byte_len AS fill,
+        |    CAST(0 AS BIGINT) AS off
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.block, r.rn, r.doc_id, r.byte_len,
+        |    CASE WHEN s.fill + r.byte_len <= 8192 THEN s.seq
+        |         ELSE s.seq + 1 END,
+        |    CASE WHEN s.fill + r.byte_len <= 8192 THEN s.fill + r.byte_len
+        |         ELSE r.byte_len END,
+        |    CASE WHEN s.fill + r.byte_len <= 8192 THEN s.fill
+        |         ELSE CAST(0 AS BIGINT) END
+        |  FROM step s JOIN r ON r.block = s.block AND r.rn = s.rn + 1)
+        |SELECT doc_id, byte_len,
+        |  CAST(block * 64 + seq AS BIGINT) AS shard_id,
+        |  off AS byte_off
+        |FROM step ORDER BY doc_id""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id AS media_id,

@@ -256,6 +256,48 @@ class MediaPipelineSpec extends SparkSpec {
     // every emitted row belongs to a known payload (no phantom frames)
     assert(byDoc.keySet.subsetOf(payloads.keySet))
   }
+
+  test("MediaShardStore: save→fetch round-trips bytes exactly; shards " +
+      "respect the budget; the fetch pushes its filters into both scans") {
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.MediaShardStore
+    val media = graft.sources.Tables.scan(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shardstore").toString
+    MediaShardStore.save(media, path, budgetBytes = 8192L)
+    // manifest ⊨ packing contract: offsets tile each shard, fill ≤ budget
+    val man = spark.read.parquet(s"$path/manifest").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("byte_len"),
+        r.getAs[Long]("shard_id"), r.getAs[Long]("byte_off")))
+    man.groupBy(_._3).foreach { case (sid, rows) =>
+      val sorted = rows.sortBy(_._4)
+      var expectOff = 0L
+      sorted.foreach { case (_, len, _, off) =>
+        assert(off == expectOff, s"shard $sid: offsets must tile")
+        expectOff += len
+      }
+      assert(sorted.length == 1 || expectOff <= 8192L,
+        s"shard $sid over budget with ${sorted.length} blobs")
+    }
+    // fetch: exact bytes for a scattered sample (incl. block boundaries)
+    val want = media.filter(col("doc_id").isin(0L, 1L, 63L, 64L, 129L))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val got = MediaShardStore
+      .fetch(spark, path, Seq(0L, 1L, 63L, 64L, 129L))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, bytes) =>
+      assert(java.util.Arrays.equals(bytes, want(id)),
+        s"doc $id: fetched bytes differ")
+    }
+    // pruning: both parquet scans carry pushed filters on their keys
+    val plan = MediaShardStore.fetch(spark, path, Seq(0L, 64L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("doc_id") && plan.contains("shard_id"),
+      s"fetch must push doc/shard filters into the scans:\n$plan")
+  }
 }
 
 /** Executor-side probe for the batch seam: fails the task on an
