@@ -797,10 +797,18 @@ object TextQueries extends QueryGroup {
   /** The 5-round unrolled BPE merge chain as DuckDB CTEs (shared by the
     * `text_bpe_train` and `text_bpe_encode` oracles): `tf`/`wf` = the
     * corpus term-frequency dictionary, `w0..w5` carry (term, freq, repr)
-    * through the merges, `b1..b5` are the per-round best pairs. */
+    * through the merges, `b1..b5` are the per-round best pairs.
+    *
+    * Every multiply-referenced CTE is `AS MATERIALIZED`: each `w_i`
+    * feeds BOTH `p_{i+1}` and `w_{i+1}` (and each `b_i` is read three
+    * times by `w_i`'s replace), so DuckDB's default CTE inlining
+    * re-evaluates the chain exponentially — measured >10 min and a
+    * disk-full temp spill for the encode oracle on the sf1 corpus vs
+    * 1.5 s materialized. Semantics identical; it only pins the
+    * evaluate-once plan the unrolled chain assumes. */
   private def bpeOracleCtes: String = {
     val base =
-      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+      """WITH tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf
         |  FROM (SELECT doc_id,
         |          unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
         |            AS term
@@ -808,7 +816,7 @@ object TextQueries extends QueryGroup {
         |  GROUP BY doc_id, term),
         |wf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS freq
         |  FROM tf GROUP BY term),
-        |w0 AS (SELECT term, freq,
+        |w0 AS MATERIALIZED (SELECT term, freq,
         |  ' ' || regexp_replace(term, '(.)', '\1 ', 'g') AS repr
         |  FROM wf)""".stripMargin
     val rounds = (1 to 5).map { i =>
@@ -818,9 +826,9 @@ object TextQueries extends QueryGroup {
          |      FROM (SELECT freq, string_split(trim(repr), ' ') AS syms
          |            FROM w${i - 1})))
          |  GROUP BY a, b),
-         |b$i AS (SELECT a, b, cnt FROM p$i
+         |b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
          |  ORDER BY cnt DESC, a, b LIMIT 1),
-         |w$i AS (SELECT term, freq, replace(repr,
+         |w$i AS MATERIALIZED (SELECT term, freq, replace(repr,
          |    ' ' || (SELECT a FROM b$i) || ' ' ||
          |      (SELECT b FROM b$i) || ' ',
          |    ' ' || (SELECT a || b FROM b$i) || ' ') AS repr
