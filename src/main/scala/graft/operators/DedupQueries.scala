@@ -1082,7 +1082,7 @@ object DedupQueries extends QueryGroup {
       """WITH toks AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
         |  FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
         |    unnest(CASE WHEN len(w) >= 4 THEN
         |      list_transform(range(1, len(w) - 2),
         |        i -> array_to_string(w[i:i+3], ' '))
@@ -1093,37 +1093,37 @@ object DedupQueries extends QueryGroup {
         |cand0 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |  FROM sh a JOIN rare r ON a.s = r.s
         |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
-        |cand AS (SELECT c.da, c.db, COUNT(*) AS common
+        |cand AS MATERIALIZED (SELECT c.da, c.db, COUNT(*) AS common
         |  FROM cand0 c
         |  JOIN sh a ON a.doc_id = c.da
         |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
         |  GROUP BY 1, 2),
-        |jp AS (SELECT da, db FROM cand
+        |jp AS MATERIALIZED (SELECT da, db FROM cand
         |  JOIN sizes sa ON da = sa.doc_id
         |  JOIN sizes sb ON db = sb.doc_id
         |  WHERE common / (sa.n + sb.n - common) >= 0.5),
-        |e AS (SELECT da, db FROM jp UNION SELECT db, da FROM jp),
-        |deg AS (SELECT da AS v, COUNT(*) AS deg FROM e GROUP BY da),
-        |pr0 AS (SELECT v, CAST(1048576 AS BIGINT) AS pr FROM deg),
-        |c1 AS (SELECT e.db AS v, CAST(SUM(CAST(floor(
+        |e AS MATERIALIZED (SELECT da, db FROM jp UNION SELECT db, da FROM jp),
+        |deg AS MATERIALIZED (SELECT da AS v, COUNT(*) AS deg FROM e GROUP BY da),
+        |pr0 AS MATERIALIZED (SELECT v, CAST(1048576 AS BIGINT) AS pr FROM deg),
+        |c1 AS MATERIALIZED (SELECT e.db AS v, CAST(SUM(CAST(floor(
         |      CAST(p.pr AS DOUBLE) / CAST(d.deg AS DOUBLE)) AS BIGINT))
         |    AS BIGINT) AS sc
         |  FROM e JOIN pr0 p ON e.da = p.v JOIN deg d ON e.da = d.v
         |  GROUP BY e.db),
-        |pr1 AS (SELECT deg.v, CAST(157286 + CAST(floor(
+        |pr1 AS MATERIALIZED (SELECT deg.v, CAST(157286 + CAST(floor(
         |    CAST(COALESCE(c.sc, 0) * 85 AS DOUBLE) / 100.0) AS BIGINT)
         |    AS BIGINT) AS pr
         |  FROM deg LEFT JOIN c1 c ON deg.v = c.v),
-        |c2 AS (SELECT e.db AS v, CAST(SUM(CAST(floor(
+        |c2 AS MATERIALIZED (SELECT e.db AS v, CAST(SUM(CAST(floor(
         |      CAST(p.pr AS DOUBLE) / CAST(d.deg AS DOUBLE)) AS BIGINT))
         |    AS BIGINT) AS sc
         |  FROM e JOIN pr1 p ON e.da = p.v JOIN deg d ON e.da = d.v
         |  GROUP BY e.db),
-        |pr2 AS (SELECT deg.v, CAST(157286 + CAST(floor(
+        |pr2 AS MATERIALIZED (SELECT deg.v, CAST(157286 + CAST(floor(
         |    CAST(COALESCE(c.sc, 0) * 85 AS DOUBLE) / 100.0) AS BIGINT)
         |    AS BIGINT) AS pr
         |  FROM deg LEFT JOIN c2 c ON deg.v = c.v),
-        |c3 AS (SELECT e.db AS v, CAST(SUM(CAST(floor(
+        |c3 AS MATERIALIZED (SELECT e.db AS v, CAST(SUM(CAST(floor(
         |      CAST(p.pr AS DOUBLE) / CAST(d.deg AS DOUBLE)) AS BIGINT))
         |    AS BIGINT) AS sc
         |  FROM e JOIN pr2 p ON e.da = p.v JOIN deg d ON e.da = d.v
