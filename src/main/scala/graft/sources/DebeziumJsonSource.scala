@@ -237,16 +237,31 @@ class DebeziumScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val codecs = new CompressionCodecFactory(hadoopConf)
-    listFiles().flatMap { case (file, len, _) =>
+    val files = listFiles()
+    // Spark's own FilePartition.maxSplitBytes sizing: pack the whole scan
+    // into ~one split per core (floored by a 4 MiB open cost, capped by
+    // the option). With the option alone a 10× archive keeps the same
+    // split SIZE and scales wall time linearly on a fixed cluster — the
+    // r12 sf1 sweep measured exactly that (6×180 MB files → 12 splits on
+    // 32 cores, 16.8× the sf0.1 time); bytes-per-core keeps per-task
+    // bytes constant as the archive grows until the option cap binds.
+    val totalBytes = files.map(_._2).sum
+    val parallelism = math.max(1,
+      org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism)
+    val openCost = 4L * 1024 * 1024
+    val effSplit = math.max(1L, math.min(maxSplitBytes,
+      math.max(openCost, totalBytes / parallelism + 1)))
+    files.flatMap { case (file, len, _) =>
       val splittable = codecs.getCodec(new Path(file)) == null
-      if (!splittable || len <= maxSplitBytes) {
+      if (!splittable || len <= effSplit) {
         Seq(DebeziumInputPartition(file, 0, len))
       } else {
         // LineRecordReader skips the partial first line of a non-zero
         // offset and reads through the end of the line straddling the
         // split end, so fixed-size offsets are safe cut points
-        (0L until len by maxSplitBytes).map(off =>
-          DebeziumInputPartition(file, off, math.min(maxSplitBytes, len - off)))
+        (0L until len by effSplit).map(off =>
+          DebeziumInputPartition(file, off, math.min(effSplit, len - off)))
       }
     }.toArray
   }
