@@ -591,4 +591,81 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(total.toDouble >= 10 * (100.0 / n) * 10,
       s"total hits $total is indistinguishable from random selection")
   }
+
+  test("sim_ann_ivfpq_recall: probed-list restriction is honored and " +
+      "the pruned search still beats the random baseline") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("sim_ann_ivfpq_recall")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("qid")).toSeq == (0L until 10L))
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hits")
+      assert(h >= 0L && h <= 10L)
+      assert(r.getAs[Double]("recall") == h.toDouble / 10.0)
+    }
+    val n = graft.sources.Tables.scan(spark, sfDir, "embeddings").count()
+    val total = rows.map(_.getAs[Long]("hits")).sum
+    assert(total.toDouble >= 10 * (100.0 / n) * 10,
+      s"total hits $total is indistinguishable from random selection")
+    // the IVF-as-filter effect is an empirical observation, not an
+    // invariant — so the spec pins the WHOLE pipeline instead: a full
+    // driver-side recompute of coarse assignment (cosine argmax), the
+    // nprobe=2 probes, PQ codes, LUT scoring over the restricted
+    // candidates, and the exact-L2 comparison must reproduce every
+    // reported hit count.
+    val vecs = graft.sources.Tables.scan(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def l2(a: Array[Float], b: Array[Float], lo: Int, hi: Int): Double = {
+      var acc = 0.0; var i = lo
+      while (i < hi) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    val cents = (0L until 16L).map(vecs)
+    val dsub = vecs.head._2.length / 4
+    def nearestK(v: Array[Float], k: Int): Seq[Int] =
+      cents.zipWithIndex.map { case (c, cid) => (-cos(v, c), cid) }
+        .sorted.take(k).map(_._2)
+    val assign = vecs.map { case (id, v) => id -> nearestK(v, 1).head }
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until 4).map { m =>
+        val ds = cents.map(c => l2(v, c, m * dsub, (m + 1) * dsub))
+        ds.indexOf(ds.min)
+      }
+    }
+    val expect = (0L until 10L).map { qid =>
+      val q = vecs(qid)
+      val probed = nearestK(q, 2).toSet
+      val cand = vecs.keys.filter(v => v != qid && probed(assign(v)))
+      val lut = (0 until 4).map(m =>
+        cents.map(c => l2(q, c, m * dsub, (m + 1) * dsub)))
+      val atop = cand.toSeq
+        .map(v => (((0.0 + lut(0)(codes(v)(0))) + lut(1)(codes(v)(1))
+          + lut(2)(codes(v)(2))) + lut(3)(codes(v)(3)), v))
+        .sortBy { case (a, v) => (a, v) }.take(10).map(_._2).toSet
+      val etop = vecs.keys.filter(_ != qid).toSeq
+        .map(v => (l2(q, vecs(v), 0, q.length), v))
+        .sortBy { case (d, v) => (d, v) }.take(10).map(_._2).toSet
+      qid -> (etop & atop).size.toLong
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits") == expect(r.getAs[Long]("qid")),
+        s"qid ${r.getAs[Long]("qid")}: reported hits diverge from the " +
+          "driver-side IVF-PQ recompute")
+    }
+  }
 }
