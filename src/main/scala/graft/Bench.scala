@@ -20,10 +20,14 @@ object Bench {
     // the full graded work and the minimum compares like-for-like complete
     // runs — only JVM/JIT/page-cache warmth differs across reps, which is
     // exactly the host-noise component the min is meant to strip.
-    // default 5 (was 3): round-7's driver window was contended enough that
-    // all three reps landed hot (221/168/441 s vs same-day builder runs of
-    // ~60 s) — more samples = more chances the min catches a quiet window
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    // default 7 (was 5, was 3): round-7's driver window was contended
+    // enough that all three reps landed hot (221/168/441 s vs same-day
+    // builder runs of ~60 s), and round-12's back-to-back 5-rep attempts
+    // on the same HEAD landed mins of 103.3 vs 120.5 s purely by which
+    // reps caught a quiet window (per-query minima differed by just
+    // 6.7 s summed over 177 queries) — more samples = more chances the
+    // min catches a quiet window, at ~2 min per extra rep
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "7").toInt
     // local profiling only (the driver never sets it): run a named subset
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY")
