@@ -195,12 +195,18 @@ object SimilarityQueries extends QueryGroup {
     // argmax (zero vector-side shuffle), same 1e-6 fixed-point
     // re-centering (floor to integer micros, BIGINT sums — exact,
     // order-independent, partial-agg friendly, bit-reproducible across
-    // engines where float/decimal casts are not). Per cluster: member
-    // count, the re-centered mean (ARRAY<DOUBLE> in dim order), and the
-    // centroid shift — dim-ordered fold of squared deltas against the
-    // seed, one sqrt at the end (sqrt is correctly-rounded IEEE, unlike
-    // ln/exp). Shuffle budget: one (cid, dim)-keyed exchange of integer
-    // partials — k×dims rows to the final agg, nothing corpus-sized.
+    // engines where float/decimal casts are not). Graded shape is
+    // PER-DIMENSION rows (cluster, dim, cx, n, shift) — the centroid is
+    // still computed as a dim-ordered array internally (the shift needs a
+    // deterministic ordered fold of squared deltas against the seed, one
+    // sqrt at the end — sqrt is correctly-rounded IEEE, unlike ln/exp)
+    // but the OUTPUT carries only scalars: the driver's pandas comparator
+    // cannot sort rows containing raw arrays (round-12's one red row), so
+    // no graded query may emit a top-level array/map/struct column
+    // (enforced by CatalogPlanAuditSpec). n and shift are per-cluster
+    // values repeated on each dim row. Shuffle budget: one (cid, dim)-
+    // keyed exchange of integer partials — k×dims rows to the final agg,
+    // nothing corpus-sized; the final posexplode is k×dims rows too.
     "sim_kmeans" -> ((s, dir) => {
       val e = embs(s, dir)
       val cents = e.filter(col("vec_id") < 16)
@@ -224,7 +230,11 @@ object SimilarityQueries extends QueryGroup {
             zip_with(col("centroid"), col("seed"),
               (a, b) => (a - b.cast("double")) * (a - b.cast("double"))),
             lit(0.0), (acc, d) => acc + d)).as("shift"))
-        .orderBy("cluster")
+        .select(col("cluster"), col("n"), col("shift"),
+          posexplode(col("centroid")).as(Seq("dim", "cx")))
+        .select(col("cluster"), col("dim"), col("cx"), col("n"),
+          col("shift"))
+        .orderBy("cluster", "dim")
     }),
 
     // int8 symmetric quantization of the embedding column — the 4× memory
@@ -735,15 +745,19 @@ object SimilarityQueries extends QueryGroup {
         |nc AS (SELECT cluster, CAST(MAX(cnt) AS BIGINT) AS n,
         |    list_transform(list_sort(list(struct_pack(dim := dim, cx := cx))),
         |      s -> s.cx) AS centroid
-        |  FROM cd GROUP BY cluster)
-        |SELECT nc.cluster, nc.n, nc.centroid,
-        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |    list_transform(list_zip(nc.centroid, c.cv),
-        |      p -> (p[1] - CAST(p[2] AS DOUBLE))
-        |         * (p[1] - CAST(p[2] AS DOUBLE)))),
-        |    (x, y) -> x + y)) AS shift
-        |FROM nc JOIN c ON nc.cluster = c.cid
-        |ORDER BY cluster""".stripMargin,
+        |  FROM cd GROUP BY cluster),
+        |fin AS (SELECT nc.cluster, nc.n, nc.centroid,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(nc.centroid, c.cv),
+        |        p -> (p[1] - CAST(p[2] AS DOUBLE))
+        |           * (p[1] - CAST(p[2] AS DOUBLE)))),
+        |      (x, y) -> x + y)) AS shift
+        |  FROM nc JOIN c ON nc.cluster = c.cid)
+        |SELECT cluster, CAST(dim - 1 AS INT) AS dim, cx, n, shift
+        |FROM (SELECT cluster, n, shift, unnest(centroid) AS cx,
+        |        generate_subscripts(centroid, 1) AS dim
+        |      FROM fin) u
+        |ORDER BY cluster, dim""".stripMargin,
 
     "sim_quantize" ->
       """WITH e AS (SELECT vec_id, embedding AS v,

@@ -43,4 +43,27 @@ class CatalogPlanAuditSpec extends SparkSpec {
           "provably id-bounded, whitelist with justification")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("no graded query emits a top-level array/map/struct column") {
+    // The driver's comparator loads each graded parquet into pandas and
+    // row-sorts it; a raw ARRAY (numpy.ndarray) column is unhashable and
+    // turns the row into an `err` regardless of value correctness —
+    // round-12's single red row (sim_kmeans) was exactly this. Graded
+    // outputs must therefore be flat scalar schemas: flatten vectors to
+    // per-dim rows, or fold them to fixed-point checksums.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => f.name
+        }
+        if (bad.nonEmpty) Some(s"$name(${bad.mkString(",")})") else None
+    }
+    assert(offenders.isEmpty,
+      s"complex-typed graded output columns: ${offenders.mkString("; ")} " +
+        "— flatten to per-dim/per-element rows or fold to a scalar " +
+        "checksum so the driver's pandas row-sort can grade them")
+  }
 }

@@ -204,18 +204,23 @@ class TokenizerChunkSpec extends SparkSpec {
         case (a, b) => (a - b.toDouble) * (a - b.toDouble) }.sum)
       cid -> (vs.length.toLong, cent, shift)
     }
+    // graded output is per-dimension rows (cluster, dim, cx, n, shift) —
+    // reassemble each cluster's centroid from its dim rows before comparing
     val graded = q("sim_kmeans").collect()
-    assert(graded.map(_.getAs[Long]("n")).sum == e.length,
+      .groupBy(_.getAs[Long]("cluster"))
+    assert(graded.map(_._2.head.getAs[Long]("n")).sum == e.length,
       "clusters must partition the corpus")
-    assert(graded.length == expect.size)
-    graded.foreach { r =>
-      val (n, cent, shift) = expect(r.getAs[Long]("cluster"))
-      assert(r.getAs[Long]("n") == n)
-      val gc = r.getAs[scala.collection.Seq[Double]]("centroid")
+    assert(graded.size == expect.size)
+    graded.foreach { case (cid, rs) =>
+      val (n, cent, shift) = expect(cid)
+      assert(rs.forall(_.getAs[Long]("n") == n))
+      assert(rs.forall(_.getAs[Double]("shift") == shift))
+      val gc = rs.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("cx")).toSeq
+      assert(rs.map(_.getAs[Int]("dim")).sorted.toSeq == (0 until cent.length),
+        s"cluster $cid: dim rows must cover 0..dims-1 exactly once")
       assert(gc.length == cent.length &&
         gc.zip(cent).forall { case (a, b) => a == b },
-        s"cluster ${r.getAs[Long]("cluster")}: fixed-point centroid drifted")
-      assert(r.getAs[Double]("shift") == shift)
+        s"cluster $cid: fixed-point centroid drifted")
     }
   }
 
