@@ -224,6 +224,60 @@ class TokenizerChunkSpec extends SparkSpec {
     }
   }
 
+  test("BPE mergeRepr: double-space encoding performs exact leftmost " +
+      "non-overlapping merges on adjacent-site words (ADVICE r12)") {
+    // the single-space encoding failed exactly here: a literal replace of
+    // " a b " consumes the delimiter shared with the NEXT site, so
+    // "abab" under merge (a,b) came out [ab, a, b] instead of [ab, ab].
+    // The corpus-level spec below can't catch it (no learned pair occurs
+    // twice adjacently in the test vocabulary), so pin the kernel on
+    // adversarial words directly against the algorithmic reference.
+    import graft.operators.TextQueries.{mergeRepr, symInit, symSplit}
+    def mergeOne(syms: Vector[String], a: String, b: String)
+        : Vector[String] = {
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          buf += (a + b); i += 2
+        } else { buf += syms(i); i += 1 }
+      }
+      buf.result()
+    }
+    val words = Seq("ab", "abab", "ababab", "abababa", "aaa", "aaaa",
+      "aaaaa", "aaaaaa", "aab", "baa", "aba", "abba", "babab", "cabab")
+    import spark.implicits._
+    for ((a, b) <- Seq(("a", "b"), ("a", "a"), ("b", "a"))) {
+      val got = words.toDF("term")
+        .select(col("term"),
+          symSplit(mergeRepr(symInit(col("term")), a, b)).as("syms"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getAs[scala.collection.Seq[String]]("syms").toVector)
+        .toMap
+      words.foreach { w =>
+        val expect = mergeOne(w.map(_.toString).toVector, a, b)
+        assert(got(w) == expect,
+          s"word '$w' merge ($a,$b): got ${got(w)}, expect $expect")
+      }
+    }
+    // chained merges, merged tokens as later pair members: (a,b) then
+    // (ab,ab) — adjacent merged-token sites must again merge leftmost
+    val got2 = words.toDF("term")
+      .select(col("term"), symSplit(mergeRepr(
+        mergeRepr(symInit(col("term")), "a", "b"), "ab", "ab")).as("syms"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[String]]("syms").toVector)
+      .toMap
+    words.foreach { w =>
+      val expect =
+        mergeOne(mergeOne(w.map(_.toString).toVector, "a", "b"), "ab", "ab")
+      assert(got2(w) == expect,
+        s"word '$w' chained (a,b)+(ab,ab): got ${got2(w)}, expect $expect")
+    }
+  }
+
   test("text_bpe_train: the distributed merge loop equals an independent " +
       "driver-side BPE reference (leftmost non-overlapping merges)") {
     // reference implementation straight from the algorithm statement:
