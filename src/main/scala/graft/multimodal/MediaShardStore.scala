@@ -34,8 +34,18 @@ object MediaShardStore {
 
   /** Shard-assignment manifest over (doc_id, payload): next-fit byte
     * packing within doc_id blocks. A blob larger than `budgetBytes`
-    * still packs (alone in its shard) — a store must accept any blob. */
+    * still packs (alone in its shard) — a store must accept any blob.
+    *
+    * Preconditions: `budgetBytes` must fit an Int (shard offsets feed a
+    * 32-bit `substr` slice in [[fetch]]; a wider budget would silently
+    * slice wrong bytes — individual blobs are safe because a Spark
+    * binary is an `Array[Byte]`, bounded below 2 GiB by the JVM), and
+    * `doc_id` must be unique in `media` — duplicates land in the same
+    * block with colliding (shard_id, byte_off) and corrupt save/fetch. */
   def manifest(media: DataFrame, budgetBytes: Long): DataFrame = {
+    require(budgetBytes > 0 && budgetBytes < Int.MaxValue,
+      s"budgetBytes must be in (0, 2^31): $budgetBytes — fetch slices " +
+        "shards with 32-bit substr offsets")
     val outT = "array<struct<doc_id:bigint,byte_len:bigint," +
       "seq:bigint,off:bigint>>"
     media
@@ -50,8 +60,14 @@ object MediaShardStore {
           struct(lit(0L).as("seq"), lit(0L).as("fill"),
             array().cast(outT).as("out")),
           (acc, x) => {
-            // the first doc (fill=0) always opens seq 0 — even oversize
-            val fits = acc.getField("fill") === 0L ||
+            // the first doc of the block always opens seq 0 — even
+            // oversize. First-ness is POSITIONAL (nothing packed yet),
+            // not fill === 0: after an oversize blob followed by a
+            // zero-length payload the fill is 0 mid-fold, and an
+            // oversize blob arriving then must still open its own shard
+            // (ADVICE r12 — the manifest oracle's recursive step tests
+            // strictly fill + byte_len <= budget past the first doc).
+            val fits = size(acc.getField("out")) === 0 ||
               acc.getField("fill") + x.getField("byte_len") <=
                 lit(budgetBytes)
             val seq2 = when(fits, acc.getField("seq"))
@@ -76,7 +92,13 @@ object MediaShardStore {
   /** Pack and persist: manifest parquet + one concatenated binary per
     * shard. The per-shard concat is an ordered fold over the shard's
     * (byte_off, payload) pairs — byte_off is unique within a shard, so
-    * the array_sort never compares payload bytes. */
+    * the array_sort never compares payload bytes.
+    *
+    * Requires unique `doc_id`s (see [[manifest]]) — a duplicated id
+    * would assign two payloads the same (shard_id, byte_off) slot and
+    * the concat fold would interleave them; dedupe upstream
+    * (`mm_dedup`'s checksum keeper is the standard step before the
+    * store write). */
   def save(media: DataFrame, path: String, budgetBytes: Long): Unit = {
     val man = manifest(media, budgetBytes)
     man.write.mode("overwrite").parquet(s"$path/manifest")

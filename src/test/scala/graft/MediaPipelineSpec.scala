@@ -298,6 +298,51 @@ class MediaPipelineSpec extends SparkSpec {
       plan.contains("doc_id") && plan.contains("shard_id"),
       s"fetch must push doc/shard filters into the scans:\n$plan")
   }
+
+  test("MediaShardStore: oversize and zero-length blobs pack like the " +
+      "manifest oracle — first doc positional, then strictly fill+len " +
+      "<= budget (ADVICE r12)") {
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.MediaShardStore
+    // oversize(10) → empty(11) → oversize(12): the old fill===0 proxy
+    // packed doc 12 into doc 11's shard (fill was 0 after the empty
+    // payload); positional first-ness must open a fresh shard instead,
+    // exactly as the recursive-CTE oracle's strict fill+len <= budget
+    // step does. doc 13 then checks normal packing resumes.
+    val rows = Seq(
+      10L -> Array.fill[Byte](100)(1),
+      11L -> Array.emptyByteArray,
+      12L -> Array.fill[Byte](90)(2),
+      13L -> Array.fill[Byte](5)(3))
+    import spark.implicits._
+    val media = rows.toDF("doc_id", "payload")
+    val man = MediaShardStore.manifest(media, budgetBytes = 64L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard_id"), r.getAs[Long]("byte_off")))
+      .toMap
+    assert(man(10L) == (0L, 0L), "first doc opens seq 0 even oversize")
+    assert(man(11L) == (1L, 0L), "empty blob can't join the full shard")
+    assert(man(12L) == (2L, 0L),
+      "oversize after an empty blob must open its OWN shard (fill==0 " +
+        "is not first-ness)")
+    assert(man(13L) == (3L, 0L), "90+5 > 64: doc 13 opens the next shard")
+    // round trip with the empty payload present
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shardstore_edge").toString
+    MediaShardStore.save(media, path, budgetBytes = 64L)
+    val got = MediaShardStore.fetch(spark, path, rows.map(_._1))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    rows.foreach { case (id, bytes) =>
+      assert(java.util.Arrays.equals(got(id), bytes),
+        s"doc $id: fetched bytes differ")
+    }
+    // the fetch guard: a 2 GiB+ budget must be rejected loudly, not
+    // silently slice wrong bytes through the 32-bit substr
+    intercept[IllegalArgumentException] {
+      MediaShardStore.manifest(media, budgetBytes = Int.MaxValue.toLong)
+    }
+  }
 }
 
 /** Executor-side probe for the batch seam: fails the task on an
