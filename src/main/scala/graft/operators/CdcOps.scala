@@ -181,13 +181,18 @@ object CdcOps {
   // every downstream graded parse runs single-threaded on a 32-core
   // session; with it the per-rep envelope decode gets the same
   // parallelism a real consumer group gets from the broker.
+  // Disk-backed (BoundedDfCache.getOrPersistFixture): synthesized once
+  // per (fixture-version, variant, sf) ACROSS JVMs, then read back like
+  // any other input parquet. The repartition runs post-read because the
+  // small fixture parquet would otherwise coalesce to 1-2 input splits
+  // and serialize every downstream graded parse.
   private def cachedFixture(
       spark: SparkSession, sfDir: String, variant: String)(
       build: => DataFrame): DataFrame =
-    graft.BoundedDfCache.getOrPersist(
+    graft.BoundedDfCache.getOrPersistFixture(
       spark, s"${graft.BoundedDfCache.FixturePrefix}cdc:$variant:$sfDir")(
-      build.repartition(
-        spark.sparkContext.defaultParallelism, col("key")))
+      build)(
+      _.repartition(spark.sparkContext.defaultParallelism, col("key")))
 
   // -------------------------------------------------------------------
   // Bronze stage: the PARSED typed changelog, materialized once per

@@ -463,13 +463,14 @@ object CdcQueries extends QueryGroup {
         // the fixture cache tier; without it each window branch re-probed
         // the key/value JSON over the full fixture (the sweep's one >15×
         // sf1 residue). The parse inside unwrapped stays graded work.
-        val sliced = graft.BoundedDfCache.getOrPersist(
+        val sliced = graft.BoundedDfCache.getOrPersistFixture(
           s, s"${graft.BoundedDfCache.FixturePrefix}cdc:pauseslice:$dir")(
           CdcOps.synthOrdersChangelog(s, dir)
             .filter(get_json_object(col("key"), "$.o_orderkey")
               .cast("long") % 4 === 2)
             .withColumn("_w_lsn",
-              get_json_object(col("value"), "$.source.lsn").cast("long")))
+              get_json_object(col("value"), "$.source.lsn").cast("long")))(
+          identity)
         // window 1 = inserts; window 2 = updates + deletes + tombstones
         // (value-less tombstones have no lsn → coalesce routes them here)
         val w1 = sliced
@@ -767,6 +768,102 @@ object CdcQueries extends QueryGroup {
       val seen = ev.filter(
         col("collection") =!= "users" || col("lsn") <= usersOffset)
       TxnApply.applyStatusBatch(seen, meta, endCutoff).orderBy("txid")
+    }),
+
+    // B9 STREAMING form with EVICTION ARMED — the opt-in
+    // ProcessingTimeTimeout mode of [[graft.streaming.TxnApply]] graded
+    // end-to-end (the batch twins above grade the apply DECISION; this
+    // grades the stateful operator itself). The txid%4 slice of the
+    // orders ∪ users transaction feed is driven through real
+    // micro-batches: data events, then the transaction topic's END
+    // records, then an at-least-once REDELIVERY of the first chunk in a
+    // strictly later batch — inside the one-hour replay window, so the
+    // replay must hit the applied-tombstone branch (which re-arms the
+    // eviction clock) and emit nothing. Timeout REGISTRATION runs for
+    // every applied transaction against the real state store; the
+    // window is sized so no timer can fire mid-run, keeping the graded
+    // output deterministic — eviction FIRING (timing-dependent by
+    // nature) is pinned by TxnApplySpec instead. Output = one
+    // TxnApplied row per transaction; a double-apply would duplicate a
+    // txid and hash-mismatch the oracle, and the in-query require makes
+    // the no-op contract fail loudly even before grading.
+    "cdc_txn_apply_evict" -> ((s, dir) => {
+      import graft.streaming.{TxnApply, TxnFeedEvent}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      import s.implicits._
+      val evAll = CdcOps.txnEvents(
+        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
+        .filter(col("txid") % 4 === 0)
+      val meta = CdcOps.txnMeta(
+        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
+        .filter(col("txid") % 4 === 0)
+      val dataFeed = evAll.select(col("txid"), col("collection"),
+          col("lsn"), lit(false).as("end"), lit(-1L).as("expected"))
+        .as[TxnFeedEvent].sort("lsn")
+      val endFeed = meta.select(col("txid"), lit("txn").as("collection"),
+          col("max_lsn").as("lsn"), lit(true).as("end"),
+          col("event_count").as("expected"))
+        .as[TxnFeedEvent].sort("txid")
+      val nTx = meta.count() // bounded scalar: the await target
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      // state-store count follows state volume, not analytic width —
+      // same per-stateful-job sizing call as cdc_compact_tws
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        implicit val sqlCtx = s.sqlContext
+        val sinkName = "graft_txn_apply_evict"
+        s.catalog.dropTempView(sinkName)
+        val in = MemoryStream[TxnFeedEvent]
+        val q = TxnApply(in.toDS(),
+            replayWindowMs = Some(TxnApply.DefaultReplayWindowMs))
+          .writeStream
+          // eviction mode schedules data-less timeout batches forever,
+          // so processAllAvailable never returns — poll the sink under a
+          // sane trigger interval instead (the operator's caller
+          // contract)
+          .trigger(Trigger.ProcessingTime("100 milliseconds"))
+          .format("memory").queryName(sinkName)
+          .outputMode(OutputMode.Update).start()
+        def await(cond: => Boolean, what: String): Unit = {
+          val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+          while (!cond) {
+            if (System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                s"cdc_txn_apply_evict: timed out waiting for $what")
+            Thread.sleep(50)
+          }
+        }
+        try {
+          import scala.jdk.CollectionConverters._
+          // bounded driver transfer: chunked toLocalIterator, tws-style
+          var replayChunk: IndexedSeq[TxnFeedEvent] = IndexedSeq.empty
+          dataFeed.toLocalIterator().asScala.grouped(65536).foreach { b =>
+            val chunk = b.toIndexedSeq
+            if (replayChunk.isEmpty) replayChunk = chunk
+            in.addData(chunk: _*)
+          }
+          endFeed.toLocalIterator().asScala.grouped(65536).foreach {
+            b => in.addData(b.toIndexedSeq: _*)
+          }
+          await(s.table(sinkName).count() >= nTx, s"$nTx applied txns")
+          // redelivery in a strictly later batch (added only after every
+          // apply was observed): data replays dedup against tombstones,
+          // replayed ENDs hit the applied branch — all no-ops
+          val target = in.addData(replayChunk: _*).json().trim.toLong
+          await(Option(q.lastProgress).exists(p =>
+              scala.util.Try(p.sources.head.endOffset.trim.toLong)
+                .getOrElse(-1L) >= target),
+            "the replay batch to be consumed")
+          require(s.table(sinkName).count() == nTx,
+            "in-window replay re-applied a transaction — the applied " +
+              "tombstone (or its eviction re-arm) is broken")
+        } finally q.stop()
+        s.table(sinkName)
+          .select(col("txid"), col("event_count"), col("min_lsn"),
+            col("max_lsn"))
+          .orderBy("txid")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
     "cdc_revenue_by_segment" -> ((s, dir) => {
@@ -1140,6 +1237,30 @@ object CdcQueries extends QueryGroup {
         |        AND COALESCE(a.arrived, 0) = t.event_count) AS applied
         |FROM tx t LEFT JOIN arr a USING (txid) CROSS JOIN tcut
         |ORDER BY t.txid""".stripMargin,
+
+    // the streaming eviction-armed apply: every transaction in the
+    // txid%4 slice completes (data + END all fed), each exactly once —
+    // one row per txid with the dedup-free feed's count and lsn span
+    "cdc_txn_apply_evict" ->
+      """WITH ev AS (
+        |  SELECT 'orders' AS tbl, o_orderkey*5 AS txid, o_orderkey*10 AS lsn
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', o_orderkey*5+2, o_orderkey*10+5
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'orders', o_orderkey*5+4, o_orderkey*10+8
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'users', c_custkey*5, c_custkey*10 FROM customer
+        |  UNION ALL
+        |  SELECT 'users', c_custkey*5+2, c_custkey*10+5
+        |  FROM customer WHERE c_custkey % 5 = 0)
+        |SELECT txid, CAST(COUNT(*) AS BIGINT) AS event_count,
+        |  CAST(MIN(lsn) AS BIGINT) AS min_lsn,
+        |  CAST(MAX(lsn) AS BIGINT) AS max_lsn
+        |FROM ev WHERE txid % 4 = 0
+        |GROUP BY txid ORDER BY txid""".stripMargin,
 
     "cdc_revenue_by_segment" ->
       """SELECT c_mktsegment,
