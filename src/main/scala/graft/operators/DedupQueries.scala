@@ -393,6 +393,22 @@ object DedupQueries extends QueryGroup {
   private[graft] val lshBands = 8
   private[graft] val lshRowsPerBand = 4
 
+  /** Cross-engine-expressible affine MinHash family for the ORACLED
+    * banding twin (`dedup_lsh_bands`): h_i(x) = (a_i·x + b_i) mod p over
+    * the charFold polynomial shingle hash. The production kernel
+    * ([[graft.functions.VectorFunctions.minhashSig]]) stays xxhash64 —
+    * this family exists so the very same banding layout (32 hashes,
+    * 8 bands × 4 rows) can be restated as DuckDB SQL and value-pinned:
+    * every constant below is inlined as a literal into BOTH the Catalyst
+    * expression and the generated oracle string, so the two engines
+    * cannot drift. All arithmetic stays in [0, p) with p ~ 1e9, so
+    * a_i·x < 1e18 never overflows a 64-bit signed int in either engine. */
+  private[graft] val lshPolyP = 1000000007L
+  private[graft] val lshPolyA: IndexedSeq[Long] =
+    (0 until minhashK).map(i => (654435747L * (i + 1)) % lshPolyP)
+  private[graft] val lshPolyB: IndexedSeq[Long] =
+    (0 until minhashK).map(i => (368040753L * (i + 7) + 12345L) % lshPolyP)
+
   /** Exploded (band, bucket-hash) struct column for a `minhashK`-wide
     * signature column — THE band-bucket definition (batch + streaming). */
   private[graft] def lshBandStruct(sig: Column): Column =
@@ -585,6 +601,54 @@ object DedupQueries extends QueryGroup {
         when(col("n_exact") > 0,
           col("n_true_positive").cast("double") / col("n_exact"))
           .otherwise(lit(1.0)).as("recall_vs_exact"))
+    }),
+
+    // op 45b': the MinHash BANDING machinery value-pinned cross-engine
+    // (VERDICT r12 item 4): the production LSH path is xxhash64-based and
+    // can only be contract-tested, so this twin runs the IDENTICAL
+    // banding layout (32 minhashes, 8 bands × 4 rows, bucket equi-join,
+    // da < db) over a DuckDB-expressible affine hash family on the
+    // charFold shingle hash — every constant inlined from the same Scala
+    // values into both engines. Graded per band: bucket count, candidate
+    // pair count, and how many candidates are true τ=0.5 near-dups — the
+    // candidate→verified funnel as exact integers, 8 rows. Scale shape is
+    // the LSH discipline itself: hashing is map-side off the shared
+    // shingle table, the signature aggregate moves 32 longs per doc
+    // (partial-agg combined), and the only pair-level work is the
+    // bucket-grouped join — ∝ true collisions, never all-pairs.
+    "dedup_lsh_bands" -> ((s, dir) => {
+      val hs = shingles(s, dir)
+        .select(col("doc_id"), TextQueries.charFold(col("s")).as("h"))
+      val mins = (0 until minhashK).map(i =>
+        min((lit(lshPolyA(i)) * col("h") + lit(lshPolyB(i))) % lshPolyP)
+          .as(s"m$i"))
+      val mh = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      // band key = base-1000003 polynomial fold of the band's 4 rows —
+      // the same fold the oracle states, so bucket ids match exactly
+      def bkey(b: Int): Column =
+        (0 until lshRowsPerBand).foldLeft(lit(0L): Column) { (acc, r) =>
+          (acc * 1000003L + col(s"m${b * lshRowsPerBand + r}")) % lshPolyP
+        }
+      val bands = mh.select(col("doc_id"),
+        explode(array((0 until lshBands).map(b =>
+          struct(lit(b).as("band"), bkey(b).as("bk"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
+      val cand = bands.toDF("da", "band", "bk")
+        .join(bands.toDF("db", "band", "bk"), Seq("band", "bk"))
+        .filter(col("da") < col("db"))
+      val exact = sharedPairs(s, dir)
+        .select(col("da"), col("db"), lit(1).as("_ex"))
+      val counts = cand.join(exact, Seq("da", "db"), "left")
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("_ex").isNotNull, 1L).otherwise(0L))
+            .as("n_dup_verified"))
+      bands.groupBy("band").agg(countDistinct(col("bk")).as("n_buckets"))
+        .join(counts, Seq("band"), "left")
+        .select(col("band"), col("n_buckets"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_dup_verified"), lit(0L)).as("n_dup_verified"))
+        .orderBy("band")
     }),
 
     // op 45c: SimHash — tf-weighted 64-bit signature; pairs at Hamming ≤ 3
@@ -926,6 +990,72 @@ object DedupQueries extends QueryGroup {
         |JOIN sizes sb ON db = sb.doc_id
         |WHERE common / (sa.n + sb.n - common) >= 0.5
         |ORDER BY da, db""".stripMargin,
+
+    // the banding twin, GENERATED from the same Scala constants the
+    // Catalyst expression inlines (lshPolyA/B, the 1000003 band fold) —
+    // the two engines share one source of truth for every hash constant.
+    // Multiply-referenced CTEs are MATERIALIZED (the BPE-oracle lesson:
+    // DuckDB's default inlining re-evaluates shared CTE chains).
+    "dedup_lsh_bands" -> {
+      val minCols = (0 until minhashK).map(i =>
+        s"MIN((${lshPolyA(i)} * h + ${lshPolyB(i)}) % ${lshPolyP}) AS m$i")
+        .mkString(",\n    ")
+      def bkeySql(b: Int): String =
+        (0 until lshRowsPerBand).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+          s"(($acc) * 1000003 + m${b * lshRowsPerBand + r}) % ${lshPolyP}"
+        }
+      val bandRows = (0 until lshBands).map(b =>
+        s"SELECT doc_id, $b AS band, ${bkeySql(b)} AS bk FROM mh")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+    unnest(CASE WHEN len(w) >= 4 THEN
+      list_transform(range(1, len(w) - 2),
+        i -> array_to_string(w[i:i+3], ' '))
+      ELSE [] END) AS s
+  FROM toks),
+hs AS MATERIALIZED (SELECT doc_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT))),
+      (a, b) -> (a * 1000003 + b) % 1000000007) AS h
+  FROM sh),
+mh AS MATERIALIZED (SELECT doc_id,
+    $minCols
+  FROM hs GROUP BY doc_id),
+bk AS MATERIALIZED (
+  $bandRows),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+jcand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM sh a JOIN rare r ON a.s = r.s
+  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+jp AS MATERIALIZED (SELECT p.da, p.db FROM
+    (SELECT c.da, c.db, COUNT(*) AS common
+     FROM jcand c
+     JOIN sh a ON a.doc_id = c.da
+     JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+     GROUP BY 1, 2) p
+  JOIN sizes sa ON p.da = sa.doc_id
+  JOIN sizes sb ON p.db = sb.doc_id
+  WHERE p.common / (sa.n + sb.n - p.common) >= 0.5),
+cnd AS (SELECT a.band, a.doc_id AS da, b.doc_id AS db
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+cc AS (SELECT c.band, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+    CAST(SUM(CASE WHEN e.da IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_dup_verified
+  FROM cnd c LEFT JOIN jp e ON c.da = e.da AND c.db = e.db
+  GROUP BY c.band),
+bb AS (SELECT band, CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_buckets
+  FROM bk GROUP BY band)
+SELECT bb.band, bb.n_buckets,
+  CAST(COALESCE(cc.n_candidates, 0) AS BIGINT) AS n_candidates,
+  CAST(COALESCE(cc.n_dup_verified, 0) AS BIGINT) AS n_dup_verified
+FROM bb LEFT JOIN cc ON bb.band = cc.band
+ORDER BY bb.band"""
+    },
 
     // same positional shingling, cap, diagonal islands — stated in SQL
     "dedup_substring" ->
