@@ -22,7 +22,7 @@ private[graft] object BoundedDfCache {
   // "36 s/rep shared builds" cost). The bound still exists so long-lived
   // multi-sf sessions (sf0.01 + sf0.1 + sf1 in one JVM = 3× tags) evict
   // the stalest scale factor instead of pinning everything forever.
-  private val maxEntries = 96
+  private[graft] val maxEntries = 96
 
   private val entries =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]

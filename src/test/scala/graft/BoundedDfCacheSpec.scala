@@ -35,9 +35,9 @@ class BoundedDfCacheSpec extends SparkSpec {
     first.count()
     assert(first.storageLevel != StorageLevel.NONE)
     // flood the cache past its bound so spec:evict-0 (oldest) is dropped
-    (1 to 30).foreach { i =>
+    (1 to BoundedDfCache.maxEntries + 4).foreach { i =>
       BoundedDfCache.getOrPersist(spark, s"spec:evict-$i") {
-        spark.range(i).toDF()
+        spark.range(i.toLong).toDF()
       }
     }
     assert(first.storageLevel == StorageLevel.NONE) // unpersisted on evict

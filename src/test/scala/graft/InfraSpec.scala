@@ -25,6 +25,23 @@ class InfraSpec extends SparkSpec {
       .endsWith(s"p${ProcessHandle.current().pid()}"))
   }
 
+  test("the AQE bench knob stays a bench knob: only Bench.scala reads " +
+      "SPARK_GRAFT_AQE") {
+    // The benchmark disables AQE at its SF on a recorded A/B; that tuning
+    // must never leak into Verify (the correctness path) or operator
+    // code, where it could change graded semantics or deployment
+    // defaults. Source-level pin: the env var's name appears in exactly
+    // one non-test file.
+    import scala.jdk.CollectionConverters._
+    val offenders = java.nio.file.Files
+      .walk(java.nio.file.Paths.get("src/main/scala")).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filter(p => java.nio.file.Files.readString(p).contains("SPARK_GRAFT_AQE"))
+      .map(_.toString).toList.sorted
+    assert(offenders == List("src/main/scala/graft/Bench.scala"),
+      s"SPARK_GRAFT_AQE must be read only by Bench, found in: $offenders")
+  }
+
   test("scanPar: identical rows to scan, widened to session parallelism") {
     val plain = Tables.scan(spark, sfDir, "documents")
       .orderBy("doc_id").collect()
