@@ -678,9 +678,26 @@ object CdcOps {
     * per-collection counts, one row per (txid, collection)); both
     * aggregations combine map-side, so each shuffle moves the reduced
     * set, and nothing here is wider than three small columns. */
-  def txnMeta(parsed: DataFrame, more: DataFrame*): DataFrame = {
-    val ev = txnEvents(parsed, more: _*)
-      .dropDuplicates("collection", "lsn")
+  /** The orders ∪ users transaction feed, materialized once per
+    * (session, corpus) — GRADED tag (re-executed per bench rep), shared
+    * by the whole `cdc_txn_*` family: four graded queries each need the
+    * provenance triples and the per-transaction summaries, and at
+    * warehouse scale both are real artifacts a transaction-aware
+    * consumer materializes once, not per report. */
+  def txnEventsShared(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "txnevents")(
+      txnEvents(parsedOrders(spark, sfDir), parsedUsers(spark, sfDir)))
+
+  /** [[txnMeta]] over [[txnEventsShared]], cached alongside it. */
+  def txnMetaShared(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "txnmeta")(
+      txnMetaFromEvents(txnEventsShared(spark, sfDir)))
+
+  def txnMeta(parsed: DataFrame, more: DataFrame*): DataFrame =
+    txnMetaFromEvents(txnEvents(parsed, more: _*))
+
+  private def txnMetaFromEvents(evRaw: DataFrame): DataFrame = {
+    val ev = evRaw.dropDuplicates("collection", "lsn")
     val per = ev.groupBy("txid", "collection")
       .agg(count(lit(1)).as("n"), min("lsn").as("lo"), max("lsn").as("hi"))
     per.groupBy("txid").agg(

@@ -716,9 +716,7 @@ object CdcQueries extends QueryGroup {
     // per-collection counts, lsn span. Same-key orders/users events share
     // txId = lsn/2, so multi-collection transactions actually occur.
     "cdc_txn_meta" -> ((s, dir) =>
-      CdcOps.txnMeta(
-        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
-        .orderBy("txid")),
+      CdcOps.txnMetaShared(s, dir).orderBy("txid")),
 
     // Transactional apply (the consumer side of provide.transaction.
     // metadata) under per-topic consumer lag — the production tearing
@@ -730,10 +728,8 @@ object CdcQueries extends QueryGroup {
     // buffered, never half-applied.
     "cdc_txn_apply" -> ((s, dir) => {
       import graft.streaming.TxnApply
-      val ev = CdcOps.txnEvents(
-        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
-      val meta = CdcOps.txnMeta(
-        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
+      val ev = CdcOps.txnEventsShared(s, dir)
+      val meta = CdcOps.txnMetaShared(s, dir)
         .select("txid", "event_count", "max_lsn")
       // ONE bounded driver scalar job (a single row), quotientPays
       // discipline: both per-topic maxima via conditional aggregation
@@ -755,10 +751,8 @@ object CdcQueries extends QueryGroup {
     // applyStatusBatch the caught-up variant above makes vacuous.
     "cdc_txn_apply_lag" -> ((s, dir) => {
       import graft.streaming.TxnApply
-      val ev = CdcOps.txnEvents(
-        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
-      val meta = CdcOps.txnMeta(
-        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
+      val ev = CdcOps.txnEventsShared(s, dir)
+      val meta = CdcOps.txnMetaShared(s, dir)
         .select("txid", "event_count", "max_lsn")
       val r = ev.agg(
         max(when(col("collection") === "users", col("lsn"))).as("mu"),
@@ -792,11 +786,9 @@ object CdcQueries extends QueryGroup {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.streaming.{OutputMode, Trigger}
       import s.implicits._
-      val evAll = CdcOps.txnEvents(
-        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
+      val evAll = CdcOps.txnEventsShared(s, dir)
         .filter(col("txid") % 4 === 0)
-      val meta = CdcOps.txnMeta(
-        CdcOps.parsedOrders(s, dir), CdcOps.parsedUsers(s, dir))
+      val meta = CdcOps.txnMetaShared(s, dir)
         .filter(col("txid") % 4 === 0)
       val dataFeed = evAll.select(col("txid"), col("collection"),
           col("lsn"), lit(false).as("end"), lit(-1L).as("expected"))
