@@ -5,6 +5,11 @@ import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** One arrival of the `stream_late_data` feed: event time + grouping key
+  * (top-level so the product encoder is stable across the driver-fed
+  * MemoryStream seam, like [[graft.streaming.TxnFeedEvent]]). */
+final case class LateFeedEvent(ts: java.sql.Timestamp, event_type: String)
+
 /** Batch-verifiable forms of the streaming operators (SURVEY.md §2.C ops
   * 37-40): the same `window()` / `session_window()` / dedup expressions run
   * identically over a bounded DataFrame, which is what makes them
@@ -47,6 +52,85 @@ object StreamQueries extends QueryGroup {
           col("session_window.start").as("s_start"),
           col("session_window.end").as("s_end"), col("n"))
         .orderBy("user_id", "s_start")
+    }),
+
+    // op 36 GRADED END TO END — watermark + late-data semantics through a
+    // REAL Structured Streaming query (withWatermark + tumbling window +
+    // Update mode over the state store), not a batch twin: the
+    // event_id%8 slice of `events` is replayed as five deterministic
+    // micro-batches — arrival order = event-time quartiles (ntile over
+    // (ts, event_id)), except every fifth sliced event STRAGGLES into the
+    // next batch, arriving up to ~7.5 days late against a 12-hour
+    // watermark delay. The engine must drop the stragglers whose window
+    // fell behind the watermark and merge the ones still inside it; the
+    // oracle restates Spark's contract relationally (per-batch ratcheting
+    // watermark = ms-truncated running max event time − delay; a row
+    // survives iff its day-window's END is above the watermark its batch
+    // ran under). Final counts = last Update emission per key (counts
+    // only grow, so max = last — the tws fold shape). Output is one row
+    // per (day, event_type) — constant ~150 rows at EVERY scale factor,
+    // while the dropped-row set grows with the corpus. State width 8
+    // (state-store sizing, as every stateful graded query).
+    "stream_late_data" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.streaming.OutputMode
+      import s.implicits._
+      val sliced = Tables.scan(s, dir, "events")
+        .filter(col("event_id") % 8 === 0)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"))
+        .withColumn("q",
+          ntile(4).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+        .withColumn("batch",
+          col("q") + when(col("event_id") % 40 === 0, 1).otherwise(0))
+      val batches = sliced
+        .select(col("batch"), col("ts"), col("event_type"))
+        .sort("batch", "ts")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        implicit val sqlCtx = s.sqlContext
+        val sinkName = "graft_stream_late"
+        s.catalog.dropTempView(sinkName)
+        val in = MemoryStream[LateFeedEvent]
+        val q = in.toDS()
+          .withWatermark("ts", "12 hours")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode(OutputMode.Update).start()
+        try {
+          import scala.jdk.CollectionConverters._
+          // bounded driver transfer: batches stream through
+          // toLocalIterator in arrival order; a batch boundary is a real
+          // micro-batch boundary (processAllAvailable between adds — the
+          // watermark only ratchets there, exactly like a deployment's
+          // trigger boundaries)
+          val it = batches.toLocalIterator().asScala
+            .map(r => (r.getInt(0),
+              LateFeedEvent(r.getTimestamp(1), r.getString(2))))
+          var cur = -1
+          val buf = scala.collection.mutable.ArrayBuffer.empty[LateFeedEvent]
+          def flush(): Unit = if (buf.nonEmpty) {
+            in.addData(buf.toSeq); q.processAllAvailable(); buf.clear()
+          }
+          it.foreach { case (b, e) =>
+            if (b != cur) { flush(); cur = b }
+            buf += e
+          }
+          flush()
+        } finally q.stop()
+        s.table(sinkName)
+          .groupBy(col("window"), col("event_type"))
+          .agg(max(col("cnt")).as("cnt"))
+          // cast back to NTZ wall-clock (session is UTC): an LTZ parquet
+          // column reads tz-aware downstream and would break the
+          // tz-naive compare against the oracle's date_trunc
+          .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+            col("event_type"), col("cnt"))
+          .orderBy("w_start", "event_type")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
     // op 40 (batch form): at-least-once replay dedup — the log replayed
@@ -128,6 +212,32 @@ object StreamQueries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Spark's watermark contract restated: per-batch ratcheting watermark
+    // (ms-truncated running max event time − 12 h, the engine's own ms
+    // resolution), a row admitted iff its batch ran before any watermark
+    // existed or its day-window's END is above that batch's watermark
+    "stream_late_data" ->
+      """WITH e AS (SELECT event_id, ts, event_type FROM events
+        |  WHERE event_id % 8 = 0),
+        |b AS (SELECT ts, event_type,
+        |    (ntile(4) OVER (ORDER BY ts, event_id) - 1)
+        |      + CASE WHEN event_id % 40 = 0 THEN 1 ELSE 0 END AS batch
+        |  FROM e),
+        |mx AS (SELECT batch, MAX(ts) AS mts FROM b GROUP BY batch),
+        |wm AS (SELECT x.batch,
+        |    date_trunc('milliseconds', MAX(m.mts)) - INTERVAL 12 HOUR
+        |      AS wm_prev
+        |  FROM (SELECT DISTINCT batch FROM b) x
+        |  LEFT JOIN mx m ON m.batch < x.batch
+        |  GROUP BY x.batch),
+        |adm AS (SELECT b.ts, b.event_type
+        |  FROM b JOIN wm ON b.batch = wm.batch
+        |  WHERE wm.wm_prev IS NULL
+        |     OR date_trunc('day', b.ts) + INTERVAL 1 DAY > wm.wm_prev)
+        |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM adm GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
     "stream_tumbling" ->
       """SELECT date_trunc('minute', ts) AS w_start, event_type,
         |  COUNT(*) AS n
