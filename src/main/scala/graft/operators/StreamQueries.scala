@@ -72,65 +72,36 @@ object StreamQueries extends QueryGroup {
     // while the dropped-row set grows with the corpus. State width 8
     // (state-store sizing, as every stateful graded query).
     "stream_late_data" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.streaming.OutputMode
-      import s.implicits._
-      val sliced = Tables.scan(s, dir, "events")
-        .filter(col("event_id") % 8 === 0)
-        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-          col("event_type"))
-        .withColumn("q",
-          ntile(4).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-        .withColumn("batch",
-          col("q") + when(col("event_id") % 40 === 0, 1).otherwise(0))
-      val batches = sliced
-        .select(col("batch"), col("ts"), col("event_type"))
-        .sort("batch", "ts")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        implicit val sqlCtx = s.sqlContext
-        val sinkName = "graft_stream_late"
-        s.catalog.dropTempView(sinkName)
-        val in = MemoryStream[LateFeedEvent]
-        val q = in.toDS()
-          .withWatermark("ts", "12 hours")
-          .groupBy(window(col("ts"), "1 day"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"))
-          .writeStream.format("memory").queryName(sinkName)
-          .outputMode(OutputMode.Update).start()
-        try {
-          import scala.jdk.CollectionConverters._
-          // bounded driver transfer: batches stream through
-          // toLocalIterator in arrival order; a batch boundary is a real
-          // micro-batch boundary (processAllAvailable between adds — the
-          // watermark only ratchets there, exactly like a deployment's
-          // trigger boundaries)
-          val it = batches.toLocalIterator().asScala
-            .map(r => (r.getInt(0),
-              LateFeedEvent(r.getTimestamp(1), r.getString(2))))
-          var cur = -1
-          val buf = scala.collection.mutable.ArrayBuffer.empty[LateFeedEvent]
-          def flush(): Unit = if (buf.nonEmpty) {
-            in.addData(buf.toSeq); q.processAllAvailable(); buf.clear()
-          }
-          it.foreach { case (b, e) =>
-            if (b != cur) { flush(); cur = b }
-            buf += e
-          }
-          flush()
-        } finally q.stop()
-        s.table(sinkName)
-          .groupBy(col("window"), col("event_type"))
-          .agg(max(col("cnt")).as("cnt"))
-          // cast back to NTZ wall-clock (session is UTC): an LTZ parquet
-          // column reads tz-aware downstream and would break the
-          // tz-naive compare against the oracle's date_trunc
-          .select(col("window.start").cast("timestamp_ntz").as("w_start"),
-            col("event_type"), col("cnt"))
-          .orderBy("w_start", "event_type")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sink = runLateFeed(s, dir, OutputMode.Update, "graft_stream_late")
+      sink
+        .groupBy(col("window"), col("event_type"))
+        .agg(max(col("cnt")).as("cnt"))
+        // cast back to NTZ wall-clock (session is UTC): an LTZ parquet
+        // column reads tz-aware downstream and would break the
+        // tz-naive compare against the oracle's date_trunc
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("cnt"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // op 42 GRADED (output modes) — the Append/Update DISTINCTION as an
+    // oracle-checked fact: the SAME feed, watermark, and window as
+    // `stream_late_data`, but in APPEND mode, where a window may emit
+    // only once the watermark passes its end. With no flush sentinel,
+    // the emitted set is therefore the strict subset of windows already
+    // FINALIZED when the feed ends (end ≤ final watermark) — the last
+    // day-and-a-half of windows are admitted, counted in state, and yet
+    // correctly absent from the output. The oracle adds exactly that
+    // final-watermark filter on top of the late-data admission CTEs.
+    // (Triggers are wall-clock scheduling and stay spec-covered —
+    // SinksAndJoinsSpec; this grades the mode semantics.)
+    "stream_append_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      runLateFeed(s, dir, OutputMode.Append, "graft_stream_append")
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("cnt"))
+        .orderBy("w_start", "event_type")
     }),
 
     // op 40 (batch form): at-least-once replay dedup — the log replayed
@@ -211,6 +182,65 @@ object StreamQueries extends QueryGroup {
         .orderBy("rule", "connector", "run_start")
     }))
 
+  /** Shared driver for the watermark family (`stream_late_data`,
+    * `stream_append_mode`): replay the event_id%8 slice as five
+    * deterministic micro-batches (event-time quartiles; every fifth
+    * sliced event straggles one batch) through a real
+    * withWatermark + 1-day tumbling aggregation in the given output
+    * mode, and return the memory sink's table. Bounded driver transfer
+    * (toLocalIterator in arrival order); a batch boundary is a real
+    * micro-batch boundary — processAllAvailable between adds, so the
+    * watermark ratchets exactly at trigger boundaries like a deployed
+    * stream. State width 8 (state-store sizing). */
+  private def runLateFeed(
+      s: SparkSession, dir: String,
+      mode: org.apache.spark.sql.streaming.OutputMode,
+      sinkName: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val batches = Tables.scan(s, dir, "events")
+      .filter(col("event_id") % 8 === 0)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"))
+      .withColumn("q",
+        ntile(4).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+      .withColumn("batch",
+        col("q") + when(col("event_id") % 40 === 0, 1).otherwise(0))
+      .select(col("batch"), col("ts"), col("event_type"))
+      .sort("batch", "ts")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      implicit val sqlCtx = s.sqlContext
+      s.catalog.dropTempView(sinkName)
+      val in = MemoryStream[LateFeedEvent]
+      val q = in.toDS()
+        .withWatermark("ts", "12 hours")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(mode).start()
+      try {
+        import scala.jdk.CollectionConverters._
+        val it = batches.toLocalIterator().asScala
+          .map(r => (r.getInt(0),
+            LateFeedEvent(r.getTimestamp(1), r.getString(2))))
+        var cur = -1
+        val buf = scala.collection.mutable.ArrayBuffer.empty[LateFeedEvent]
+        def flush(): Unit = if (buf.nonEmpty) {
+          in.addData(buf.toSeq); q.processAllAvailable(); buf.clear()
+        }
+        it.foreach { case (b, e) =>
+          if (b != cur) { flush(); cur = b }
+          buf += e
+        }
+        flush()
+      } finally q.stop()
+      s.table(sinkName)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   val oracles: Map[String, String] = Map(
     // Spark's watermark contract restated: per-batch ratcheting watermark
     // (ms-truncated running max event time − 12 h, the engine's own ms
@@ -237,6 +267,34 @@ object StreamQueries extends QueryGroup {
         |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM adm GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // Append mode = the late-data admission chain PLUS the finalization
+    // gate: only windows whose end the FINAL watermark passed may emit
+    "stream_append_mode" ->
+      """WITH e AS (SELECT event_id, ts, event_type FROM events
+        |  WHERE event_id % 8 = 0),
+        |b AS (SELECT ts, event_type,
+        |    (ntile(4) OVER (ORDER BY ts, event_id) - 1)
+        |      + CASE WHEN event_id % 40 = 0 THEN 1 ELSE 0 END AS batch
+        |  FROM e),
+        |mx AS (SELECT batch, MAX(ts) AS mts FROM b GROUP BY batch),
+        |wm AS (SELECT x.batch,
+        |    date_trunc('milliseconds', MAX(m.mts)) - INTERVAL 12 HOUR
+        |      AS wm_prev
+        |  FROM (SELECT DISTINCT batch FROM b) x
+        |  LEFT JOIN mx m ON m.batch < x.batch
+        |  GROUP BY x.batch),
+        |adm AS (SELECT b.ts, b.event_type
+        |  FROM b JOIN wm ON b.batch = wm.batch
+        |  WHERE wm.wm_prev IS NULL
+        |     OR date_trunc('day', b.ts) + INTERVAL 1 DAY > wm.wm_prev),
+        |fw AS (SELECT date_trunc('milliseconds', MAX(ts))
+        |    - INTERVAL 12 HOUR AS w FROM b)
+        |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM adm, fw
+        |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= fw.w
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 
     "stream_tumbling" ->
       """SELECT date_trunc('minute', ts) AS w_start, event_type,
