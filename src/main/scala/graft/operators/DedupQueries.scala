@@ -409,6 +409,19 @@ object DedupQueries extends QueryGroup {
   private[graft] val lshPolyB: IndexedSeq[Long] =
     (0 until minhashK).map(i => (368040753L * (i + 7) + 12345L) % lshPolyP)
 
+  /** Affine PER-BIT family for the ORACLED SimHash banding twin
+    * (`dedup_simhash_bands`): bit_j(h) = ((a_j·h + b_j) mod p) mod 2 over
+    * the charFold shingle hash — the cross-engine-expressible stand-in
+    * for "bit j of the feature's 64-bit hash". The production kernel
+    * ([[graft.functions.VecOps.simhash]]) stays xxhash64; like the
+    * MinHash twin above, every constant is inlined from these values
+    * into BOTH the Catalyst expression and the generated oracle string.
+    * a_j·h < 1e18 keeps all arithmetic inside signed 64-bit. */
+  private[graft] val simBitA: IndexedSeq[Long] =
+    (0 until 64).map(j => (2654435761L * (j + 3)) % lshPolyP)
+  private[graft] val simBitB: IndexedSeq[Long] =
+    (0 until 64).map(j => (40503L * (j + 11) + 77L) % lshPolyP)
+
   /** Exploded (band, bucket-hash) struct column for a `minhashK`-wide
     * signature column — THE band-bucket definition (batch + streaming). */
   private[graft] def lshBandStruct(sig: Column): Column =
@@ -698,6 +711,115 @@ object DedupQueries extends QueryGroup {
               .cast("double") / col("n_exact_total"))
             .otherwise(lit(1.0)).as("recall_cum"))
         .orderBy("hamming")
+    }),
+
+    // op 45c'': the SimHash PIGEONHOLE machinery value-pinned cross-engine
+    // — the 4×16-bit-block analog of `dedup_lsh_bands`: the production
+    // SimHash path hashes features with xxhash64 (contract-tested only),
+    // so this twin builds the IDENTICAL pigeonhole layout (64-bit
+    // signature as four 16-bit blocks, per-block equi-join, Hamming ≤ 3
+    // radius) from a DuckDB-expressible affine per-bit family over the
+    // charFold shingle hash — bit j is the majority vote of
+    // ((a_j·h + b_j) mod p) mod 2 across the doc's shingles (strict
+    // majority; ties to 0 — integer counts, exact in both engines).
+    // Graded per block: bucket count, candidate pairs, how many are
+    // within the radius, and how many of those are true τ=0.5 near-dups
+    // — the pigeonhole funnel as exact integers, 4 rows. Scale shape is
+    // the SimHash discipline itself: per-bit counts are one (doc_id)
+    // partial-agg pass over the shared shingle table (64 integer sums),
+    // signatures are 4 longs/doc, and pair work is the block equi-join —
+    // ∝ block collisions, never all-pairs.
+    "dedup_simhash_bands" -> ((s, dir) => {
+      val hs = shingles(s, dir)
+        .select(col("doc_id"), TextQueries.charFold(col("s")).as("h"))
+      val cnts = (0 until 64).map(j =>
+        sum(((lit(simBitA(j)) * col("h") + lit(simBitB(j))) % lshPolyP)
+          % 2L).as(s"c$j"))
+      val agg = hs.groupBy("doc_id")
+        .agg(count(lit(1)).as("nf"), cnts: _*)
+      def blk(k: Int): Column =
+        (0 until 16).foldLeft(lit(0L): Column) { (acc, j) =>
+          acc + when(col(s"c${k * 16 + j}") * 2L > col("nf"),
+            lit(1L << j)).otherwise(lit(0L))
+        }
+      val sig = agg.select(col("doc_id"),
+        blk(0).as("b0"), blk(1).as("b1"), blk(2).as("b2"), blk(3).as("b3"))
+      val blocks = sig.select(col("doc_id"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        explode(array((0 until 4).map(k =>
+          struct(lit(k).as("k"), col(s"b$k").as("blk"))): _*)).as("e"))
+        .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+          col("e.k").as("k"), col("e.blk").as("blk"))
+      val cand = blocks
+        .toDF("da", "a0", "a1", "a2", "a3", "k", "blk")
+        .join(blocks.toDF("db", "x0", "x1", "x2", "x3", "k", "blk"),
+          Seq("k", "blk"))
+        .filter(col("da") < col("db"))
+        .withColumn("hamming",
+          bit_count(col("a0").bitwiseXOR(col("x0")))
+            + bit_count(col("a1").bitwiseXOR(col("x1")))
+            + bit_count(col("a2").bitwiseXOR(col("x2")))
+            + bit_count(col("a3").bitwiseXOR(col("x3"))))
+      val exact = sharedPairs(s, dir)
+        .select(col("da"), col("db"), lit(1).as("_ex"))
+      val counts = cand.join(exact, Seq("da", "db"), "left")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("hamming") <= 3, 1L).otherwise(0L)).as("n_radius3"),
+          sum(when(col("hamming") <= 3 && col("_ex").isNotNull, 1L)
+            .otherwise(0L)).as("n_dup_verified"))
+      blocks.groupBy("k").agg(countDistinct(col("blk")).as("n_buckets"))
+        .join(counts, Seq("k"), "left")
+        .select(col("k").as("block"), col("n_buckets"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_radius3"), lit(0L)).as("n_radius3"),
+          coalesce(col("n_dup_verified"), lit(0L)).as("n_dup_verified"))
+        .orderBy("block")
+    }),
+
+    // op 45f: SORTED-NEIGHBORHOOD blocking — the third candidate-
+    // generation discipline next to hashing (MinHash/SimHash) and
+    // inverted indexes: sort the corpus by a blocking key (here the
+    // 40-char normalized-text prefix), slide a fixed window of w=4
+    // neighbors down the sorted order, verify only window pairs with
+    // exact Jaccard. The classic entity-resolution fallback when a
+    // similarity-preserving hash is unavailable — candidates are O(n·w)
+    // BY CONSTRUCTION (vs LSH's collision-dependent bound), recall
+    // depends on the key placing near-dups adjacently. Graded output:
+    // the verified pairs with their window gap. Scale shape: the global
+    // rank is the TWO-PHASE form every curation query uses (positions
+    // from a window PARTITIONED by key-prefix bucket; only the ≤256-row
+    // bucket-offset table pays a global window — bucket is a PREFIX of
+    // the key, so (bucket, key) order IS key order); the window pairing
+    // is an explode(+1..+w) equi-join on rank — never a range join.
+    "dedup_sorted_neighbors" -> ((s, dir) => {
+      val winW = 4
+      val keyed = Tables.scanPar(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(lower(trim(col("text"))), 1, 40).as("key"))
+        .withColumn("bucket", substring(col("key"), 1, 2))
+      val wLocal = Window.partitionBy("bucket").orderBy("key", "doc_id")
+      val local = keyed.withColumn("local_rn", row_number().over(wLocal))
+      val wBucket = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .withColumn("offset", coalesce(sum("n").over(wBucket), lit(0L)))
+        .select("bucket", "offset")
+      val ranked = local.join(broadcast(offsets), "bucket")
+        .select(col("doc_id"),
+          (col("offset") + col("local_rn")).cast("long").as("rn"))
+      val pairs = ranked
+        .select(col("doc_id").as("xa"),
+          posexplode(sequence(col("rn") + 1L, col("rn") + winW.toLong))
+            .as(Seq("g0", "rnb")))
+        .join(ranked.toDF("xb", "rnb"), "rnb")
+        .select(least(col("xa"), col("xb")).as("da"),
+          greatest(col("xa"), col("xb")).as("db"),
+          (col("g0") + 1L).cast("long").as("gap"))
+      verifyJaccard(pairs.select("da", "db"), shingles(s, dir), 0.5)
+        .join(pairs, Seq("da", "db"))
+        .select("da", "db", "gap", "jaccard")
+        .orderBy("da", "db")
     }),
 
     // op 45e: near-dup clusters — connected components over the exact
@@ -1056,6 +1178,121 @@ SELECT bb.band, bb.n_buckets,
 FROM bb LEFT JOIN cc ON bb.band = cc.band
 ORDER BY bb.band"""
     },
+
+    // the SimHash pigeonhole twin: same charFold shingle-hash CTEs, the
+    // 64 per-bit majority votes as generated SUM columns (constants
+    // inlined from simBitA/simBitB — one source of truth), four 16-bit
+    // blocks, block equi-join, Hamming via bit_count(xor), and the same
+    // verified-pair CTE as dedup_lsh_bands
+    "dedup_simhash_bands" -> {
+      val sumCols = (0 until 64).map(j =>
+        s"SUM(((${simBitA(j)} * h + ${simBitB(j)}) % ${lshPolyP}) % 2)" +
+          s" AS c$j")
+        .mkString(",\n    ")
+      def blkSql(k: Int): String =
+        (0 until 16).map(j =>
+          s"(CASE WHEN 2 * c${k * 16 + j} > nf THEN ${1L << j}" +
+            " ELSE 0 END)")
+          .mkString(" + ")
+      val blockRows = (0 until 4).map(k =>
+        s"SELECT doc_id, $k AS k, b$k AS blk FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+    unnest(CASE WHEN len(w) >= 4 THEN
+      list_transform(range(1, len(w) - 2),
+        i -> array_to_string(w[i:i+3], ' '))
+      ELSE [] END) AS s
+  FROM toks),
+hs AS MATERIALIZED (SELECT doc_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT))),
+      (a, b) -> (a * 1000003 + b) % 1000000007) AS h
+  FROM sh),
+mh AS MATERIALIZED (SELECT doc_id, COUNT(*) AS nf,
+    $sumCols
+  FROM hs GROUP BY doc_id),
+sig AS MATERIALIZED (SELECT doc_id,
+    CAST(${blkSql(0)} AS BIGINT) AS b0,
+    CAST(${blkSql(1)} AS BIGINT) AS b1,
+    CAST(${blkSql(2)} AS BIGINT) AS b2,
+    CAST(${blkSql(3)} AS BIGINT) AS b3
+  FROM mh),
+bkx AS MATERIALIZED (
+  $blockRows),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+jcand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM sh a JOIN rare r ON a.s = r.s
+  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+jp AS MATERIALIZED (SELECT p.da, p.db FROM
+    (SELECT c.da, c.db, COUNT(*) AS common
+     FROM jcand c
+     JOIN sh a ON a.doc_id = c.da
+     JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+     GROUP BY 1, 2) p
+  JOIN sizes sa ON p.da = sa.doc_id
+  JOIN sizes sb ON p.db = sb.doc_id
+  WHERE p.common / (sa.n + sb.n - p.common) >= 0.5),
+cnd AS MATERIALIZED (SELECT x.k, x.doc_id AS da, y.doc_id AS db,
+    bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+    + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+      AS hamming
+  FROM bkx x JOIN bkx y
+    ON x.k = y.k AND x.blk = y.blk AND x.doc_id < y.doc_id
+  JOIN sig sa ON sa.doc_id = x.doc_id
+  JOIN sig sb ON sb.doc_id = y.doc_id),
+cc AS (SELECT c.k, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+    CAST(SUM(CASE WHEN c.hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_radius3,
+    CAST(SUM(CASE WHEN c.hamming <= 3 AND e.da IS NOT NULL
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_verified
+  FROM cnd c LEFT JOIN jp e ON c.da = e.da AND c.db = e.db
+  GROUP BY c.k),
+bb AS (SELECT k, CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_buckets
+  FROM bkx GROUP BY k)
+SELECT bb.k AS block, bb.n_buckets,
+  CAST(COALESCE(cc.n_candidates, 0) AS BIGINT) AS n_candidates,
+  CAST(COALESCE(cc.n_radius3, 0) AS BIGINT) AS n_radius3,
+  CAST(COALESCE(cc.n_dup_verified, 0) AS BIGINT) AS n_dup_verified
+FROM bb LEFT JOIN cc ON bb.k = cc.k
+ORDER BY block"""
+    },
+
+    // the naive single-window global rank (the two-phase plan's math),
+    // window pairs by rank distance, the standard verified-Jaccard CTEs
+    "dedup_sorted_neighbors" ->
+      """WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |r AS MATERIALIZED (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY substr(t, 1, 40), doc_id) AS rn
+        |  FROM d),
+        |cand AS MATERIALIZED (SELECT least(a.doc_id, b.doc_id) AS da,
+        |    greatest(a.doc_id, b.doc_id) AS db,
+        |    CAST(b.rn - a.rn AS BIGINT) AS gap
+        |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 4),
+        |toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |jv AS (SELECT c.da, c.db, COUNT(*) AS common
+        |  FROM cand c JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |  GROUP BY 1, 2),
+        |res AS (SELECT c.da, c.db, c.gap,
+        |    j.common / (sa.n + sb.n - j.common) AS jaccard
+        |  FROM cand c JOIN jv j ON c.da = j.da AND c.db = j.db
+        |  JOIN sizes sa ON c.da = sa.doc_id
+        |  JOIN sizes sb ON c.db = sb.doc_id)
+        |SELECT da, db, gap, jaccard FROM res
+        |WHERE jaccard >= 0.5 ORDER BY da, db""".stripMargin,
 
     // same positional shingling, cap, diagonal islands — stated in SQL
     "dedup_substring" ->

@@ -153,6 +153,71 @@ object SimilarityQueries extends QueryGroup {
         .orderBy("code")
     }),
 
+    // END-TO-END LSH ANN search, fully oracled — the probe-path twin of
+    // `sim_lsh_buckets` (which pins only the bucketing): the SAME
+    // dyadic-rational plane family at 8 planes (256 buckets — calibrated
+    // so every query vector has in-bucket candidates at sf0.01), query
+    // probes its own bucket, candidates re-rank by EXACT cosine (the
+    // proven fixed-order fold), top-10 per query. This is the first
+    // graded query where a DuckDB oracle replays an ANN SEARCH RESULT
+    // list end to end — bucket assignment, candidate generation, and
+    // re-ranking all value-pinned; the production `sim_ann_lsh`
+    // (xxhash64 planes, 2 tables) stays rows-only by contract with its
+    // recall graded via `sim_ann_recall`. Scale shape: coding is
+    // map-side; the probe is a BROADCAST of the 10 coded queries onto
+    // the coded corpus (bucket equi-join — candidates ∝ bucket
+    // occupancy, never all-pairs); the re-rank window partitions by
+    // query over candidate rows only.
+    "sim_ann_lsh_pinned" -> ((s, dir) => {
+      val e = embs(s, dir)
+      def w(p: Column, d: Column): Column =
+        (((p * 64L + d) * 2654435761L % 4096L).cast("double")
+          / lit(4096.0) - lit(0.5))
+      def dotPlane(p: Column): Column =
+        aggregate(
+          zip_with(col("v"), sequence(lit(0L), lit(63L)),
+            (x, d) => x.cast("double") * w(p, d)),
+          lit(0.0), (a, t) => a + t)
+      val coded = e.select(col("vec_id"), col("v"), col("nrm"),
+        aggregate(sequence(lit(7L), lit(0L), lit(-1L)), lit(0L),
+          (acc, p) => acc * 2L
+            + when(dotPlane(p) >= 0.0, 1L).otherwise(0L)).as("code"))
+      val q = coded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("code"))
+      val wR = Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      broadcast(q).join(coded, Seq("code"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          (VectorFunctions.floatDot(col("qv"), col("v"))
+            / (col("qn") * col("nrm"))).as("cosine"))
+        .withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 10)
+        .orderBy("qid", "rank")
+    }),
+
+    // END-TO-END IVF-Flat search, fully oracled — the search-result twin
+    // of `sim_ann_ivfpq_recall` (which grades only the recall of the
+    // PQ-compressed composition): pinned seed coarse quantizer
+    // (vec_id < 16 — the family every clustering op here shares; the
+    // re-centering machinery is graded separately by `sim_kmeans`),
+    // nprobe=2 probes, EXACT cosine re-rank inside the probed lists.
+    // IVF-Flat is the production layout between brute force and IVF-PQ
+    // (full-precision vectors, pruned probe set); this entry pins its
+    // actual top-10 result list cross-engine. Scale shape: assignment is
+    // the zero-vector-shuffle broadcast-argmax fold ([[assignNearest]]),
+    // probes broadcast onto the lists (candidates ∝ nprobe/k of the
+    // corpus), re-rank windows partition by query over candidates only.
+    "sim_ann_ivf_flat" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("c"))
+      val lists = assignNearest(e, cents)
+      val probes = probeLists(e.filter(col("vec_id") < 10), cents, 2)
+      topKFromLists(probes, lists)
+    }),
+
     // scale path 2: IVF (inverted-file) ANN — coarse-quantize vectors to
     // k=16 centroids (deterministic seeds + three Lloyd re-centering
     // iterations, enough for the coarse quantizer to settle on clustered
@@ -764,6 +829,81 @@ object SimilarityQueries extends QueryGroup {
         |  CAST(COALESCE(pa.n_close, 0) AS BIGINT) AS n_close
         |FROM bb LEFT JOIN pa ON bb.code = pa.code
         |ORDER BY bb.code""".stripMargin,
+
+    // sim_lsh_buckets' code CTE at 8 planes + sim_topk's ranking over
+    // in-bucket candidates — the ANN search result replayed relationally
+    "sim_ann_lsh_pinned" ->
+      """WITH e AS (SELECT vec_id, embedding AS v,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS MATERIALIZED (SELECT vec_id, v, nrm,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(7, -1, -1), pp ->
+        |        CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |            list_transform(list_zip(v, range(0, 64)),
+        |              q -> CAST(q[1] AS DOUBLE) *
+        |                (CAST((pp * 64 + q[2]) * 2654435761 % 4096
+        |                   AS DOUBLE) / 4096 - 0.5))),
+        |            (a, b) -> a + b) >= 0
+        |          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, b) -> a * 2 + b) AS code
+        |  FROM e),
+        |scored AS (SELECT q.vec_id AS qid, t.vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(q.v, t.v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |      (x, y) -> x + y) / (q.nrm * t.nrm) AS cosine
+        |  FROM c q JOIN c t ON q.code = t.code
+        |  WHERE q.vec_id < 10 AND q.vec_id != t.vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT qid, vec_id, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // the ivfpq oracle's assignment/probe CTEs, then exact-cosine
+    // re-ranking inside the probed lists instead of ADC scoring
+    "sim_ann_ivf_flat" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, label, embedding AS v,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS MATERIALIZED (SELECT vec_id AS cid, v AS cv, nrm AS cn
+        |  FROM e WHERE vec_id < 16),
+        |sc AS (SELECT e.vec_id, c.cid,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(e.v, c.cv),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |      (x, y) -> x + y) / (e.nrm * c.cn) AS cos
+        |  FROM e CROSS JOIN c),
+        |asg AS MATERIALIZED (SELECT vec_id, cid AS cluster FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid) AS rn FROM sc) WHERE rn = 1),
+        |probe AS MATERIALIZED (SELECT vec_id AS qid, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cid) AS rn FROM sc WHERE vec_id < 10)
+        |  WHERE rn <= 2),
+        |cand AS (SELECT p.qid, a.vec_id
+        |  FROM probe p JOIN asg a ON a.cluster = p.cid
+        |  WHERE a.vec_id != p.qid),
+        |scored AS (SELECT cd.qid, cd.vec_id, ve.label,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(qe.v, ve.v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |      (x, y) -> x + y) / (qe.nrm * ve.nrm) AS cosine
+        |  FROM cand cd
+        |  JOIN e qe ON qe.vec_id = cd.qid
+        |  JOIN e ve ON ve.vec_id = cd.vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT qid, vec_id, label, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, label, embedding AS v,

@@ -668,4 +668,121 @@ class DedupSimilaritySpec extends SparkSpec {
           "driver-side IVF-PQ recompute")
     }
   }
+
+  private def loadVecs(): Map[Long, Array[Float]] =
+    graft.sources.Tables.scan(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).toArray).toMap
+
+  private def cosOf(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("sim_ann_lsh_pinned: a driver-side recompute of the dyadic codes " +
+      "and in-bucket cosine top-10 reproduces the whole result") {
+    val vecs = loadVecs()
+    def code(v: Array[Float]): Long = {
+      var acc = 0L
+      var p = 7
+      while (p >= 0) {
+        var d = 0; var s = 0.0
+        while (d < 64) {
+          val w = ((p * 64 + d) * 2654435761L % 4096L).toDouble / 4096.0 - 0.5
+          s += v(d).toDouble * w
+          d += 1
+        }
+        acc = acc * 2L + (if (s >= 0.0) 1L else 0L)
+        p -= 1
+      }
+      acc
+    }
+    val codes = vecs.map { case (id, v) => id -> code(v) }
+    val expect = (0L until 10L).flatMap { qid =>
+      val cand = vecs.keys
+        .filter(v => v != qid && codes(v) == codes(qid)).toSeq
+      cand.map(v => (-cosOf(vecs(qid), vecs(v)), v))
+        .sorted.take(10).zipWithIndex
+        .map { case ((_, v), i) => (qid, v) -> (i + 1) }
+    }.toMap
+    val rows = SparkEntry.queries("sim_ann_lsh_pinned")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.length == expect.size,
+      s"row count ${rows.length} != recompute ${expect.size}")
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))
+      assert(expect.get(key).contains(r.getAs[Int]("rank")),
+        s"$key rank diverges from the driver recompute")
+    }
+  }
+
+  test("sim_ann_ivf_flat: every hit lies in one of its query's two " +
+      "probed lists, cosines are exact, ranks contiguous from 1") {
+    val vecs = loadVecs()
+    val cents = (0L until 16L).map(vecs)
+    def nearestK(v: Array[Float], k: Int): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) => (-cosOf(v, c), i) }
+        .sorted.take(k).map(_._2)
+    val assign = vecs.map { case (id, v) => id -> nearestK(v, 1).head }
+    val byQ = SparkEntry.queries("sim_ann_ivf_flat")(spark, sfDir)
+      .collect().groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.foreach { case (qid, rs) =>
+      val probed = nearestK(vecs(qid), 2).toSet
+      assert(rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Int]("rank"))
+        .toSeq == (1 to rs.length))
+      rs.foreach { r =>
+        val v = r.getAs[Long]("vec_id")
+        assert(probed(assign(v)),
+          s"hit $v of query $qid is outside the probed lists")
+        assert(r.getAs[Double]("cosine") == cosOf(vecs(qid), vecs(v)),
+          s"cosine of ($qid, $v) is not the exact fold value")
+      }
+    }
+  }
+
+  test("dedup_simhash_bands: the pigeonhole funnel is monotone and " +
+      "verified counts are bounded by the exact pair table") {
+    val rows = DedupQueries.queries("dedup_simhash_bands")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Int]("block")).toSeq == (0 until 4))
+    val nExact = pairs("dedup_ngram_jaccard").size
+    rows.foreach { r =>
+      val (nc, nr, nv) = (r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_radius3"), r.getAs[Long]("n_dup_verified"))
+      assert(nv <= nr && nr <= nc, s"funnel not monotone: $r")
+      assert(nv <= nExact, s"verified exceeds the exact pair table: $r")
+      assert(r.getAs[Long]("n_buckets") >= 1L)
+    }
+    // the affine family must actually find dups on this corpus — an
+    // all-zero verified column would mean the majority vote degenerated
+    assert(rows.map(_.getAs[Long]("n_dup_verified")).sum > 0L)
+  }
+
+  test("dedup_sorted_neighbors: pairs are true τ=0.5 near-dups with the " +
+      "exact Jaccard of the shared-pair table, gaps within the window") {
+    val exact = DedupQueries.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val rows = DedupQueries.queries("dedup_sorted_neighbors")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty, "sorted-neighborhood found nothing at this SF")
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("da"), r.getAs[Long]("db"))
+      val g = r.getAs[Long]("gap")
+      assert(g >= 1L && g <= 4L, s"gap outside the window: $r")
+      assert(exact.get(key).contains(r.getAs[Double]("jaccard")),
+        s"$key: not in the exact pair table (or jaccard drifted)")
+    }
+  }
 }
