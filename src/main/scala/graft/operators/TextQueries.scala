@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryGroup
 import graft.functions.VectorFunctions
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -43,6 +44,18 @@ object TextQueries extends QueryGroup {
     * them (the oracle adds in the same literal order). */
   private val bm25Terms = Seq("dup", "vector", "spark", "merge")
 
+  /** Fixed-point DCG position weights for `text_retrieval_ndcg`:
+    * w_r = round(1e6 / log2(r+1)). log2 is NOT correctly-rounded-
+    * guaranteed across math libraries, so the weights are computed ONCE
+    * here and inlined as integer literals into BOTH the Spark plan and
+    * the generated oracle — one source of truth, no libm drift. */
+  private[graft] val dcgW: IndexedSeq[Long] =
+    (1 to 10).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Fixed-point reciprocal-rank weights (integer division — exact). */
+  private[graft] val mrrW: IndexedSeq[Long] =
+    (1 to 10).map(r => 1000000L / r)
+
   /** Stopword markers per language for n-gram/marker language ID. On real
     * multilingual corpora these separate languages sharply; the synthetic
     * testdata is English-vocabulary for every `lang`, so the *machinery*
@@ -79,6 +92,38 @@ object TextQueries extends QueryGroup {
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf"))
     }
+
+  /** Per-doc BM25 score over the fixed query, pre-top-k — shared by the
+    * ranking query (`text_bm25`) and the retrieval-quality report
+    * (`text_retrieval_ndcg`). Design per the `text_bm25` entry: inverted-
+    * index probe off the shared tf table, broadcast df, score norm
+    * multiplied through by the exact-int tot_tok so the whole score is
+    * one fixed-shape double tree; the per-doc sum adds the ≤4 term
+    * scores in FIXED literal order via a pivot. */
+  private def bm25PerDoc(s: SparkSession, dir: String): DataFrame = {
+    val tf = tfTable(s, dir)
+    val post = tf.filter(col("term").isin(bm25Terms: _*))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tok"))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))
+    val num = col("tf").cast("double") * lit(2.2) *
+      col("tot_tok").cast("double")
+    val den = col("tf").cast("double") * col("tot_tok").cast("double") +
+      lit(1.2) * (lit(0.25) * col("tot_tok").cast("double") +
+        lit(0.75) * (col("dl").cast("double") *
+          col("n_docs").cast("double")))
+    val scored = post.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), (idf * (num / den)).as("s"))
+    val termScore = bm25Terms.map(t =>
+      coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_hit"),
+        termScore.reduce(_ + _).as("score"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting: whitespace tokens + BPE-ish pre-tokenizer count
@@ -335,31 +380,62 @@ object TextQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
-    "text_bm25" -> ((s, dir) => {
-      val tf = tfTable(s, dir)
-      val post = tf.filter(col("term").isin(bm25Terms: _*))
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tok"))
-      val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
-      val idf = (col("n_docs") - col("df") + lit(0.5)) /
-        (col("df") + lit(0.5))
-      val num = col("tf").cast("double") * lit(2.2) *
-        col("tot_tok").cast("double")
-      val den = col("tf").cast("double") * col("tot_tok").cast("double") +
-        lit(1.2) * (lit(0.25) * col("tot_tok").cast("double") +
-          lit(0.75) * (col("dl").cast("double") *
-            col("n_docs").cast("double")))
-      val scored = post.join(broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("term"), (idf * (num / den)).as("s"))
-      val termScore = bm25Terms.map(t =>
-        coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
-      scored.groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_hit"),
-          termScore.reduce(_ + _).as("score"))
+    "text_bm25" -> ((s, dir) =>
+      bm25PerDoc(s, dir)
         .orderBy(col("score").desc, col("doc_id"))
-        .limit(10)
+        .limit(10)),
+
+    // retrieval-quality EVAL over the BM25 ranking — the harness a
+    // deployment tunes k1/b (and the index itself) by: NDCG@10 and MRR
+    // of the ranked list against a deterministic graded-relevance proxy
+    // (rel(doc) = distinct query terms present, 0..4 — exact integers
+    // cross-engine). DCG/IDCG are BIGINT folds of gain·w_rank with the
+    // position weights PRECOMPUTED in Scala ([[dcgW]]: round(1e6/log2(r+1)))
+    // and inlined as literals into both engines — log2 is not
+    // correctly-rounded-guaranteed across math libraries, so no log is
+    // ever evaluated at query time; gain 2^rel−1 is a bit shift. The
+    // ideal ranking is a TakeOrdered top-10 (distributed top-k), never a
+    // corpus-wide window; the ranked list joins rel by doc_id (10 rows
+    // broadcast). One summary row, all scalars.
+    "text_retrieval_ndcg" -> ((s, dir) => {
+      val rel = tfTable(s, dir)
+        .filter(col("term").isin(bm25Terms: _*))
+        .groupBy("doc_id").agg(countDistinct(col("term")).as("rel"))
+      val dcgWLit = typedlit(dcgW)
+      val mrrWLit = typedlit(mrrW)
+      // gain 2^rel − 1 via an inlined lookup (rel is bounded by the 4
+      // query terms) — shiftleft takes a literal bit count, not a column
+      val gainLit = typedlit((0 to bm25Terms.length).map(r => (1L << r) - 1L))
+      def gain(relC: Column): Column =
+        element_at(gainLit, relC.cast("int") + 1)
+      // the graded ranking: same per-doc scores as text_bm25, ranked by
+      // (score desc, doc_id) — rank assigned on the 10-row top-k output,
+      // so the only global window runs over ≤10 rows
+      val top = bm25PerDoc(s, dir)
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .join(rel, Seq("doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      val dcg = top.agg(sum(element_at(dcgWLit, col("rank"))
+        * gain(col("rel"))).as("dcg_fix"))
+      val ideal = rel
+        .orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .withColumn("irank", row_number().over(
+          Window.orderBy(col("rel").desc, col("doc_id"))))
+        .agg(sum(element_at(dcgWLit, col("irank"))
+          * gain(col("rel"))).as("idcg_fix"))
+      val mrr = top.filter(col("rel") >= 2L)
+        .agg(min(col("rank")).as("best_rank"))
+      dcg.crossJoin(ideal).crossJoin(mrr)
+        .select(col("dcg_fix"), col("idcg_fix"),
+          (col("dcg_fix").cast("double") / col("idcg_fix").cast("double"))
+            .as("ndcg"),
+          coalesce(col("best_rank"), lit(0)).as("best_rank"),
+          // the when() guards element_at's 1-based bound under ANSI:
+          // CASE short-circuits, so a null best_rank never indexes
+          coalesce(when(col("best_rank").isNotNull,
+            element_at(mrrWLit, col("best_rank"))), lit(0L)).as("mrr_fix"))
     }),
 
     // boilerplate detection (CCNet-style, per-source): a term that appears
@@ -780,6 +856,72 @@ object TextQueries extends QueryGroup {
         |      CAST(0 AS DOUBLE)) AS score
         |FROM sc GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the bm25 CTEs verbatim, then NDCG/MRR with the DCG position weights
+    // inlined as a VALUES table from the same Scala constants the Spark
+    // plan ships as an array literal — no query-time log in either engine
+    "text_retrieval_ndcg" -> {
+      val wRows = (1 to 10).map(r => s"($r, ${dcgW(r - 1)})").mkString(", ")
+      val mRows = (1 to 10).map(r => s"($r, ${mrrW(r - 1)})").mkString(", ")
+      s"""WITH terms AS (SELECT doc_id,
+    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf
+  FROM terms GROUP BY doc_id, term),
+post AS MATERIALIZED (SELECT * FROM tf
+  WHERE term IN ('dup', 'vector', 'spark', 'merge')),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS tot_tok FROM dl),
+dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+sc AS (SELECT post.doc_id AS doc_id, post.term AS term,
+    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+    * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+          * CAST(tot_tok AS DOUBLE))
+       / (CAST(tf AS DOUBLE) * CAST(tot_tok AS DOUBLE)
+          + CAST(1.2 AS DOUBLE)
+            * (CAST(0.25 AS DOUBLE) * CAST(tot_tok AS DOUBLE)
+               + CAST(0.75 AS DOUBLE)
+                 * (CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)))))
+      AS s
+  FROM post JOIN dfreq ON post.term = dfreq.term
+  JOIN dl ON post.doc_id = dl.doc_id CROSS JOIN stats),
+perdoc AS (SELECT doc_id,
+  COALESCE(MAX(CASE WHEN term = 'dup' THEN s END), CAST(0 AS DOUBLE))
+  + COALESCE(MAX(CASE WHEN term = 'vector' THEN s END),
+      CAST(0 AS DOUBLE))
+  + COALESCE(MAX(CASE WHEN term = 'spark' THEN s END),
+      CAST(0 AS DOUBLE))
+  + COALESCE(MAX(CASE WHEN term = 'merge' THEN s END),
+      CAST(0 AS DOUBLE)) AS score
+  FROM sc GROUP BY doc_id),
+rnk AS (SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM perdoc),
+top10 AS (SELECT doc_id, CAST(rank AS INT) AS rank FROM rnk
+  WHERE rank <= 10),
+rel AS MATERIALIZED (SELECT doc_id, COUNT(DISTINCT term) AS rel
+  FROM post GROUP BY doc_id),
+dw(r, wd) AS (VALUES $wRows),
+mw(r, wm) AS (VALUES $mRows),
+g AS MATERIALIZED (SELECT t.rank, COALESCE(rel.rel, 0) AS rel
+  FROM top10 t LEFT JOIN rel USING (doc_id)),
+dcg AS (SELECT CAST(SUM(wd * ((1 << CAST(g.rel AS INT)) - 1)) AS BIGINT)
+    AS dcg_fix
+  FROM g JOIN dw ON dw.r = g.rank),
+irk AS (SELECT rel,
+    ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS irank
+  FROM rel),
+ideal AS (SELECT
+    CAST(SUM(wd * ((1 << CAST(rel AS INT)) - 1)) AS BIGINT) AS idcg_fix
+  FROM irk JOIN dw ON dw.r = irk.irank WHERE irank <= 10),
+best AS (SELECT MIN(rank) AS best_rank FROM g WHERE rel >= 2)
+SELECT dcg.dcg_fix, ideal.idcg_fix,
+  CAST(dcg.dcg_fix AS DOUBLE) / CAST(ideal.idcg_fix AS DOUBLE) AS ndcg,
+  CAST(COALESCE(best.best_rank, 0) AS INT) AS best_rank,
+  CAST(COALESCE((SELECT wm FROM mw WHERE mw.r = best.best_rank), 0)
+    AS BIGINT) AS mrr_fix
+FROM dcg CROSS JOIN ideal CROSS JOIN best"""
+    },
 
     "text_boilerplate" ->
       """WITH terms AS (SELECT doc_id,

@@ -73,6 +73,41 @@ class AggContractsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("text_retrieval_ndcg: a driver-side recompute from the graded " +
+      "ranking and relevance proxy reproduces every reported value") {
+    val dir = "/root/testdata/sf0.01"
+    val terms = Set("dup", "vector", "spark", "merge")
+    val rel = Tables.scan(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("w"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[String]](1).toSet.count(terms).toLong)
+      .filter(_._2 > 0L).toMap
+    val top = graft.operators.TextQueries.queries("text_bm25")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id"))
+    val dcgW = graft.operators.TextQueries.dcgW
+    val mrrW = graft.operators.TextQueries.mrrW
+    def gain(r: Long): Long = (1L << r.toInt) - 1L
+    val dcg = top.zipWithIndex.map { case (d, i) =>
+      dcgW(i) * gain(rel.getOrElse(d, 0L)) }.sum
+    val idcg = rel.values.toSeq.sortBy(-_).take(10).zipWithIndex
+      .map { case (rl, i) => dcgW(i) * gain(rl) }.sum
+    val bestRank = top.zipWithIndex
+      .collectFirst { case (d, i) if rel.getOrElse(d, 0L) >= 2L => i + 1 }
+    val row = graft.operators.TextQueries
+      .queries("text_retrieval_ndcg")(spark, dir).collect().head
+    assert(row.getAs[Long]("dcg_fix") == dcg)
+    assert(row.getAs[Long]("idcg_fix") == idcg)
+    assert(row.getAs[Double]("ndcg") == dcg.toDouble / idcg.toDouble)
+    assert(row.getAs[Int]("best_rank") == bestRank.getOrElse(0))
+    assert(row.getAs[Long]("mrr_fix") ==
+      bestRank.map(r => mrrW(r - 1)).getOrElse(0L))
+    // the metric must be non-degenerate on this corpus: the ranking finds
+    // relevant docs, so NDCG sits strictly inside (0, 1]
+    assert(row.getAs[Double]("ndcg") > 0.0 &&
+      row.getAs[Double]("ndcg") <= 1.0)
+  }
+
   test("hll sketch merge: bounded merged-vs-one-pass gap + ≤5% error contract") {
     import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union_agg}
     val dir = "/root/testdata/sf0.01"
