@@ -205,6 +205,31 @@ object DedupQueries extends QueryGroup {
     !r.isNullAt(0) && r.getLong(0).toDouble / r.getLong(1) >= 1.05
   }
 
+  /** The sorted-neighborhood GLOBAL RANK build (doc_id, rn) — the
+    * two-phase form every curation query uses: per-document positions
+    * from a window PARTITIONED by the key's 2-char prefix bucket (a
+    * PREFIX of the sort key, so bucket-local order composes to global
+    * order); only the ≤256-row bucket-count table pays a global window.
+    * Exposed uncached so PlanSpec can assert the window shape — the
+    * graded query consumes it through a localCheckpoint. */
+  private[graft] def sortedNeighborRank(
+      s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.scanPar(s, dir, "documents")
+      .select(col("doc_id"),
+        substring(lower(trim(col("text"))), 1, 40).as("key"))
+      .withColumn("bucket", substring(col("key"), 1, 2))
+    val wLocal = Window.partitionBy("bucket").orderBy("key", "doc_id")
+    val local = keyed.withColumn("local_rn", row_number().over(wLocal))
+    val wBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum("n").over(wBucket), lit(0L)))
+      .select("bucket", "offset")
+    local.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"),
+        (col("offset") + col("local_rn")).cast("long").as("rn"))
+  }
+
   private[graft] def sharedPairs(s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"dedup:jpairs:$dir") {
       val g = textGroups(s, dir)
@@ -794,20 +819,12 @@ object DedupQueries extends QueryGroup {
     // is an explode(+1..+w) equi-join on rank — never a range join.
     "dedup_sorted_neighbors" -> ((s, dir) => {
       val winW = 4
-      val keyed = Tables.scanPar(s, dir, "documents")
-        .select(col("doc_id"),
-          substring(lower(trim(col("text"))), 1, 40).as("key"))
-        .withColumn("bucket", substring(col("key"), 1, 2))
-      val wLocal = Window.partitionBy("bucket").orderBy("key", "doc_id")
-      val local = keyed.withColumn("local_rn", row_number().over(wLocal))
-      val wBucket = Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("n"))
-        .withColumn("offset", coalesce(sum("n").over(wBucket), lit(0L)))
-        .select("bucket", "offset")
-      val ranked = local.join(broadcast(offsets), "bucket")
-        .select(col("doc_id"),
-          (col("offset") + col("local_rn")).cast("long").as("rn"))
+      // ranked feeds both pairing sides and pairs feeds both the verify
+      // and the gap join-back — Catalyst has no common-subplan reuse, so
+      // each is materialized once (eager localCheckpoint, the
+      // curate_interleave idiom) instead of re-running the rank build 4×;
+      // both frames are slim (two/three scalar columns per document/pair)
+      val ranked = sortedNeighborRank(s, dir).localCheckpoint()
       val pairs = ranked
         .select(col("doc_id").as("xa"),
           posexplode(sequence(col("rn") + 1L, col("rn") + winW.toLong))
@@ -816,6 +833,7 @@ object DedupQueries extends QueryGroup {
         .select(least(col("xa"), col("xb")).as("da"),
           greatest(col("xa"), col("xb")).as("db"),
           (col("g0") + 1L).cast("long").as("gap"))
+        .localCheckpoint()
       verifyJaccard(pairs.select("da", "db"), shingles(s, dir), 0.5)
         .join(pairs, Seq("da", "db"))
         .select("da", "db", "gap", "jaccard")

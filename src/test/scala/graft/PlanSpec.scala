@@ -469,4 +469,67 @@ class PlanSpec extends SparkSpec {
     assert(nPruned <= nExact + (nProbe - nExact) / 10,
       s"bloom pruned too little: probe=$nProbe pruned=$nPruned exact=$nExact")
   }
+
+  test("dedup_sorted_neighbors: the corpus rank is partitioned, only the " +
+      "bucket-offset window is global, and pairing is an equi-join") {
+    // the rank build is asserted at its builder seam — in the graded
+    // query it sits behind a localCheckpoint (it feeds both pairing
+    // sides; Catalyst has no common-subplan reuse)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val rankPlan =
+      try graft.operators.DedupQueries.sortedNeighborRank(spark, sfDir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val windows = rankPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val (global, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    assert(global.size == 1 && partitioned.size == 1,
+      s"one global (bucket offsets) + one partitioned window:\n$rankPlan")
+    assert(global.head.windowExpression.mkString.contains("n#"),
+      s"the global window must be over bucket counts only:\n$rankPlan")
+    assert(partitioned.head.partitionSpec.mkString.contains("bucket"),
+      s"the per-document rank must be partitioned by bucket:\n$rankPlan")
+    // the ±w pairing is an explode + EQUI-join on rank — a rank-range
+    // predicate would plan as BroadcastNestedLoop/cartesian and blow up
+    // at corpus scale; asserted on the full graded plan (the checkpointed
+    // rank arrives as a leaf, so every join here is the pairing/verify)
+    val (_, plan) = staticPlan("dedup_sorted_neighbors")
+    val bnlj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j
+    }
+    val cart = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(bnlj.isEmpty && cart.isEmpty,
+      s"window pairing must stay an equi-join:\n$plan")
+  }
+
+  test("sim_ann_lsh_pinned: the coded queries broadcast onto the coded " +
+      "corpus, and every window is query-partitioned") {
+    val (_, plan) = staticPlan("sim_ann_lsh_pinned")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      s"the bucket probe must be a broadcast hash join on code:\n$plan")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"the re-rank must partition by query, never globally:\n$plan")
+  }
+
+  test("sim_ann_ivf_flat: probes broadcast onto the lists, and every " +
+      "window is query-partitioned") {
+    val (_, plan) = staticPlan("sim_ann_ivf_flat")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      s"the list probe must be a broadcast hash join on cid:\n$plan")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"probe ranking and re-rank must partition by query:\n$plan")
+  }
 }
