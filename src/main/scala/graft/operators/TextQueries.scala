@@ -100,7 +100,13 @@ object TextQueries extends QueryGroup {
     * multiplied through by the exact-int tot_tok so the whole score is
     * one fixed-shape double tree; the per-doc sum adds the ≤4 term
     * scores in FIXED literal order via a pivot. */
-  private def bm25PerDoc(s: SparkSession, dir: String): DataFrame = {
+  private def bm25PerDoc(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"text:bm25doc:$dir") {
+      bm25PerDocBuild(s, dir)
+    }
+
+  /** The uncached [[bm25PerDoc]] build (plan-assertion seam). */
+  private def bm25PerDocBuild(s: SparkSession, dir: String): DataFrame = {
     val tf = tfTable(s, dir)
     val post = tf.filter(col("term").isin(bm25Terms: _*))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
