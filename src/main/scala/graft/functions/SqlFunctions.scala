@@ -67,6 +67,9 @@ object SqlFunctions {
     },
     fn("deflate_len", "deflate_len(text)") {
       case Seq(a) => DeflateLen(a)
+    },
+    fn("char_fold", "char_fold(text)") {
+      case Seq(a) => CharFold(a)
     })
 
   /** Register every kernel on an existing session (idempotent — a

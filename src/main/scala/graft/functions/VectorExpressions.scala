@@ -71,6 +71,30 @@ object VecOps {
     sig
   }
 
+  /** Polynomial rolling hash of a string by CODE POINT:
+    * h = (h·1000003 + cp) mod 1000000007 — value-identical to the
+    * portable HOF form `aggregate(split(s, ''), 0L, (acc, ch) ->
+    * (acc·1000003 + ascii(ch)) % 1000000007)` it replaces (Spark's
+    * split('') yields one element per code point with surrogate pairs
+    * kept together, and ascii() returns codePointAt(0)) and to the
+    * DuckDB oracle restatement over `string_split(s, '')`/`ord`.
+    * CharFoldSpec pins the kernel ≡ HOF identity on adversarial
+    * strings; every graded consumer is additionally oracle-checked.
+    * One native pass instead of an interpreted lambda per character —
+    * this is the shingle/term/chunk hash on several hot paths. */
+  def charFold(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 1000003L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   private val WS = java.util.regex.Pattern.compile("\\s+")
 
   /** Word n-gram shingles of an (already lower/trimmed) text: tokenize on
@@ -244,6 +268,22 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Codegen'd polynomial rolling string hash ([[VecOps.charFold]]). */
+case class CharFold(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_fold"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.charFold(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.charFold($a)")
+
+  override protected def withNewChildInternal(c: Expression): CharFold =
+    copy(child = c)
+}
+
 /** Codegen'd double-array dot product ([[FloatDot]] for ARRAY<DOUBLE>). */
 case class DoubleDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -391,6 +431,9 @@ object VectorFunctions {
 
   def wordShingles(text: Column, n: Int): Column =
     Shim.column(WordShingles(e(text), n))
+
+  def charFold(text: Column): Column =
+    Shim.column(CharFold(e(text)))
 
   def rphBuckets(v: Column, tables: Int, planes: Int): Column =
     Shim.column(RphBuckets(e(v), tables, planes))

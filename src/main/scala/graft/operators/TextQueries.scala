@@ -70,8 +70,17 @@ object TextQueries extends QueryGroup {
 
   /** Polynomial rolling hash of a string, char by char:
     * h = (h * 1000003 + code(c)) mod 1000000007. Stays within Long
-    * (max ~1e9*1e6+1114111 < 2^63) so both engines compute it exactly. */
+    * (max ~1e9*1e6+1114111 < 2^63) so both engines compute it exactly.
+    * Evaluated by the codegen'd kernel ([[VectorFunctions.charFold]]) —
+    * the HOF form below paid an interpreted lambda per CHARACTER on the
+    * shingle/term/chunk hot paths; CharFoldSpec pins the two identical. */
   private[operators] def charFold(c: Column): Column =
+    VectorFunctions.charFold(c)
+
+  /** The portable HOF statement of [[charFold]] — the parity reference
+    * the kernel is spec-pinned against, and the form the DuckDB oracles
+    * restate (`string_split`/`ord` fold). */
+  private[graft] def charFoldHof(c: Column): Column =
     aggregate(split(c, ""), lit(0L),
       (acc, ch) => (acc * 1000003L + ascii(ch)) % 1000000007L)
 
