@@ -507,6 +507,28 @@ class PlanSpec extends SparkSpec {
       s"window pairing must stay an equi-join:\n$plan")
   }
 
+  test("cdc_sink_warehouse: the appended table is day-partitioned and a " +
+      "day-bounded read prunes at the partition level") {
+    import org.apache.spark.sql.functions.col
+    // build the warehouse (the graded query writes it to the per-process
+    // tmp before aggregating), then plan a bounded read of the artifact
+    val out = SparkEntry.queries("cdc_sink_warehouse")(spark, sfDir)
+      .limit(1).collect()
+    assert(out.nonEmpty)
+    val path = graft.TmpPaths.perProcess("graft-sink-warehouse", sfDir)
+    val day = spark.read.parquet(s"$path/data")
+      .select(col("day").cast("string")).head().getString(0)
+    val bounded = spark.read.parquet(s"$path/data")
+      .filter(col("day") === day)
+    val scan = bounded.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty)
+    assert(scan.head.partitionFilters.nonEmpty,
+      s"day-bounded read must carry PartitionFilters:\n" +
+        bounded.queryExecution.executedPlan)
+  }
+
   test("sim_ann_lsh_pinned: the coded queries broadcast onto the coded " +
       "corpus, and every window is query-partitioned") {
     val (_, plan) = staticPlan("sim_ann_lsh_pinned")
