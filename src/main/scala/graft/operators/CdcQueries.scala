@@ -245,6 +245,26 @@ object CdcQueries extends QueryGroup {
         .orderBy("day")
     }),
 
+    // A11 GRADED — the Kafka re-publish SHAPE as an oracle-checked fact:
+    // [[graft.streaming.Sinks.toKafkaShape]] turns the compacted current
+    // state into (key, value) JSON records — key = PK JSON, value = row
+    // JSON — which is everything `writeStream.format("kafka")` needs
+    // (the broker swap is one line and stays spec/wiring territory, A6).
+    // The oracle rebuilds the EXACT JSON text by concatenation: Spark's
+    // to_json emits compact JSON in struct-field order with no spaces,
+    // and every graded field is a long or a string (the decimal-as-string
+    // type mode keeps o_totalprice textual), so the bytes are fully
+    // deterministic cross-engine. %4=1 slice: shape, not bulk, is the
+    // graded surface.
+    "cdc_kafka_shape" -> ((s, dir) => {
+      import graft.streaming.Sinks
+      val cur = CdcOps.ordersCompacted(s, dir)
+        .filter(col("o_orderkey") % 4 === 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Sinks.toKafkaShape(cur, Seq("o_orderkey"))
+        .orderBy("key")
+    }),
+
     // A5: schema evolution graded end-to-end — the registry starts at the
     // PRE-DDL shape (o_custkey still INT), three DDLs evolve it (DROP
     // o_orderpriority, widen o_custkey int→bigint, ADD note), and the
@@ -1049,6 +1069,18 @@ object CdcQueries extends QueryGroup {
         |       o_totalprice, o_orderdate_us, o_orderpriority
         |FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 4 = 0
         |ORDER BY o_orderkey""".stripMargin),
+
+    // exact-text JSON by concatenation over the compacted current state
+    // (the same %7<>0 + status-X predicate every compaction oracle uses)
+    "cdc_kafka_shape" -> (baseCte +
+      """SELECT '{"o_orderkey":' || o_orderkey || '}' AS key,
+        |  '{"o_orderkey":' || o_orderkey || ',"o_orderstatus":"'
+        |    || CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+        |            ELSE o_orderstatus END
+        |    || '","o_totalprice":"' || o_totalprice || '"}' AS value
+        |FROM base
+        |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 4 = 1
+        |ORDER BY key""".stripMargin),
 
     // the 'c' event set is one insert per order with ORIGINAL values
     // (updates/deletes are separate events), so the appended table is
