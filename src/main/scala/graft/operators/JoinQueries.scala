@@ -118,6 +118,48 @@ object JoinQueries extends QueryGroup {
         .orderBy("lo")
     }),
 
+    // op 12': BUCKETED point-in-interval join — the scale path for the
+    // case `join_range`'s broadcast cannot handle: BOTH sides corpus-
+    // sized and no shared equi-key. Intervals are per-user activity
+    // sessions (events split at >1 h gaps — built from the corpus
+    // itself, so the interval side grows with the data); each point
+    // (event_id % 8 slice) asks how many sessions — ANY user's — were
+    // open at its timestamp (the classic concurrency count). Technique:
+    // explode every session into the EPOCH-HOUR buckets it covers and
+    // equi-join points on their hour bucket, with exact containment as a
+    // post-filter — candidates ∝ per-hour concurrency, never |points| ×
+    // |intervals|, and the join is a plain shuffled equi-join (PlanSpec
+    // asserts no BNLJ/cartesian sneaks in). The DuckDB oracle is the
+    // naive theta join (BETWEEN), same rows. A point always finds ≥ 1
+    // session (its own), so the inner join is total. Micros arithmetic
+    // end to end — exact in both engines.
+    "join_interval_bucketed" -> ((s, dir) => {
+      val HourUs = 3600L * 1000000L
+      val ev = Tables.scan(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"))
+      val wU = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val sess = ev
+        .withColumn("prev", lag(col("tus"), 1).over(wU))
+        .withColumn("news",
+          when(col("prev").isNull || col("tus") - col("prev") > HourUs, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("news")).over(wU))
+        .groupBy("user_id", "sid")
+        .agg(min(col("tus")).as("s_start"), max(col("tus")).as("s_end"))
+      val sb = sess.select(col("s_start"), col("s_end"),
+        explode(sequence(floor(col("s_start") / HourUs),
+          floor(col("s_end") / HourUs))).as("hb"))
+      val pts = ev.filter(col("event_id") % 8 === 0)
+        .select(col("event_id"), col("tus"),
+          floor(col("tus") / HourUs).as("hb"))
+      pts.join(sb, Seq("hb"))
+        .filter(col("tus") >= col("s_start") && col("tus") <= col("s_end"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_open"))
+        .orderBy("event_id")
+    }),
+
     // op 13: as-of join — latest order state as of each event's timestamp.
     // Implemented as a union-merge: tag both sides, single shuffle on the
     // key, one ordered window pass carrying the last order forward. Linear
@@ -450,6 +492,30 @@ object JoinQueries extends QueryGroup {
         |  ON e.value >= b.lo AND e.value < b.lo + 100
         |GROUP BY b.lo
         |ORDER BY b.lo""".stripMargin,
+
+    // the naive theta statement of the bucketed interval join: same
+    // session derivation, BETWEEN containment, per-point count
+    "join_interval_bucketed" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+        |  FROM events),
+        |s0 AS (SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 3600000000
+        |      THEN 1 ELSE 0 END AS news
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s1 AS (SELECT user_id, tus,
+        |    SUM(news) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS sid
+        |  FROM s0),
+        |sess AS (SELECT user_id, sid, MIN(tus) AS s_start,
+        |    MAX(tus) AS s_end
+        |  FROM s1 GROUP BY user_id, sid),
+        |pts AS (SELECT event_id, tus FROM ev WHERE event_id % 8 = 0)
+        |SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_open
+        |FROM pts p JOIN sess s ON p.tus BETWEEN s.s_start AND s.s_end
+        |GROUP BY p.event_id
+        |ORDER BY p.event_id""".stripMargin,
 
     "join_asof" ->
       """WITH o AS (

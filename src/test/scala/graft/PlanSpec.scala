@@ -507,6 +507,26 @@ class PlanSpec extends SparkSpec {
       s"window pairing must stay an equi-join:\n$plan")
   }
 
+  test("join_interval_bucketed: containment runs as a bucketed equi-join " +
+      "— never a nested-loop or cartesian plan") {
+    val (_, plan) = staticPlan("join_interval_bucketed")
+    val bnlj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j
+    }
+    val cart = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(bnlj.isEmpty && cart.isEmpty,
+      s"interval containment must ride the hour-bucket equi-join:\n$plan")
+    val equi = plan.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(equi.nonEmpty, s"expected an equi-join on the hour bucket:\n$plan")
+  }
+
   test("cdc_sink_warehouse: the appended table is day-partitioned and a " +
       "day-bounded read prunes at the partition level") {
     import org.apache.spark.sql.functions.col
