@@ -419,6 +419,57 @@ object AggQueries extends QueryGroup {
         .orderBy("l_returnflag")
     }),
 
+    // EXACT equi-depth histogram (ANALYZE-grade statistics collection)
+    // WITHOUT a global sort — the order-statistics pattern a CBO's stats
+    // job needs at 100 TB. The naive form is `ntile(B) OVER (ORDER BY y)`:
+    // one unpartitioned window that serializes the corpus through a
+    // single task (it is relegated to the DuckDB oracle below). The scale
+    // path is the TWO-PHASE EXACT RANK:
+    //   1. coarse VALUE-RANGE buckets b = (y-min) div w with w sized so
+    //      ~4096 buckets exist — counts per b are a partial+final hash
+    //      agg, and the cumulative `below` offsets run a global window
+    //      over the ≤4097-row bucket table only (same discipline as the
+    //      curate_* prefix sums, PlanSpec-asserted);
+    //   2. in-bucket row_number (parallel per bucket — buckets partition
+    //      the VALUE range, so offset+local rank IS the exact global
+    //      rank; equal values can never straddle buckets).
+    // The rank→tile map inlines DuckDB's ntile fill rule (first N%B
+    // tiles take ⌈N/B⌉) in exact integer arithmetic, so per-tile
+    // (n, min, max) hash-match the oracle's ntile exactly; ties within a
+    // tile are order-ambiguous but the per-tile aggregates are sorted-
+    // multiset positions — deterministic. min/max/count come in one
+    // bounded 1-row aggregate (the accepted bounded-scalar seam). All
+    // integer division is `div` (long `/` in Spark is DOUBLE division).
+    "agg_equidepth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 16L
+      val cents = Tables.scan(s, dir, "lineitem")
+        .select((Dec.d2(col("l_extendedprice")) * 100).cast("long").as("y"))
+      val bounds = cents.agg(min(col("y")), max(col("y")), count(lit(1))).head()
+      val (minY, maxY, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+      require(n >= B, s"equi-depth needs at least $B rows, got $n")
+      val w = math.max(1L, (maxY - minY) / 4096 + 1)
+      val bucketed = cents.withColumn("b", expr(s"(y - ${minY}L) div ${w}L"))
+      val off = bucketed.groupBy("b").agg(count(lit(1)).as("c"))
+        .withColumn("below",
+          coalesce(sum("c").over(Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("b", "below")
+      val q = n / B; val rem = n % B; val cut = (q + 1) * rem
+      bucketed
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("b").orderBy("y")))
+        .join(broadcast(off), Seq("b"))
+        .withColumn("r", col("below") + col("rn"))
+        .withColumn("tile", expr(
+          s"CASE WHEN r <= ${cut}L THEN (r - 1) div ${q + 1}L " +
+            s"ELSE ${rem}L + (r - 1 - ${cut}L) div ${q}L END"))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("y")).as("lo_cents"), max(col("y")).as("hi_cents"))
+        .orderBy("tile")
+    }),
+
     // approximate heavy hitters via count-min sketch — the mergeable-
     // sketch answer to "top keys at 100 TB without a full groupBy
     // materialization": the sketch is built distributed (map-side
@@ -656,6 +707,15 @@ object AggQueries extends QueryGroup {
         |    AS BIGINT)) AS DOUBLE) AS median_cents
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // the naive single-window form the Spark side deliberately avoids
+    "agg_equidepth" ->
+      """WITH y AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT) AS y FROM lineitem),
+        |t AS (SELECT y, ntile(16) OVER (ORDER BY y) AS t1 FROM y)
+        |SELECT CAST(t1 - 1 AS BIGINT) AS tile, COUNT(*) AS n_rows,
+        |  MIN(y) AS lo_cents, MAX(y) AS hi_cents
+        |FROM t GROUP BY t1 ORDER BY tile""".stripMargin,
 
     "agg_corr" ->
       """WITH t AS (SELECT l_returnflag,

@@ -253,6 +253,44 @@ object PipelineQueries extends QueryGroup {
             .as("q_mean"),
           (col("q_sum_fix") >= col("n_docs") * threshFix).as("kept"))
         .orderBy("source")
+    }),
+
+    // DATASET CARD — the corpus-statistics report every released training
+    // set ships with (docs/chars/tokens, language+source spread, exact- and
+    // near-duplication rates, quality-gate failure count), emitted as
+    // (metric, value) BIGINT rows so the whole card is one hash-comparable
+    // table. Scale shape: every number is a partial+final aggregate over a
+    // frame the session ALREADY materializes for the dedup/pipeline
+    // families (textGroups, sharedPairs, gated) — the card costs the
+    // aggregates only, nothing is recomputed and nothing new shuffles; the
+    // two 1-row crossJoins are bounded-scalar broadcasts (the accepted
+    // seam). At 100 TB this is exactly the "stats job rides the existing
+    // materializations" pattern a corpus release pipeline runs nightly.
+    "pipeline_dataset_card" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      val base = docs.agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("chars"),
+        sum(size(TextQueries.toks(col("text"))).cast("long"))
+          .as("ws_tokens"),
+        countDistinct(col("lang")).as("langs"),
+        countDistinct(col("source")).as("sources"))
+        .selectExpr("stack(5, 'docs', docs, 'chars', chars, " +
+          "'ws_tokens', ws_tokens, 'langs', langs, 'sources', sources) " +
+          "as (metric, value)")
+      val ed = DedupQueries.textGroups(s, dir).filter(col("sz") > 1)
+        .agg(coalesce(sum(col("sz")), lit(0L)).as("exact_dup_docs"),
+          count(lit(1)).as("exact_dup_groups"))
+        .selectExpr("stack(2, 'exact_dup_docs', exact_dup_docs, " +
+          "'exact_dup_groups', exact_dup_groups) as (metric, value)")
+      val nd = DedupQueries.sharedPairs(s, dir)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("neardup_pairs").as("metric"), col("value"))
+      val gf = docs.agg(count(lit(1)).as("t"))
+        .crossJoin(gated(s, dir).agg(count(lit(1)).as("g")))
+        .select(lit("gate_fail").as("metric"), (col("t") - col("g")).as("value"))
+      base.unionByName(ed).unionByName(nd).unionByName(gf)
+        .orderBy("metric")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -446,5 +484,64 @@ object PipelineQueries extends QueryGroup {
         |  (SELECT COUNT(*) FROM lineitem), (SELECT COUNT(*) FROM rl)
         |UNION ALL SELECT 'orders',
         |  (SELECT COUNT(*) FROM orders), (SELECT COUNT(*) FROM ro)
-        |ORDER BY tbl""".stripMargin)
+        |ORDER BY tbl""".stripMargin,
+
+    // every metric restated over the raw tables: the near-dup pair chain
+    // is the dedup_ngram_jaccard oracle (τ ≥ 0.5, df-cap 50), the gate is
+    // the pipeline_clean_corpus gate — shared definitions, stated twice
+    "pipeline_dataset_card" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS sg
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |rare AS (SELECT sg FROM sh GROUP BY sg HAVING COUNT(*) <= 50),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN rare r ON a.sg = r.sg
+        |  JOIN sh b ON b.sg = a.sg AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT c.da, c.db, COUNT(*) AS common
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db AND b.sg = a.sg
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT COUNT(*) AS n FROM pairs
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE common / (sa.n + sb.n - common) >= 0.5),
+        |grp AS (SELECT lower(trim(text)) AS t, COUNT(*) AS c
+        |  FROM documents GROUP BY 1),
+        |gated AS (SELECT doc_id FROM (
+        |    SELECT doc_id, lang,
+        |      CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |        AS INT) AS n_tokens,
+        |      len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|to|in|is|it)\b')) AS n_stop
+        |    FROM documents)
+        |  WHERE lang IN ('en','de','es','fr') AND n_tokens >= 20
+        |    AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.45)
+        |SELECT 'docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+        |  FROM documents
+        |UNION ALL SELECT 'chars', CAST(SUM(n_chars) AS BIGINT)
+        |  FROM documents
+        |UNION ALL SELECT 'ws_tokens',
+        |  CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+        |    AS BIGINT) FROM documents
+        |UNION ALL SELECT 'langs', CAST(COUNT(DISTINCT lang) AS BIGINT)
+        |  FROM documents
+        |UNION ALL SELECT 'sources', CAST(COUNT(DISTINCT source) AS BIGINT)
+        |  FROM documents
+        |UNION ALL SELECT 'exact_dup_docs',
+        |  CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM grp WHERE c > 1
+        |UNION ALL SELECT 'exact_dup_groups', CAST(COUNT(*) AS BIGINT)
+        |  FROM grp WHERE c > 1
+        |UNION ALL SELECT 'neardup_pairs', CAST(n AS BIGINT) FROM nd
+        |UNION ALL SELECT 'gate_fail',
+        |  (SELECT COUNT(*) FROM documents)
+        |    - (SELECT COUNT(*) FROM gated)
+        |ORDER BY metric""".stripMargin)
 }

@@ -574,4 +574,53 @@ class PlanSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       s"probe ranking and re-rank must partition by query:\n$plan")
   }
+
+  test("agg_equidepth: the corpus rank is partitioned by value bucket, " +
+      "only the bucket-offset prefix sum is global, offsets broadcast") {
+    val (_, plan) = staticPlan("agg_equidepth")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val (global, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    // the global window may only see the ≤4097-row bucket-count table
+    // (its frame sums the bucket counts into `below`); the corpus-sized
+    // rank must be partitioned by the value bucket
+    assert(global.size == 1 && partitioned.size == 1,
+      s"one global (bucket offsets) + one partitioned (rank) window:\n$plan")
+    // the offset window's expression sums the bucket COUNTS (c), never a
+    // corpus column (y) — plan names the output _we0, so match the input
+    assert(global.head.windowExpression.mkString.contains("sum(c#"),
+      s"the global window must compute the bucket offsets only:\n$plan")
+    assert(partitioned.head.partitionSpec.mkString.startsWith("b#"),
+      s"the rank window must be partitioned by the value bucket:\n$plan")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 1,
+      s"the offsets table must broadcast back onto the corpus:\n$plan")
+  }
+
+  test("ts_m4_downsample: one hash aggregate with map-side partials, " +
+      "no window, no sort below the aggregate") {
+    val (_, plan) = staticPlan("ts_m4_downsample")
+    assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty,
+      s"M4 must ride struct-ordered min/max, never a window:\n$plan")
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashShuffles.size == 1,
+      s"expected exactly the aggregate shuffle:\n$plan")
+    assert(hashShuffles.head.collectFirst {
+        case a: HashAggregateExec => a
+      }.nonEmpty,
+      s"the shuffle must carry per-(series,bucket) partials:\n$plan")
+    // the decimal order key exists precisely to keep min_by/max_by in the
+    // HASH aggregate — a struct key demotes to SortAggregate and re-sorts
+    // the corpus map-side (the regression this guards against)
+    assert(plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }.isEmpty,
+      s"M4 must stay a pure hash aggregate:\n$plan")
+  }
 }
