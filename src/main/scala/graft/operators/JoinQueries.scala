@@ -217,6 +217,64 @@ object JoinQueries extends QueryGroup {
         .orderBy("event_id")
     }),
 
+    // op 13, NEAREST direction (pandas merge_asof direction='nearest'):
+    // each 'view' event takes whichever same-user 'purchase' is closer
+    // in time, behind OR ahead — the attribution join ("which purchase
+    // does this view belong to") where backward-only as-of mis-assigns
+    // every pre-purchase view. Ties go backward; a purchase at exactly
+    // t is a backward match (the oracle's >= / strict-< split states
+    // the same partition of candidates). Planning: the join_asof
+    // union-merge with a SECOND window pass DESCENDING over the same
+    // key — one hash exchange shared by both passes (Catalyst reuses
+    // it; the forward pass costs one extra in-partition sort, no new
+    // shuffle — PlanSpec-asserted). Same-t ordering keys place
+    // purchases before views ascending (backward sees them) and views
+    // before purchases descending (forward does not), so the two
+    // directions partition the candidates exactly. Both events slices
+    // live in the same time range, so both sides of the nearest
+    // comparison are oracle-exercised (unlike events↔orders, which sit
+    // ~23 years apart).
+    "join_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("t"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("k"), col("t"), lit(1).as("is_left"),
+          col("event_id"), lit(null).cast("long").as("pid"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("t"))
+        .agg(max(col("event_id")).as("pid"))
+        .select(col("user_id").as("k"), col("t"), lit(0).as("is_left"),
+          lit(null).cast("long").as("event_id"), col("pid"))
+      val wb = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("is_left"), col("pid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("k"))
+        .orderBy(col("t").desc, col("is_left").desc, col("pid").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purch)
+        .withColumn("bk", last(col("pid"), ignoreNulls = true).over(wb))
+        .withColumn("bt", last(when(col("is_left") === 0, col("t")),
+          ignoreNulls = true).over(wb))
+        .withColumn("fk2", last(col("pid"), ignoreNulls = true).over(wf))
+        .withColumn("ft", last(when(col("is_left") === 0, col("t")),
+          ignoreNulls = true).over(wf))
+        .filter(col("is_left") === 1)
+        .select(col("event_id"), col("k").as("user_id"),
+          col("t").as("ts_us"),
+          when(col("bk").isNull, col("fk2"))
+            .when(col("fk2").isNull, col("bk"))
+            .when(col("t") - col("bt") <= col("ft") - col("t"), col("bk"))
+            .otherwise(col("fk2")).as("purchase_id"),
+          when(col("bk").isNull && col("fk2").isNull,
+            lit(null).cast("string"))
+            .when(col("fk2").isNull, lit("b"))
+            .when(col("bk").isNull, lit("f"))
+            .when(col("t") - col("bt") <= col("ft") - col("t"), lit("b"))
+            .otherwise(lit("f")).as("side"))
+        .orderBy("event_id")
+    }),
+
     // op 5's null-safe variant (`<=>` / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other instead of dropping — the join a CDC pipeline needs
     // when a nullable foreign key is itself meaningful ("no nation on
@@ -538,6 +596,31 @@ object JoinQueries extends QueryGroup {
         |ASOF LEFT JOIN o
         |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH p AS (SELECT user_id, ts, MAX(event_id) AS pid
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |v AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'view'),
+        |b AS (SELECT v.event_id, v.user_id,
+        |    epoch_us(CAST(v.ts AS TIMESTAMP)) AS ts_us,
+        |    p.pid AS bk, epoch_us(CAST(p.ts AS TIMESTAMP)) AS bt
+        |  FROM v ASOF LEFT JOIN p
+        |    ON v.user_id = p.user_id AND v.ts >= p.ts),
+        |f AS (SELECT v.event_id, p.pid AS fk,
+        |    epoch_us(CAST(p.ts AS TIMESTAMP)) AS ft
+        |  FROM v ASOF LEFT JOIN p
+        |    ON v.user_id = p.user_id AND v.ts < p.ts)
+        |SELECT b.event_id, b.user_id, b.ts_us,
+        |  CASE WHEN bk IS NULL THEN fk WHEN fk IS NULL THEN bk
+        |       WHEN (ts_us - bt) <= (ft - ts_us) THEN bk ELSE fk
+        |  END AS purchase_id,
+        |  CASE WHEN bk IS NULL AND fk IS NULL THEN NULL
+        |       WHEN fk IS NULL THEN 'b' WHEN bk IS NULL THEN 'f'
+        |       WHEN (ts_us - bt) <= (ft - ts_us) THEN 'b' ELSE 'f'
+        |  END AS side
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "join_asof_tol" ->
       """WITH o AS (

@@ -575,6 +575,28 @@ class PlanSpec extends SparkSpec {
       s"probe ranking and re-rank must partition by query:\n$plan")
   }
 
+  test("join_asof_nearest: the backward and forward passes share one " +
+      "user-key exchange; every window is key-partitioned") {
+    val (_, plan) = staticPlan("join_asof_nearest")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // four Window nodes: Spark splits each direction pass in two (the
+    // match-time projection `_w0` forces a second node) — what matters is
+    // that every one is key-partitioned
+    assert(windows.size == 4 && windows.forall(_.partitionSpec.nonEmpty),
+      s"two key-partitioned direction passes (2 nodes each) expected:\n$plan")
+    // hash exchanges: ONE for the purchase (user,t) dedup aggregate and
+    // ONE user-key exchange shared by both window passes (the descending
+    // pass re-sorts in place — it must not re-shuffle)
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashShuffles.size == 2,
+      s"expected the dedup-agg + one shared window exchange:\n$plan")
+  }
+
   test("agg_equidepth: the corpus rank is partitioned by value bucket, " +
       "only the bucket-offset prefix sum is global, offsets broadcast") {
     val (_, plan) = staticPlan("agg_equidepth")
