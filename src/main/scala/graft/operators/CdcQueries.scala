@@ -6,14 +6,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One unwrapped insert row as fed to the warehouse sink (the
-  * `cdc_sink_warehouse` micro-batch feed element; `day` is the
-  * partition column the sink lays the table out by). */
+  * `cdc_sink_warehouse` micro-batch feed element; `month` is the
+  * PHYSICAL partition column the sink lays the table out by, `day` a
+  * data column (parquet min/max row-group stats still skip files on a
+  * day predicate). Partition grain is a FILE-COUNT decision, the same
+  * data-volume rule as shuffle width: every micro-batch opens one file
+  * per touched partition dir, so day-grain × thousands of covered days
+  * explodes into tiny files (measured: 2406 day dirs × 4 batches ≈
+  * 10k files, 123 s at sf0.1) while month-grain bounds the fan-out
+  * (~81 dirs) and keeps the pruning a downstream read wants. */
 final case class WarehouseFeedRow(
     o_orderkey: Long,
     o_custkey: Long,
     o_totalprice: String,
     o_orderdate_us: Long,
-    day: String)
+    day: String,
+    month: String)
 
 /** Driver-checkable queries for the CDC core (SURVEY.md §2.C ops 2, 3, 18
   * and the §7.2 end-to-end slice). The change log is synthesized
@@ -197,13 +205,16 @@ object CdcQueries extends QueryGroup {
     // the changelog streamed through [[graft.streaming.Sinks
     // .appendWarehouse]] in REAL micro-batches (Append mode, parquet
     // files + checkpoint — exactly-once per file commit) into a
-    // DAY-PARTITIONED table, then read BACK and aggregated. The graded
+    // MONTH-PARTITIONED table, then read BACK and aggregated. The graded
     // facts: the append is lossless (per-day counts/sums/distincts equal
     // the source slice) and the layout is the pruning layout a
-    // downstream read wants (day is a physical partition column —
-    // PlanSpec asserts PartitionFilters on a day-bounded read). The
-    // ClickHouse sink (A9) shares this path verbatim (a format/url swap
-    // when a server exists). Chunk size = |slice|/4 so the feed is ≥4
+    // downstream read wants (month is a physical partition column —
+    // PlanSpec asserts PartitionFilters on a month-bounded read; day
+    // predicates still skip at the FILE level via parquet min/max
+    // stats). See [[WarehouseFeedRow]] for why the grain is month, not
+    // day: partition grain bounds files-per-micro-batch. The ClickHouse
+    // sink (A9) shares this path verbatim (a format/url swap when a
+    // server exists). Chunk size = |slice|/4 so the feed is ≥4
     // micro-batches at EVERY sf, not one bulk load.
     "cdc_sink_warehouse" -> ((s, dir) => {
       import graft.streaming.Sinks
@@ -214,7 +225,9 @@ object CdcQueries extends QueryGroup {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderdate_us"),
           date_format(timestamp_micros(col("o_orderdate_us")),
-            "yyyy-MM-dd").as("day"))
+            "yyyy-MM-dd").as("day"),
+          date_format(timestamp_micros(col("o_orderdate_us")),
+            "yyyy-MM").as("month"))
         .as[WarehouseFeedRow]
       val tmp = graft.TmpPaths.perProcess("graft-sink-warehouse", dir)
       val root = new org.apache.hadoop.fs.Path(tmp)
@@ -228,7 +241,7 @@ object CdcQueries extends QueryGroup {
         implicit val sqlCtx = s.sqlContext
         val in = MemoryStream[WarehouseFeedRow]
         val q = Sinks.appendWarehouse(in.toDF(), s"$tmp/data",
-          s"$tmp/ckpt", "day", interval = "0 seconds").start()
+          s"$tmp/ckpt", "month", interval = "0 seconds").start()
         try {
           import scala.jdk.CollectionConverters._
           rows.toLocalIterator().asScala.grouped(chunk).foreach { b =>

@@ -527,8 +527,8 @@ class PlanSpec extends SparkSpec {
     assert(equi.nonEmpty, s"expected an equi-join on the hour bucket:\n$plan")
   }
 
-  test("cdc_sink_warehouse: the appended table is day-partitioned and a " +
-      "day-bounded read prunes at the partition level") {
+  test("cdc_sink_warehouse: the appended table is month-partitioned and a " +
+      "month-bounded read prunes at the partition level") {
     import org.apache.spark.sql.functions.col
     // build the warehouse (the graded query writes it to the per-process
     // tmp before aggregating), then plan a bounded read of the artifact
@@ -536,17 +536,31 @@ class PlanSpec extends SparkSpec {
       .limit(1).collect()
     assert(out.nonEmpty)
     val path = graft.TmpPaths.perProcess("graft-sink-warehouse", sfDir)
-    val day = spark.read.parquet(s"$path/data")
-      .select(col("day").cast("string")).head().getString(0)
+    val month = spark.read.parquet(s"$path/data")
+      .select(col("month").cast("string")).head().getString(0)
     val bounded = spark.read.parquet(s"$path/data")
-      .filter(col("day") === day)
+      .filter(col("month") === month)
     val scan = bounded.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scan.nonEmpty)
     assert(scan.head.partitionFilters.nonEmpty,
-      s"day-bounded read must carry PartitionFilters:\n" +
+      s"month-bounded read must carry PartitionFilters:\n" +
         bounded.queryExecution.executedPlan)
+    // and the partition grain bounds the writer fan-out: files scale with
+    // months-touched × micro-batches (~81 × 4 at any sf), never with the
+    // number of days covered (the measured 10k-file / 123 s failure mode)
+    val files = scan.head.relation.location.inputFiles.length
+    val months = spark.read.parquet(s"$path/data")
+      .select(col("month")).distinct().count()
+    val all = spark.read.parquet(s"$path/data").queryExecution
+      .executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.relation.location.inputFiles.length
+    assert(all <= months * 8,
+      s"file count must be bounded by months × batches, got $all for " +
+        s"$months months")
+    assert(files <= all)
   }
 
   test("sim_ann_lsh_pinned: the coded queries broadcast onto the coded " +
