@@ -493,6 +493,77 @@ object DedupQueries extends QueryGroup {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       sharedPairs(s, dir).orderBy("da", "db")),
 
+    // op 45a'''' — CONTAINMENT near-dup detection, Broder'97's second
+    // resemblance measure: c(A,B) = |A∩B| / min(|A|,|B|). Flags a short
+    // document wholly EMBEDDED in a long one — there symmetric Jaccard
+    // ≈ |A|/|B| stays below any fixed threshold and set-based dedup goes
+    // blind (the sub-document duplication production pipelines also
+    // chase with substring spans; containment is the SET-level form).
+    // Same candidate discipline as the Jaccard family — sub-cap shingle
+    // co-occurrence on the exact-dup QUOTIENT (the weighted df-cap
+    // counts documents, so the cap semantics equal the oracle's
+    // doc-level HAVING) — then exact verification over the reps' full
+    // shingle sets; cross-group hits expand to member pairs, ≥2-member
+    // groups contribute their identical pairs at containment 1.0 (an
+    // identical pair is mutually contained by definition). The quotient
+    // path is unconditional here (no cost branch): correctness is
+    // rep-invariant since identical texts have identical shingle sets.
+    // common/min() is one IEEE divide on exact ints — hash-stable.
+    "dedup_containment" -> ((s, dir) => {
+      val tau = 0.8
+      val g = textGroups(s, dir)
+      val shAll = shingles(s, dir)
+      val repSh = shAll
+        .join(g.select(col("rep").as("doc_id"), col("sz")), Seq("doc_id"))
+      val dfPerShingle = repSh.groupBy("s").agg(sum(col("sz")).as("_df"))
+      val idx = repSh
+        .join(dfPerShingle.filter(col("_df") <= maxShingleDf), Seq("s"))
+        .select(col("doc_id"), col("s"))
+      val cand = idx.toDF("ga", "s").join(idx.toDF("gb", "s"), Seq("s"))
+        .filter(col("ga") <= col("gb"))
+        .select("ga", "gb").distinct()
+      val sizes = repSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val cross = cand.filter(col("ga") < col("gb"))
+        .select(col("ga").as("da"), col("gb").as("db"))
+        .join(repSh.select(col("doc_id").as("da"), col("s")), "da")
+        .join(repSh.select(col("doc_id").as("db"), col("s")),
+          Seq("db", "s"))
+        .groupBy("da", "db").agg(count(lit(1)).as("common"))
+        .join(broadcast(sizes.toDF("da", "na")), "da")
+        .join(broadcast(sizes.toDF("db", "nb")), "db")
+        .select(col("da"), col("db"), col("common"),
+          least(col("na"), col("nb")).as("n_small"),
+          (col("common") / least(col("na"), col("nb")))
+            .as("containment"))
+        .filter(col("containment") >= tau)
+      // identical-text groups: every member pair is contained at 1.0 —
+      // candidate-visible iff the group shares one sub-cap shingle, the
+      // exact doc-level condition the oracle states
+      val self = cand.filter(col("ga") === col("gb"))
+        .join(g.filter(col("sz") >= 2).select(col("rep"), col("members")),
+          col("ga") === col("rep"))
+        .join(sizes.toDF("rep", "n"), "rep")
+        .select(col("members"), col("n"))
+      val selfPairs = self
+        .select(explode(col("members")).as("da"), col("members"), col("n"))
+        .select(col("da"), explode(col("members")).as("db"), col("n"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"), col("n").as("common"),
+          col("n").as("n_small"), lit(1.0).as("containment"))
+      val mem = g.select(col("rep"), col("members"))
+      val crossExp = cross
+        .join(mem.toDF("_ga", "ma"), col("da") === col("_ga"))
+        .join(mem.toDF("_gb", "mb"), col("db") === col("_gb"))
+        .select(explode(col("ma")).as("a"), col("mb"), col("common"),
+          col("n_small"), col("containment"))
+        .select(col("a"), explode(col("mb")).as("b"), col("common"),
+          col("n_small"), col("containment"))
+        .select(least(col("a"), col("b")).as("da"),
+          greatest(col("a"), col("b")).as("db"), col("common"),
+          col("n_small"), col("containment"))
+      crossExp.unionByName(selfPairs).orderBy("da", "db")
+    }),
+
     // op 45a': exact SUBSTRING-SPAN dedup — the position-aware variant:
     // for every candidate pair, the longest run of consecutive words the
     // two documents share verbatim. Set-based Jaccard cannot see this
@@ -1103,6 +1174,38 @@ object DedupQueries extends QueryGroup {
         |  COUNT(*) AS n_copies
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // the doc-level restatement of the quotient containment build —
+    // identical rows by the QuotientEquivalence argument (identical
+    // texts have identical shingle sets; the weighted cap counts docs)
+    "dedup_containment" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN rare r ON a.s = r.s
+        |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT c.da, c.db, COUNT(*) AS common
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |  GROUP BY 1, 2)
+        |SELECT p.da, p.db, p.common,
+        |  least(sa.n, sb.n) AS n_small,
+        |  p.common / least(sa.n, sb.n) AS containment
+        |FROM pairs p
+        |JOIN sizes sa ON p.da = sa.doc_id
+        |JOIN sizes sb ON p.db = sb.doc_id
+        |WHERE p.common / least(sa.n, sb.n) >= 0.8
+        |ORDER BY da, db""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,
