@@ -228,6 +228,14 @@ object CdcQueries extends QueryGroup {
             "yyyy-MM-dd").as("day"),
           date_format(timestamp_micros(col("o_orderdate_us")),
             "yyyy-MM").as("month"))
+        // feed in event-time order — the arrival order a changelog tail
+        // actually has. Each micro-batch then touches a CONTIGUOUS month
+        // range (~months/batches dirs) instead of every month in the
+        // corpus: total files drop ~batches× (324 → ~84 at sf0.1), and
+        // at deployment scale in-order arrival is what keeps a
+        // time-partitioned streaming append from writing every
+        // partition dir every trigger.
+        .orderBy("o_orderdate_us", "o_orderkey")
         .as[WarehouseFeedRow]
       val tmp = graft.TmpPaths.perProcess("graft-sink-warehouse", dir)
       val root = new org.apache.hadoop.fs.Path(tmp)

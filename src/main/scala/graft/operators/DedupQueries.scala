@@ -98,7 +98,48 @@ object DedupQueries extends QueryGroup {
     * sub-cap — exactly the self-join (ga == gb) row of the same index. */
   private[graft] def groupPairs(s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"dedup:gpairs:$dir") {
-      groupedPairBuild(textGroups(s, dir), shingles(s, dir))
+      val cand = groupCandidates(s, dir)
+      val repSh = repShingles(s, dir)
+      val cross = verifyJaccard(
+        cand.filter(col("ga") < col("gb")).toDF("da", "db"),
+        repSh.select("doc_id", "s"), 0.5)
+      val self = cand.filter(col("ga") === col("gb"))
+        .join(textGroups(s, dir).filter(col("sz") >= 2).select(col("rep")),
+          col("ga") === col("rep"))
+        .select(col("ga").as("da"), col("gb").as("db"),
+          lit(1.0).as("jaccard"))
+      cross.unionByName(self)
+    }
+
+  /** Quotient-rep shingle table `(doc_id = group rep, s, sz)` — the FULL
+    * (uncapped) shingle sets of the exact-dup group reps, cached once per
+    * (session, corpus). Every quotient-level policy reads it twice: as
+    * the df-weighted index source and as the verify side. */
+  private[graft] def repShingles(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"dedup:repsh:$dir") {
+      shingles(s, dir)
+        .join(textGroups(s, dir)
+          .select(col("rep").as("doc_id"), col("sz")), Seq("doc_id"))
+    }
+
+  /** Candidate GROUP pairs `(ga ≤ gb)` from the df-capped quotient
+    * inverted index, cached once per (session, corpus): candidate
+    * generation is MEASURE-INDEPENDENT (two groups meet iff they share a
+    * sub-cap shingle), so the Jaccard build ([[groupPairs]]) and the
+    * containment policy (`dedup_containment`) share this frame and
+    * differ only in the verify metric they run over the candidates.
+    * Same df/index notes as [[groupedPairBuild]], which keeps the
+    * uncached parameterized form for other corpora. */
+  private[graft] def groupCandidates(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"dedup:gcand:$dir") {
+      val repSh = repShingles(s, dir)
+      val dfPerShingle = repSh.groupBy("s").agg(sum(col("sz")).as("_df"))
+      val idx = repSh
+        .join(dfPerShingle.filter(col("_df") <= maxShingleDf), Seq("s"))
+        .select(col("doc_id"), col("s"))
+      idx.toDF("ga", "s").join(idx.toDF("gb", "s"), Seq("s"))
+        .filter(col("ga") <= col("gb"))
+        .select("ga", "gb").distinct()
     }
 
   /** The [[groupPairs]] engine, parameterized so other corpora (the
@@ -158,6 +199,40 @@ object DedupQueries extends QueryGroup {
           .as("members"))
       .orderBy("component")
   }
+
+  /** Per-doc near-dup component labels `(doc_id, component)`, cached
+    * once per (session, corpus) — the shared CC artifact: `dedup_clusters`
+    * aggregates it and `sample_split_safe` joins it, so the star-contraction
+    * propagation runs once per session, not once per consumer. Contains
+    * ONLY docs that belong to a candidate-visible component (members of
+    * groups with at least one [[groupPairs]] row on the quotient path;
+    * vertices of [[sharedPairs]] otherwise) — consumers coalesce absent
+    * docs to their own doc_id, the singleton-component convention. The
+    * two paths agree: a quotient component's label min(rep) IS the
+    * min doc_id of the expanded doc component (each rep is its group's
+    * minimum), and a sz≥2 group with no quotient row has no doc-level
+    * pair either, so its members are singletons under both. */
+  private[graft] def docComponents(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"dedup:cclabels:$dir") {
+      val g = textGroups(s, dir)
+      if (quotientPays(g)) {
+        val gp = groupPairs(s, dir)
+        val edges = gp.filter(col("da") < col("db")).select("da", "db")
+        val (labels, _) = connectedComponents(edges)
+        val reps = gp
+          .select(explode(array(col("da"), col("db"))).as("rep")).distinct()
+        val comp = reps
+          .join(labels, reps("rep") === labels("v"), "left")
+          // intra-only groups have no quotient edge → own component
+          .select(col("rep"), coalesce(col("lbl"), col("rep")).as("component"))
+        g.join(comp, Seq("rep"))
+          .select(explode(col("members")).as("doc_id"), col("component"))
+      } else {
+        val pairs = sharedPairs(s, dir).select(col("da"), col("db"))
+        val (labels, _) = connectedComponents(pairs)
+        labels.select(col("v").as("doc_id"), col("lbl").as("component"))
+      }
+    }
 
   /** Member expansion of a group-level pair table back to doc-level
     * (da, db, jaccard) — the inverse of the quotient. */
@@ -499,29 +574,22 @@ object DedupQueries extends QueryGroup {
     // ≈ |A|/|B| stays below any fixed threshold and set-based dedup goes
     // blind (the sub-document duplication production pipelines also
     // chase with substring spans; containment is the SET-level form).
-    // Same candidate discipline as the Jaccard family — sub-cap shingle
-    // co-occurrence on the exact-dup QUOTIENT (the weighted df-cap
-    // counts documents, so the cap semantics equal the oracle's
-    // doc-level HAVING) — then exact verification over the reps' full
-    // shingle sets; cross-group hits expand to member pairs, ≥2-member
-    // groups contribute their identical pairs at containment 1.0 (an
-    // identical pair is mutually contained by definition). The quotient
-    // path is unconditional here (no cost branch): correctness is
-    // rep-invariant since identical texts have identical shingle sets.
+    // Same candidate discipline as the Jaccard family — the SHARED
+    // [[groupCandidates]] frame (sub-cap shingle co-occurrence on the
+    // exact-dup QUOTIENT; the weighted df-cap counts documents, so the
+    // cap semantics equal the oracle's doc-level HAVING) — then exact
+    // verification over the reps' full shingle sets; cross-group hits
+    // expand to member pairs, ≥2-member groups contribute their
+    // identical pairs at containment 1.0 (an identical pair is mutually
+    // contained by definition). The quotient path is unconditional here
+    // (no cost branch): correctness is rep-invariant since identical
+    // texts have identical shingle sets.
     // common/min() is one IEEE divide on exact ints — hash-stable.
     "dedup_containment" -> ((s, dir) => {
       val tau = 0.8
       val g = textGroups(s, dir)
-      val shAll = shingles(s, dir)
-      val repSh = shAll
-        .join(g.select(col("rep").as("doc_id"), col("sz")), Seq("doc_id"))
-      val dfPerShingle = repSh.groupBy("s").agg(sum(col("sz")).as("_df"))
-      val idx = repSh
-        .join(dfPerShingle.filter(col("_df") <= maxShingleDf), Seq("s"))
-        .select(col("doc_id"), col("s"))
-      val cand = idx.toDF("ga", "s").join(idx.toDF("gb", "s"), Seq("s"))
-        .filter(col("ga") <= col("gb"))
-        .select("ga", "gb").distinct()
+      val repSh = repShingles(s, dir)
+      val cand = groupCandidates(s, dir)
       val sizes = repSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val cross = cand.filter(col("ga") < col("gb"))
         .select(col("ga").as("da"), col("gb").as("db"))
@@ -921,21 +989,17 @@ object DedupQueries extends QueryGroup {
     // and the quotient label min(rep) IS min(doc_id) since each rep is
     // its group's minimum), but propagation never touches the k² edges
     // inside a k-copy duplicate cluster.
-    "dedup_clusters" -> ((s, dir) => {
-      val g = textGroups(s, dir)
-      if (quotientPays(g)) clustersViaQuotient(g, groupPairs(s, dir))
-      else {
-        val pairs = sharedPairs(s, dir).select(col("da"), col("db"))
-        val (labels, _) = connectedComponents(pairs)
-        labels.groupBy(col("lbl").as("component"))
-          .agg(count(lit(1)).as("size"),
-            // joined to a string: the driver's pandas compare cannot
-            // hash array-typed output columns
-            array_join(sort_array(collect_list(col("v"))), ",")
-              .as("members"))
-          .orderBy("component")
-      }
-    }),
+    "dedup_clusters" -> ((s, dir) =>
+      // one aggregate over the SHARED per-doc labels ([[docComponents]] —
+      // quotient-CC inside, also consumed by sample_split_safe); members
+      // joined to a string: the driver's pandas compare cannot hash
+      // array-typed output columns
+      docComponents(s, dir)
+        .groupBy("component")
+        .agg(count(lit(1)).as("size"),
+          array_join(sort_array(collect_list(col("doc_id"))), ",")
+            .as("members"))
+        .orderBy("component")),
 
     // graph centrality over the near-dup similarity graph: 3 rounds of
     // FIXED-POINT PageRank (d=0.85) — the quality-signal-propagation

@@ -122,21 +122,20 @@ object SamplingQueries extends QueryGroup {
     // classic eval-contamination bug (the model "generalizes" to a test
     // doc it effectively saw in train). The fix: hash the near-dup
     // COMPONENT's canonical id, so a whole cluster lands in one split.
-    // Pure composition of catalog operators: the shared verified pair
-    // table ([[DedupQueries.sharedPairs]] — its build is already paid by
-    // the dedup family within a session), distributed CC labels
-    // ([[DedupQueries.connectedComponents]] — large-star/small-star, no
-    // closure materialized), and the SAME md5 split CASE ([[splitOf]])
-    // applied to the component id. Singleton docs are their own
-    // component, so their assignment equals sample_split's.
+    // Pure composition of catalog operators: the shared per-doc CC
+    // labels ([[DedupQueries.docComponents]] — quotient-level
+    // large-star/small-star, no closure materialized, built once per
+    // session and also consumed by dedup_clusters) and the SAME md5
+    // split CASE ([[splitOf]]) applied to the component id. Singleton
+    // docs are their own component, so their assignment equals
+    // sample_split's.
     "sample_split_safe" -> ((s, dir) => {
-      val pairs = DedupQueries.sharedPairs(s, dir)
-        .select(col("da"), col("db"))
-      val (labels, _) = DedupQueries.connectedComponents(pairs)
+      val labels = DedupQueries.docComponents(s, dir)
+        .withColumnRenamed("component", "_cc")
       Tables.scan(s, dir, "documents").select(col("doc_id"), col("lang"))
-        .join(labels, col("doc_id") === col("v"), "left")
+        .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
-          coalesce(col("lbl"), col("doc_id")).as("component"))
+          coalesce(col("_cc"), col("doc_id")).as("component"))
         .withColumn("split", splitOf(col("component")))
         .orderBy("doc_id")
     }),
