@@ -98,17 +98,39 @@ object DedupQueries extends QueryGroup {
     * sub-cap — exactly the self-join (ga == gb) row of the same index. */
   private[graft] def groupPairs(s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"dedup:gpairs:$dir") {
-      val cand = groupCandidates(s, dir)
-      val repSh = repShingles(s, dir)
-      val cross = verifyJaccard(
-        cand.filter(col("ga") < col("gb")).toDF("da", "db"),
-        repSh.select("doc_id", "s"), 0.5)
-      val self = cand.filter(col("ga") === col("gb"))
+      val cross = groupCommonCounts(s, dir)
+        .select(col("da"), col("db"),
+          (col("common") / (col("na") + col("nb") - col("common")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      val self = groupCandidates(s, dir).filter(col("ga") === col("gb"))
         .join(textGroups(s, dir).filter(col("sz") >= 2).select(col("rep")),
           col("ga") === col("rep"))
         .select(col("ga").as("da"), col("gb").as("db"),
           lit(1.0).as("jaccard"))
       cross.unionByName(self)
+    }
+
+  /** Exact shingle-overlap counts `(da, db, common, na, nb)` for every
+    * cross-group candidate pair — the measure-INDEPENDENT half of
+    * verification, cached once per (session, corpus): the expensive
+    * join of candidates back onto the reps' full shingle sets happens
+    * here once, and each policy is then a cheap scalar on top —
+    * Jaccard = common/(na+nb−common) ([[groupPairs]]), containment =
+    * common/min(na,nb) (`dedup_containment`). Same math as
+    * [[verifyJaccard]] pre-filter (which stays for one-off corpora). */
+  private[graft] def groupCommonCounts(
+      s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"dedup:gcommon:$dir") {
+      val repSh = repShingles(s, dir).select("doc_id", "s")
+      val sizes = repSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      groupCandidates(s, dir).filter(col("ga") < col("gb"))
+        .select(col("ga").as("da"), col("gb").as("db"))
+        .join(repSh.toDF("da", "s"), "da")
+        .join(repSh.toDF("db", "s"), Seq("db", "s"))
+        .groupBy("da", "db").agg(count(lit(1)).as("common"))
+        .join(broadcast(sizes.toDF("da", "na")), "da")
+        .join(broadcast(sizes.toDF("db", "nb")), "db")
     }
 
   /** Quotient-rep shingle table `(doc_id = group rep, s, sz)` — the FULL
@@ -591,14 +613,7 @@ object DedupQueries extends QueryGroup {
       val repSh = repShingles(s, dir)
       val cand = groupCandidates(s, dir)
       val sizes = repSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val cross = cand.filter(col("ga") < col("gb"))
-        .select(col("ga").as("da"), col("gb").as("db"))
-        .join(repSh.select(col("doc_id").as("da"), col("s")), "da")
-        .join(repSh.select(col("doc_id").as("db"), col("s")),
-          Seq("db", "s"))
-        .groupBy("da", "db").agg(count(lit(1)).as("common"))
-        .join(broadcast(sizes.toDF("da", "na")), "da")
-        .join(broadcast(sizes.toDF("db", "nb")), "db")
+      val cross = groupCommonCounts(s, dir)
         .select(col("da"), col("db"), col("common"),
           least(col("na"), col("nb")).as("n_small"),
           (col("common") / least(col("na"), col("nb")))
