@@ -331,8 +331,82 @@ object DedupQueries extends QueryGroup {
     graft.BoundedDfCache.getOrPersist(s, s"dedup:jpairs:$dir") {
       val g = textGroups(s, dir)
       if (quotientPays(g)) expandPairs(g, groupPairs(s, dir))
-      else jaccardPairs(shingles(s, dir), 0.5)
+      else docCommonCounts(s, dir)
+        .select(col("da"), col("db"),
+          (col("common") / (col("na") + col("nb") - col("common")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
     }
+
+  /** Exact DOC-level shingle-overlap counts `(da, db, common, na, nb)`
+    * for every df-capped candidate pair — the direct-path analog of
+    * [[groupCommonCounts]], cached once per (session, corpus) and shared
+    * by [[sharedPairs]] (Jaccard ≥ 0.5) and `dedup_containment`
+    * (common/min ≥ 0.8) when the corpus is dup-sparse and the quotient
+    * doesn't pay: the verify join runs once, the policies are scalar
+    * projections. Same math as [[verifyJaccard]] pre-filter. */
+  private[graft] def docCommonCounts(
+      s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"dedup:dcommon:$dir") {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      candidatePairs(sh, maxShingleDf)
+        .join(sh.toDF("da", "s"), "da")
+        .join(sh.toDF("db", "s"), Seq("db", "s"))
+        .groupBy("da", "db").agg(count(lit(1)).as("common"))
+        .join(broadcast(sizes.toDF("da", "na")), "da")
+        .join(broadcast(sizes.toDF("db", "nb")), "db")
+    }
+
+  /** The containment policy c(A,B) = |A∩B| / min(|A|,|B|) ≥ τ as a
+    * scalar projection over an overlap-count frame. */
+  private def containOf(cc: DataFrame, tau: Double): DataFrame = cc
+    .select(col("da"), col("db"), col("common"),
+      least(col("na"), col("nb")).as("n_small"),
+      (col("common") / least(col("na"), col("nb"))).as("containment"))
+    .filter(col("containment") >= tau)
+
+  /** `dedup_containment`'s direct (dup-sparse) branch: containment over
+    * the shared doc-level overlap counts. */
+  private[graft] def containDirect(s: SparkSession, dir: String): DataFrame =
+    containOf(docCommonCounts(s, dir), 0.8)
+
+  /** `dedup_containment`'s quotient (dup-dense) branch: containment over
+    * the group-level overlap counts, expanded to member pairs; ≥2-member
+    * identical-text groups contribute their pairs at containment 1.0
+    * (mutually contained by definition) iff candidate-visible.
+    * Row-identical to [[containDirect]] (ContainmentEquivalence spec). */
+  private[graft] def containQuotient(
+      s: SparkSession, dir: String): DataFrame = {
+    val g = textGroups(s, dir)
+    val repSh = repShingles(s, dir)
+    val cand = groupCandidates(s, dir)
+    val sizes = repSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cross = containOf(groupCommonCounts(s, dir), 0.8)
+    val self = cand.filter(col("ga") === col("gb"))
+      .join(g.filter(col("sz") >= 2).select(col("rep"), col("members")),
+        col("ga") === col("rep"))
+      .join(sizes.toDF("rep", "n"), "rep")
+      .select(col("members"), col("n"))
+    val selfPairs = self
+      .select(explode(col("members")).as("da"), col("members"), col("n"))
+      .select(col("da"), explode(col("members")).as("db"), col("n"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("n").as("common"),
+        col("n").as("n_small"), lit(1.0).as("containment"))
+    val mem = g.select(col("rep"), col("members"))
+    val crossExp = cross
+      .join(mem.toDF("_ga", "ma"), col("da") === col("_ga"))
+      .join(mem.toDF("_gb", "mb"), col("db") === col("_gb"))
+      .select(explode(col("ma")).as("a"), col("mb"), col("common"),
+        col("n_small"), col("containment"))
+      .select(col("a"), explode(col("mb")).as("b"), col("common"),
+        col("n_small"), col("containment"))
+      .select(least(col("a"), col("b")).as("da"),
+        greatest(col("a"), col("b")).as("db"), col("common"),
+        col("n_small"), col("containment"))
+    crossExp.unionByName(selfPairs)
+  }
 
   /** LSH candidate pairs, materialized once per (session, corpus) — shared
     * by `dedup_minhash_lsh` (which verifies them) and `dedup_lsh_quality`
@@ -596,56 +670,24 @@ object DedupQueries extends QueryGroup {
     // ≈ |A|/|B| stays below any fixed threshold and set-based dedup goes
     // blind (the sub-document duplication production pipelines also
     // chase with substring spans; containment is the SET-level form).
-    // Same candidate discipline as the Jaccard family — the SHARED
-    // [[groupCandidates]] frame (sub-cap shingle co-occurrence on the
-    // exact-dup QUOTIENT; the weighted df-cap counts documents, so the
-    // cap semantics equal the oracle's doc-level HAVING) — then exact
-    // verification over the reps' full shingle sets; cross-group hits
-    // expand to member pairs, ≥2-member groups contribute their
-    // identical pairs at containment 1.0 (an identical pair is mutually
-    // contained by definition). The quotient path is unconditional here
-    // (no cost branch): correctness is rep-invariant since identical
-    // texts have identical shingle sets.
+    // Same candidate discipline as the Jaccard family, INCLUDING its
+    // quotient cost branch: on a dup-sparse corpus the policy is a
+    // scalar projection over the shared doc-level overlap counts
+    // ([[docCommonCounts]] — the same frame sharedPairs' Jaccard reads);
+    // on a dup-dense one it rides the quotient counts
+    // ([[groupCommonCounts]]) and expands to member pairs afterwards
+    // (cross-group hits carry the group's values — correctness is
+    // rep-invariant since identical texts have identical shingle sets —
+    // and ≥2-member groups contribute their identical pairs at
+    // containment 1.0: mutually contained by definition, candidate-
+    // visible iff the group shares one sub-cap shingle, the exact
+    // doc-level condition the oracle states). The weighted quotient
+    // df-cap counts documents, so the cap semantics equal the oracle's
+    // doc-level HAVING on either branch.
     // common/min() is one IEEE divide on exact ints — hash-stable.
-    "dedup_containment" -> ((s, dir) => {
-      val tau = 0.8
-      val g = textGroups(s, dir)
-      val repSh = repShingles(s, dir)
-      val cand = groupCandidates(s, dir)
-      val sizes = repSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val cross = groupCommonCounts(s, dir)
-        .select(col("da"), col("db"), col("common"),
-          least(col("na"), col("nb")).as("n_small"),
-          (col("common") / least(col("na"), col("nb")))
-            .as("containment"))
-        .filter(col("containment") >= tau)
-      // identical-text groups: every member pair is contained at 1.0 —
-      // candidate-visible iff the group shares one sub-cap shingle, the
-      // exact doc-level condition the oracle states
-      val self = cand.filter(col("ga") === col("gb"))
-        .join(g.filter(col("sz") >= 2).select(col("rep"), col("members")),
-          col("ga") === col("rep"))
-        .join(sizes.toDF("rep", "n"), "rep")
-        .select(col("members"), col("n"))
-      val selfPairs = self
-        .select(explode(col("members")).as("da"), col("members"), col("n"))
-        .select(col("da"), explode(col("members")).as("db"), col("n"))
-        .filter(col("da") < col("db"))
-        .select(col("da"), col("db"), col("n").as("common"),
-          col("n").as("n_small"), lit(1.0).as("containment"))
-      val mem = g.select(col("rep"), col("members"))
-      val crossExp = cross
-        .join(mem.toDF("_ga", "ma"), col("da") === col("_ga"))
-        .join(mem.toDF("_gb", "mb"), col("db") === col("_gb"))
-        .select(explode(col("ma")).as("a"), col("mb"), col("common"),
-          col("n_small"), col("containment"))
-        .select(col("a"), explode(col("mb")).as("b"), col("common"),
-          col("n_small"), col("containment"))
-        .select(least(col("a"), col("b")).as("da"),
-          greatest(col("a"), col("b")).as("db"), col("common"),
-          col("n_small"), col("containment"))
-      crossExp.unionByName(selfPairs).orderBy("da", "db")
-    }),
+    "dedup_containment" -> ((s, dir) =>
+      (if (!quotientPays(textGroups(s, dir))) containDirect(s, dir)
+       else containQuotient(s, dir)).orderBy("da", "db")),
 
     // op 45a': exact SUBSTRING-SPAN dedup — the position-aware variant:
     // for every candidate pair, the longest run of consecutive words the

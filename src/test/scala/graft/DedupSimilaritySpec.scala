@@ -259,6 +259,18 @@ class DedupSimilaritySpec extends SparkSpec {
       s"simhash radius-3 precision collapsed: $totalTp/$totalPairs")
   }
 
+  test("containment's quotient and direct branches are row-identical " +
+      "(ContainmentEquivalence)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        r.getAs[Long]("common"), r.getAs[Long]("n_small"),
+        r.getAs[Double]("containment"))).toSet
+    val direct = rows(DedupQueries.containDirect(spark, sfDir))
+    val quotient = rows(DedupQueries.containQuotient(spark, sfDir))
+    assert(direct.nonEmpty, "corpus must produce at least one contained pair")
+    assert(quotient == direct)
+  }
+
   test("quotient pair build and clusters are row-identical to the " +
       "direct doc-level build on a dup-heavy corpus") {
     import org.apache.spark.sql.functions._
