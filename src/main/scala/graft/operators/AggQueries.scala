@@ -363,9 +363,12 @@ object AggQueries extends QueryGroup {
     "agg_median_exact" -> ((s, dir) => {
       import s.implicits._
       val bucketW = 65536L
+      // both histogram passes read the same 2 narrow columns —
+      // checkpoint once instead of re-decoding the parquet scan
       val cents = Tables.scan(s, dir, "lineitem")
         .select(col("l_returnflag"),
           (Dec.d2(col("l_extendedprice")) * 100).cast("long").as("y"))
+        .localCheckpoint()
       val hist = cents
         .groupBy(col("l_returnflag"), (col("y") / bucketW).cast("long")
           .as("b"))
@@ -443,8 +446,12 @@ object AggQueries extends QueryGroup {
     "agg_equidepth" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val B = 16L
+      // one parquet scan + decimal cast for the whole query: bounds, the
+      // per-bucket counts, and the in-bucket rank all read the same
+      // ~8-byte column — checkpointed once instead of re-decoded 3×
       val cents = Tables.scan(s, dir, "lineitem")
         .select((Dec.d2(col("l_extendedprice")) * 100).cast("long").as("y"))
+        .localCheckpoint()
       val bounds = cents.agg(min(col("y")), max(col("y")), count(lit(1))).head()
       val (minY, maxY, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
       require(n >= B, s"equi-depth needs at least $B rows, got $n")
