@@ -1228,6 +1228,16 @@ object DedupQueries extends QueryGroup {
     var fp = fingerprint(edges)
     var converged = fp._1 == 0L
     var rounds = 0
+    // adaptive round width (the AQE decision, made from the fingerprint
+    // count the convergence test already pays for): near-dup edge sets
+    // are orders of magnitude smaller than the corpus — when the live
+    // edge count fits comfortably in one task, collapsing each round's
+    // checkpoint to a single partition turns 8-task scheduling overhead
+    // into one task per step without changing a single emitted edge.
+    // Large graphs keep the full width; the threshold is rows-per-task
+    // sized (a 1M-edge round is still sub-second single-threaded).
+    def narrow(df: DataFrame): DataFrame =
+      if (fp._1 <= 1000000L) df.coalesce(1) else df
     while (!converged && rounds < 40) {
       // Both steps work directly on the CANONICAL orientation — no
       // symmetrize-union. (Besides halving the groupBy input, this
@@ -1243,10 +1253,10 @@ object DedupQueries extends QueryGroup {
       // emitted exactly once (from its smaller endpoint) so connectivity
       // is preserved while tall trees flatten.
       val lsMin = edges.groupBy(col("v").as("n")).agg(min(col("u")).as("mn"))
-      val ls = edges.join(lsMin, edges("u") === col("n"), "left")
+      val ls = narrow(edges.join(lsMin, edges("u") === col("n"), "left")
         .select(coalesce(col("mn"), edges("u")).as("u"), edges("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
+        .distinct())
         .localCheckpoint()
       // small-star: node v's smaller-or-equal neighbors are exactly the
       // u's of (u, v); their joint min m = min(Γ≤(v) ∪ v) = min of the
@@ -1262,6 +1272,7 @@ object DedupQueries extends QueryGroup {
         .select(col("e.a").as("u"), col("e.b").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
+        .transform(narrow)
         .localCheckpoint()
       val fp2 = fingerprint(ss)
       converged = fp2 == fp

@@ -188,16 +188,19 @@ object StreamQueries extends QueryGroup {
     * sliced event straggles one batch) through a real
     * withWatermark + 1-day tumbling aggregation, and return the memory
     * sinks' tables unioned under a `_mode` discriminator. BOTH output
-    * modes run as standing queries over ONE MemoryStream replay (the
-    * deployed shape: one changelog topic, N independent consumers), so
-    * the two graded queries pay the feed once per (session, corpus);
-    * both queries processAllAvailable after every add, so each add is
-    * one micro-batch — and the same micro-batch — in each, and the two
-    * sources commit in lockstep (MemoryStream truncates only batches
-    * every attached reader has committed). Bounded driver transfer
-    * (toLocalIterator in arrival order); the watermark ratchets exactly
-    * at trigger boundaries like a deployed stream. State width 8
-    * (state-store sizing). */
+    * modes run as standing queries over ONE replay of the feed (the
+    * deployed shape: one changelog topic, two consumer GROUPS), so the
+    * two graded queries pay the feed once per (session, corpus). Each
+    * query reads its own MemoryStream fed the identical batch sequence —
+    * separate sources because MemoryStream keeps a single committed
+    * offset and truncates on commit, so two queries on one stream race
+    * the trim; per-consumer offsets are exactly the Kafka contract —
+    * and the two drains run CONCURRENTLY per batch (the engine handles
+    * the queries independently; Await joins both before the next add,
+    * so each add is one micro-batch, the same micro-batch, in each).
+    * Bounded driver transfer (toLocalIterator in arrival order); the
+    * watermark ratchets exactly at trigger boundaries like a deployed
+    * stream. State width 8 (state-store sizing). */
   private def lateFeedSinks(s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"stream:latefeed:$dir") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -220,16 +223,20 @@ object StreamQueries extends QueryGroup {
       implicit val sqlCtx = s.sqlContext
       s.catalog.dropTempView("graft_stream_late")
       s.catalog.dropTempView("graft_stream_append")
-      val in = MemoryStream[LateFeedEvent]
-      val agg = in.toDS()
+      val inU = MemoryStream[LateFeedEvent]
+      val inA = MemoryStream[LateFeedEvent]
+      def agg(in: MemoryStream[LateFeedEvent]) = in.toDS()
         .withWatermark("ts", "12 hours")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
-      val qU = agg.writeStream.format("memory")
+      val qU = agg(inU).writeStream.format("memory")
         .queryName("graft_stream_late").outputMode(OutputMode.Update).start()
-      val qA = agg.writeStream.format("memory")
+      val qA = agg(inA).writeStream.format("memory")
         .queryName("graft_stream_append").outputMode(OutputMode.Append).start()
       try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
         import scala.jdk.CollectionConverters._
         val it = batches.toLocalIterator().asScala
           .map(r => (r.getInt(0),
@@ -237,8 +244,12 @@ object StreamQueries extends QueryGroup {
         var cur = -1
         val buf = scala.collection.mutable.ArrayBuffer.empty[LateFeedEvent]
         def flush(): Unit = if (buf.nonEmpty) {
-          in.addData(buf.toSeq)
-          qU.processAllAvailable(); qA.processAllAvailable(); buf.clear()
+          val b = buf.toSeq
+          inU.addData(b); inA.addData(b)
+          val fU = Future(qU.processAllAvailable())
+          qA.processAllAvailable()
+          Await.result(fU, Duration.Inf)
+          buf.clear()
         }
         it.foreach { case (b, e) =>
           if (b != cur) { flush(); cur = b }
