@@ -611,6 +611,23 @@ class PlanSpec extends SparkSpec {
       s"expected the dedup-agg + one shared window exchange:\n$plan")
   }
 
+  test("pipeline_drift_ks: the per-source CDF window is source-partitioned; " +
+      "only the bounded value-axis cumulative is global") {
+    val (_, plan) = staticPlan("pipeline_drift_ks")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val (global, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    assert(global.size == 1 && partitioned.size == 1,
+      s"one global (axis cumulative) + one partitioned (CDF) window:\n$plan")
+    // the global window cumulates the per-value totals (cv), never a
+    // (source, value) grid column — the axis table is ≤|distinct values|
+    assert(global.head.windowExpression.mkString.contains("sum(cv#"),
+      s"the global window must cumulate the value-axis counts only:\n$plan")
+    assert(partitioned.head.partitionSpec.mkString.startsWith("source#"),
+      s"the CDF window must be partitioned by source:\n$plan")
+  }
+
   test("agg_equidepth: the corpus rank is partitioned by value bucket, " +
       "only the bucket-offset prefix sum is global, offsets broadcast") {
     val (_, plan) = staticPlan("agg_equidepth")
