@@ -201,6 +201,36 @@ object CurationQueries extends QueryGroup {
         .orderBy("lang")
     }),
 
+    // EPOCH/REPETITION assignment — the data-mixing knob every training
+    // run sets ("repeat the high-quality sources 4×, the tail once"):
+    // sources are ranked by the SHARED per-source quality aggregate
+    // ([[PipelineQueries.sourceQualityAgg]] — the domain gate's scorer),
+    // the ascending quality quartile maps to epochs 1..4, and each doc
+    // explodes into (doc_id, copy) rows map-side after a broadcast of
+    // the bounded factor table. Exact arithmetic end-to-end: the rank
+    // orders by a FLOOR-DIVIDED fixed-point mean (q_sum_fix·2^20 div
+    // n_docs — integer division, so cross-engine ordering can't wobble
+    // on a double ratio), ties broken by source. The only window ranks
+    // the per-source table (|sources| rows — domains are unbounded at
+    // corpus scale but the aggregate is still corpus-size-independent);
+    // corpus-sized work is one broadcast join + a sequence explode.
+    "curate_epochs" -> ((s, dir) => {
+      val q = PipelineQueries.sourceQualityAgg(s, dir)
+        .withColumn("mean_fix",
+          expr("(q_sum_fix * 1048576L) div n_docs"))
+      val factors = q
+        .withColumn("epochs",
+          ntile(4).over(Window.orderBy("mean_fix", "source"))
+            .cast("long"))
+        .select(col("source"), col("epochs"))
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(broadcast(factors), "source")
+        .select(col("doc_id"), col("source"), col("epochs"),
+          explode(expr("sequence(1L, epochs)")).as("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     // deterministic global corpus shuffle: every document gets a stable
     // pseudo-random position (rank of its content-derived md5) — the
     // shuffle-before-sharding step of a training pipeline. Seedless and
@@ -396,6 +426,35 @@ object CurationQueries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    // the same fixed-point scorer as pipeline_source_filter's oracle,
+    // ranked by the integer-divided mean, exploded to epoch copies
+    "curate_epochs" ->
+      """WITH m AS (SELECT source,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      AS DOUBLE) AS n_tokens,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |      AS DOUBLE) AS n_punct,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|to|in|is|it)\b')) AS DOUBLE) AS n_stop
+        |  FROM documents),
+        |sc AS (SELECT source,
+        |    CAST(floor((least(1.0, n_tokens/50.0) * (1.0 - n_punct/n_chars)
+        |      * (1.0 - 0.5*n_stop/n_tokens)) * 1048576.0) AS BIGINT)
+        |      AS q_fix
+        |  FROM m),
+        |q AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(q_fix) AS BIGINT) AS q_sum_fix
+        |  FROM sc GROUP BY source),
+        |f AS (SELECT source,
+        |    CAST(ntile(4) OVER (ORDER BY (q_sum_fix * 1048576) // n_docs,
+        |      source) AS BIGINT) AS epochs
+        |  FROM q)
+        |SELECT d.doc_id, d.source, f.epochs,
+        |  CAST(unnest(range(1, f.epochs + 1)) AS BIGINT) AS copy
+        |FROM documents d JOIN f ON f.source = d.source
+        |ORDER BY d.doc_id, copy""".stripMargin,
+
     // the naive single-window statement of the two-phase selection
     "curate_select_budget" ->
       """WITH m AS (SELECT doc_id,

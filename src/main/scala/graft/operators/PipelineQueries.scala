@@ -48,6 +48,34 @@ object PipelineQueries extends QueryGroup {
   /** Gated docs + their near-dup pairs (shared by both cleaning policies).
     * The pair engine is DedupQueries' df-capped inverted index: candidate
     * generation drops stop-shingles, verify is full-set exact. */
+  /** Per-source quality aggregate `(source, n_docs, q_sum_fix)` — the
+    * RefinedWeb/C4-style domain scorer (per-doc quality quantized once
+    * to 2^-20 fixed point, so the per-source sum is an exact
+    * order-independent BIGINT). Cached once per (session, corpus): the
+    * domain gate (`pipeline_source_filter`) and the epoch-assignment op
+    * (`curate_epochs`) both rank sources by it. */
+  private[graft] def sourceQualityAgg(
+      s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"pipeline:srcq:$dir") {
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextQueries.toks(col("text"))).cast("double")
+            .as("n_tokens"),
+          length(col("text")).cast("double").as("n_chars"),
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
+            .as("n_punct"),
+          regexp_count(lower(col("text")),
+            lit("\\b(the|a|of|and|to|in|is|it)\\b")).cast("double")
+            .as("n_stop"))
+        .select(col("source"),
+          floor((least(lit(1.0), col("n_tokens") / lit(50.0))
+            * (lit(1.0) - col("n_punct") / col("n_chars"))
+            * (lit(1.0) - lit(0.5) * col("n_stop") / col("n_tokens")))
+            * lit(1048576.0)).cast("long").as("q_fix"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("q_fix").as("q_sum_fix"))
+    }
+
   private def gatedWithPairs(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = gated(s, dir)
@@ -230,23 +258,7 @@ object PipelineQueries extends QueryGroup {
     // nothing here broadcasts.
     "pipeline_source_filter" -> ((s, dir) => {
       val threshFix = 828375L // floor(0.79 · 2^20) nats of quality
-      val scored = Tables.scan(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          size(TextQueries.toks(col("text"))).cast("double")
-            .as("n_tokens"),
-          length(col("text")).cast("double").as("n_chars"),
-          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
-            .as("n_punct"),
-          regexp_count(lower(col("text")),
-            lit("\\b(the|a|of|and|to|in|is|it)\\b")).cast("double")
-            .as("n_stop"))
-        .select(col("source"),
-          floor((least(lit(1.0), col("n_tokens") / lit(50.0))
-            * (lit(1.0) - col("n_punct") / col("n_chars"))
-            * (lit(1.0) - lit(0.5) * col("n_stop") / col("n_tokens")))
-            * lit(1048576.0)).cast("long").as("q_fix"))
-      scored.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("q_fix").as("q_sum_fix"))
+      sourceQualityAgg(s, dir)
         .select(col("source"), col("n_docs"), col("q_sum_fix"),
           (col("q_sum_fix").cast("double")
             / (col("n_docs").cast("double") * lit(1048576.0)))
