@@ -611,6 +611,24 @@ class PlanSpec extends SparkSpec {
       s"expected the dedup-agg + one shared window exchange:\n$plan")
   }
 
+  test("curate_epochs: the quartile rank sees only the bounded per-source " +
+      "table; the corpus side is one broadcast join + map-side explode") {
+    val (_, plan) = staticPlan("curate_epochs")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the single (global) window ranks the per-source aggregate — its
+    // input must be the aggregated q columns, never a corpus column
+    assert(windows.size == 1,
+      s"exactly one window (the source quartile rank):\n$plan")
+    assert(windows.head.orderSpec.mkString.contains("mean_fix#"),
+      s"the rank must order by the per-source fixed-point mean:\n$plan")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(bhj.size == 1 && smj.isEmpty,
+      s"the factor table must broadcast onto the corpus:\n$plan")
+  }
+
   test("pipeline_drift_ks: the per-source CDF window is source-partitioned; " +
       "only the bounded value-axis cumulative is global") {
     val (_, plan) = staticPlan("pipeline_drift_ks")
