@@ -201,6 +201,42 @@ object CurationQueries extends QueryGroup {
         .orderBy("lang")
     }),
 
+    // TEMPERATURE-scaled language sampling (the mT5/XLM-R multilingual
+    // mixing rule): sampling probability ∝ share^(1/T) with T = 2 —
+    // low-resource languages are up-sampled toward (never to) uniform,
+    // the standard compromise between proportional (drowns the tail)
+    // and uniform (overfits it). Determinism: sqrt IS an IEEE
+    // correctly-rounded operation (unlike pow/ln, which differ by ulps
+    // across math libraries), so share^(1/2) = sqrt(tokens)/sqrt(total)
+    // is bit-stable — each language's sqrt(tokens) is quantized ONCE to
+    // 2^-20 fixed point and the normalizing sum is an exact BIGINT
+    // (order-independent — a direct SUM of raw doubles would depend on
+    // reduction order and diverge cross-engine). weight = sw/Σsw and
+    // the up/down-sampling multiplier weight/share are each ONE IEEE
+    // divide-of-exact-ints tree. Bounded work: one per-lang aggregate
+    // off the shared token table, then a |langs|-row crossJoin.
+    "curate_temperature" -> ((s, dir) => {
+      val per = withTokens(s, dir)
+        .groupBy("lang").agg(sum("tokens").as("tokens"))
+        .withColumn("sw_fix",
+          floor(sqrt(col("tokens").cast("double")) * lit(1048576.0))
+            .cast("long"))
+      val tot = per.agg(sum("tokens").as("total"),
+        sum("sw_fix").as("sw_total"))
+      per.crossJoin(broadcast(tot))
+        .select(col("lang"), col("tokens"),
+          (col("tokens").cast("double") / col("total").cast("double"))
+            .as("share"),
+          (col("sw_fix").cast("double") / col("sw_total").cast("double"))
+            .as("weight"),
+          // weight/share with both ratios cross-multiplied into one
+          // exact-int divide: (sw_fix·total) / (sw_total·tokens)
+          ((col("sw_fix") * col("total")).cast("double")
+            / (col("sw_total") * col("tokens")).cast("double"))
+            .as("multiplier"))
+        .orderBy("lang")
+    }),
+
     // EPOCH/REPETITION assignment — the data-mixing knob every training
     // run sets ("repeat the high-quality sources 4×, the tail once"):
     // sources are ranked by the SHARED per-source quality aggregate
@@ -426,6 +462,26 @@ object CurationQueries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    // sqrt is correctly-rounded IEEE, quantized once to fixed point so
+    // the normalizing sum is exact BIGINT in both engines
+    "curate_temperature" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+        |      AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang),
+        |f AS (SELECT lang, tokens,
+        |    CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1048576.0) AS BIGINT)
+        |      AS sw_fix
+        |  FROM t),
+        |g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+        |    CAST(SUM(sw_fix) AS BIGINT) AS sw_total FROM f)
+        |SELECT lang, tokens,
+        |  CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(sw_fix AS DOUBLE) / CAST(sw_total AS DOUBLE) AS weight,
+        |  CAST(sw_fix * total AS DOUBLE)
+        |    / CAST(sw_total * tokens AS DOUBLE) AS multiplier
+        |FROM f CROSS JOIN g ORDER BY lang""".stripMargin,
+
     // the same fixed-point scorer as pipeline_source_filter's oracle,
     // ranked by the integer-divided mean, exploded to epoch copies
     "curate_epochs" ->
