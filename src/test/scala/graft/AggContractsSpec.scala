@@ -273,4 +273,61 @@ class AggContractsSpec extends SparkSpec {
         s"${r.getString(0)}: hist p95 bucket $b vs exact bucket $be")
     }
   }
+
+  test("ts_ewma matches an independent driver-side recompute and damps " +
+      "toward the series mean") {
+    import graft.operators.TimeSeriesQueries
+    val dir = sfDir
+    val rows = TimeSeriesQueries.queries("ts_ewma")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // reference: per-series sorted hourly counts, the same dyadic weights
+    val hourly = graft.sources.Tables.scan(spark, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(CAST(date_trunc('hour', ts) AS TIMESTAMP))")
+          .as("hour_us"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getLong(1)).map(r => (r.getLong(1), r.getLong(2)))
+      }
+    val wts = Seq(4096L, 3072L, 2304L, 1728L, 1296L, 972L, 729L, 2187L)
+    rows.foreach { r =>
+      val series = hourly(r.getString(0))
+      val i = series.indexWhere(_._1 == r.getLong(1))
+      assert(i >= 7, "rows must only emit from the 8th observation")
+      val expected =
+        wts.zipWithIndex.map { case (w, j) => w * series(i - j)._2 }.sum
+      assert(r.getLong(3) == expected,
+        s"${r.getString(0)}@${r.getLong(1)}: ewma_fix ${r.getLong(3)} " +
+          s"!= driver recompute $expected")
+      // the smoothed value sits inside the window's [min, max] — a
+      // convex combination cannot escape its inputs
+      val window = (0 to 7).map(j => series(i - j)._2)
+      val ewma = r.getDouble(4)
+      assert(ewma >= window.min - 1e-9 && ewma <= window.max + 1e-9,
+        s"ewma $ewma escapes window [${window.min}, ${window.max}]")
+    }
+  }
+
+  test("curate_temperature weights sum to 1, and the multiplier " +
+      "up-samples exactly the below-average-share languages") {
+    import graft.operators.CurationQueries
+    val rows = CurationQueries.queries("curate_temperature")(spark, sfDir)
+      .collect()
+    assert(rows.length >= 2)
+    val wSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(wSum - 1.0) < 1e-6, s"weights sum to $wSum")
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    // temperature flattening: multiplier > 1 iff the language is smaller
+    // than the temperature-weighted break-even point — equivalently,
+    // ordering by share must order multipliers the opposite way
+    val byShare = rows.sortBy(_.getDouble(2))
+    val mults = byShare.map(_.getDouble(4))
+    assert(mults.zip(mults.tail).forall { case (a, b) => a >= b - 1e-12 },
+      s"multiplier must be non-increasing in share: ${mults.toSeq}")
+    assert(mults.head > 1.0 && mults.last < 1.0,
+      "the smallest language must up-sample and the largest down-sample")
+  }
 }
