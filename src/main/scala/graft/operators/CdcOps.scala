@@ -408,6 +408,43 @@ object CdcOps {
               col("o_orderkey") * 10), 1, 40).as("value"))
     }
 
+  /** DLQ REPLAY feed: the repaired re-publish of the corrupt tail
+    * ([[synthOrdersCorruptTail]]'s truncated %97 insert envelopes) — same
+    * keys and LSNs, full payload this time, emitted by the upstream after
+    * the fix under an EVOLVED producer schema (the repair deploy also
+    * shipped `ALTER TABLE orders ADD COLUMN o_note text`; the repaired
+    * rows carry the marker in it). One delivery per record here — the
+    * at-least-once duplication is the CONSUMER-side concern
+    * [[CdcQueries]]'s dlqReplayState parameterizes over. */
+  def synthOrdersDlqRepaired(spark: SparkSession, sfDir: String): DataFrame =
+    cachedFixture(spark, sfDir, "dlqfix") {
+      Tables.scan(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(
+          lit("prod.postgres.orders").as("topic"),
+          to_json(struct(col("o_orderkey"))).as("key"),
+          envelopeJson(
+            lit(null).cast(ordersRowTypeNoted),
+            ordersRowNoted(col("o_orderstatus"), lit("dlq-replay")),
+            "c", col("o_orderkey") * 10).as("value"))
+    }
+
+  /** [[ordersRow]] under the evolved (post-`ADD COLUMN o_note`) schema. */
+  private def ordersRowNoted(status: Column, note: Column): Column = struct(
+    col("o_orderkey"),
+    col("o_custkey"),
+    status.as("o_orderstatus"),
+    col("o_totalprice").cast(DecimalType(12, 2)).cast(StringType)
+      .as("o_totalprice"),
+    epochUs(col("o_orderdate")).as("o_orderdate_us"),
+    col("o_orderpriority"),
+    note.as("o_note"))
+
+  private lazy val ordersRowTypeNoted =
+    graft.sources.SchemaEvolution.evolve(
+      Map("orders" -> Debezium.ordersRowSchema),
+      Seq("ALTER TABLE orders ADD COLUMN o_note text"))("orders")
+
   // ---------------------------------------------------------------------
   // A2: MySQL-connector change log. Binlog provenance is a (file, pos)
   // pair — `pos` RESETS when the log rotates, so the compaction ordering

@@ -166,6 +166,25 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // DLQ REPLAY — the operational complement of `cdc_dead_letter` (the
+    // errors.tolerance → DLQ → reprocess loop every Connect deployment
+    // runs): the first delivery of the %97 insert envelopes arrived
+    // TRUNCATED and was dead-lettered, so first-pass state is missing
+    // those inserts; the upstream then re-publishes the REPAIRED records
+    // — under an EVOLVED producer schema (`ADD COLUMN o_note text`,
+    // applied to the consumer registry via SchemaEvolution.evolve) and
+    // at-least-once (each repaired record delivered twice) — and the
+    // replay re-enters compaction EXACTLY-ONCE: the (key, lsn) window
+    // collapses the duplicate deliveries, a replayed insert can never
+    // resurrect a delete (the delete's lsn is higher), and the final
+    // state equals the never-corrupted run (the cdc_compact oracle) plus
+    // the repair marker on exactly the keys whose current version IS the
+    // replayed insert. Replay is DRIVEN BY the DLQ (left-semi on the
+    // dead-letter keys), not by re-reading the topic.
+    "cdc_dlq_replay" -> ((s, dir) =>
+      dlqReplayState(s, dir, deliveries = 2)
+        .orderBy("o_orderkey")),
+
     // A7/A10: the idempotent upsert-by-key SINK graded end-to-end — the
     // changelog driven through Sinks.upsertBatch in two micro-batches
     // (inserts, then the update/delete tail incl. the at-least-once
@@ -973,6 +992,45 @@ object CdcQueries extends QueryGroup {
         .orderBy("c_mktsegment")
     }))
 
+  /** `cdc_dlq_replay`'s pipeline, parameterized over how many times the
+    * at-least-once replay delivers each repaired record so the no-op spec
+    * can pin deliveries ∈ {1,2,4} to identical state. */
+  private[graft] def dlqReplayState(
+      s: SparkSession, dir: String, deliveries: Int): DataFrame = {
+    import graft.sources.{Debezium, SchemaEvolution}
+    val keyOf = get_json_object(col("key"), "$.o_orderkey").cast("long")
+    // first delivery: the %97 insert envelopes arrived truncated — they
+    // are NOT in the applied stream (the corrupt parse dead-letters them;
+    // cdc_dead_letter grades that path), everything else applied intact.
+    // Tombstones have a null op — use null-safe equality so they survive
+    // the exclusion filter.
+    val firstPass = CdcOps.unwrap(
+      CdcOps.parsedOrders(s, dir)
+        .filter(!(keyOf % 97 === 0 && col("env.op") <=> "c")))
+    // the DLQ drives the replay: repaired records re-enter iff their key
+    // was actually dead-lettered (left-semi against the corrupt parse)
+    val dlqKeys = Debezium.parseEnvelope(
+        CdcOps.synthOrdersCorruptTail(s, dir), Debezium.ordersRowSchema)
+      .filter(col("_corrupt"))
+      .select(keyOf.as("o_orderkey")).distinct()
+    // consumer registry evolved by the repair deploy's DDL; pre-DDL rows
+    // parse unchanged under the widened registry (o_note absent → null)
+    val evolved = SchemaEvolution.evolve(
+      Map("orders" -> Debezium.ordersRowSchema),
+      Seq("ALTER TABLE orders ADD COLUMN o_note text"))("orders")
+    val repairedOnce = Debezium.parseEnvelope(
+      CdcOps.synthOrdersDlqRepaired(s, dir), evolved)
+    val repaired = Seq.fill(deliveries)(repairedOnce).reduce(_ unionByName _)
+    val replayed = CdcOps.unwrap(repaired)
+      .join(broadcast(dlqKeys), Seq("o_orderkey"), "left_semi")
+    CdcOps.compactLatest(
+      firstPass.unionByName(replayed, allowMissingColumns = true),
+      keys = Seq("o_orderkey"),
+      ordering = Seq(col("_lsn").desc))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate_us", "o_orderpriority", "o_note")
+  }
+
   val oracles: Map[String, String] = Map(
     "cdc_parse_counts" ->
       """SELECT op, CAST(cnt AS BIGINT) AS cnt FROM (
@@ -1082,6 +1140,20 @@ object CdcQueries extends QueryGroup {
       """SELECT o_orderkey, 40 AS payload_chars
         |FROM orders WHERE o_orderkey % 97 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the no-corruption counterfactual: the replayed state must equal the
+    // cdc_compact oracle exactly, plus the repair marker on precisely the
+    // keys whose CURRENT version is the replayed insert (dead-lettered
+    // %97 keys that were neither later updated nor deleted)
+    "cdc_dlq_replay" -> (baseCte +
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate_us, o_orderpriority,
+        |       CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 10 <> 0
+        |            THEN 'dlq-replay' END AS o_note
+        |FROM base WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin),
 
     "cdc_sink_upsert" -> (baseCte +
       """SELECT o_orderkey, o_custkey,

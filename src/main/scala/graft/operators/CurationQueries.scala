@@ -230,9 +230,19 @@ object CurationQueries extends QueryGroup {
           (col("sw_fix").cast("double") / col("sw_total").cast("double"))
             .as("weight"),
           // weight/share with both ratios cross-multiplied into one
-          // exact-int divide: (sw_fix·total) / (sw_total·tokens)
-          ((col("sw_fix") * col("total")).cast("double")
-            / (col("sw_total") * col("tokens")).cast("double"))
+          // exact-int divide: (sw_fix·total) / (sw_total·tokens). The
+          // products wrap silently in Spark where DuckDB errors, so guard
+          // the operand magnitudes and fail LOUDLY on overflow (NullType
+          // raise_error coerces to the otherwise-branch's double).
+          when(
+            (col("sw_fix") > lit(0L)
+              && col("total") > lit(Long.MaxValue) / col("sw_fix"))
+              || (col("tokens") > lit(0L)
+                && col("sw_total") > lit(Long.MaxValue) / col("tokens")),
+            raise_error(lit("curate_temperature: BIGINT overflow in the " +
+              "cross-multiplied multiplier — use the DECIMAL(38) form")))
+            .otherwise((col("sw_fix") * col("total")).cast("double")
+              / (col("sw_total") * col("tokens")).cast("double"))
             .as("multiplier"))
         .orderBy("lang")
     }),

@@ -291,7 +291,18 @@ object PipelineQueries extends QueryGroup {
         .groupBy("source", "v").agg(count(lit(1)).as("c"))
       val axis = counts.select("v").distinct()
       val srcN = counts.groupBy("source").agg(sum("c").as("n_src"))
-      val total = srcN.agg(sum("n_src")).head().getLong(0) // bounded scalar
+      // bounded scalar; sum() over zero rows is NULL (the quotientPays
+      // empty-input class of bug) — default to 0 so an empty corpus
+      // yields an empty report instead of an NPE
+      val totRow = srcN.agg(sum("n_src")).head()
+      val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+      // exactness guard: every dn operand is ≤ total, so the BIGINT
+      // cross-products are bounded by total² — beyond floor(sqrt(2^63−1))
+      // rows Spark would wrap silently where DuckDB errors. Fail loudly;
+      // the DECIMAL(38) form is the documented petabyte-scale path.
+      require(total <= 3037000499L,
+        s"pipeline_drift_ks: $total rows overflows the BIGINT KS " +
+          "numerator (bound total^2 > Long.MaxValue) — use DECIMAL(38)")
       val grid = srcN.select("source").crossJoin(axis)
         .join(counts, Seq("source", "v"), "left")
         .withColumn("c", coalesce(col("c"), lit(0L)))

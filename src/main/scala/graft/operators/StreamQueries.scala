@@ -10,6 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * MemoryStream seam, like [[graft.streaming.TxnFeedEvent]]). */
 final case class LateFeedEvent(ts: java.sql.Timestamp, event_type: String)
 
+/** One arrival of the `stream_session_live` feed (same top-level-encoder
+  * rule as [[LateFeedEvent]]). */
+final case class SessionFeedEvent(ts: java.sql.Timestamp, user_id: Long)
+
 /** Batch-verifiable forms of the streaming operators (SURVEY.md §2.C ops
   * 37-40): the same `window()` / `session_window()` / dedup expressions run
   * identically over a bounded DataFrame, which is what makes them
@@ -102,6 +106,33 @@ object StreamQueries extends QueryGroup {
         .select(col("window.start").cast("timestamp_ntz").as("w_start"),
           col("event_type"), col("cnt"))
         .orderBy("w_start", "event_type")
+    }),
+
+    // op 39 GRADED END TO END — gap-session windows through a REAL
+    // Structured Streaming query (withWatermark + session_window merge
+    // state + Append mode), not the batch twin: the event_id%4 slice is
+    // replayed as eight deterministic event-time-ordered micro-batches,
+    // so sessions straddling a batch boundary MERGE in the state store
+    // across triggers (the per-user session a batch opens is extended by
+    // the next batch's events — the contract `stream_session`'s batch
+    // form cannot exercise). Append mode emits a session only once the
+    // ratcheting watermark passes its end, so the output is the strict
+    // subset of merged sessions finalized when the feed ends — the
+    // oracle restates exactly that: gaps-and-islands per user (strict
+    // 4-hour gap, half-open session windows) gated on end ≤ final
+    // watermark (ms-truncated max event time − 12 h). The feed is
+    // event-time-ordered and delay (12 h) ≥ gap (4 h), so no admitted
+    // event can ever extend an already-evicted session — which is what
+    // makes the relational restatement exact (an out-of-order feed
+    // would need eviction-time session extents; that late-vs-state
+    // interplay is graded separately by `stream_late_data`).
+    "stream_session_live" -> ((s, dir) => {
+      sessionLiveSink(s, dir)
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("s_start"),
+          col("session_window.end").cast("timestamp_ntz").as("s_end"),
+          col("n"))
+        .orderBy("user_id", "s_start")
     }),
 
     // op 40 (batch form): at-least-once replay dedup — the log replayed
@@ -247,8 +278,17 @@ object StreamQueries extends QueryGroup {
           val b = buf.toSeq
           inU.addData(b); inA.addData(b)
           val fU = Future(qU.processAllAvailable())
-          qA.processAllAvailable()
-          Await.result(fU, Duration.Inf)
+          // drain BOTH queries before propagating any failure: if the
+          // Append drain throws while the Update future is still running,
+          // the outer finally's qU.stop() would race an in-flight
+          // processAllAvailable (and a secondary failure from the
+          // interrupted future could mask the original exception) — so
+          // always await fU, then rethrow the first failure observed.
+          val errA = try { qA.processAllAvailable(); None }
+            catch { case e: Throwable => Some(e) }
+          val errU = try { Await.result(fU, Duration.Inf); None }
+            catch { case e: Throwable => Some(e) }
+          (errA orElse errU).foreach(e => throw e)
           buf.clear()
         }
         it.foreach { case (b, e) =>
@@ -260,6 +300,64 @@ object StreamQueries extends QueryGroup {
       s.table("graft_stream_late").withColumn("_mode", lit("update"))
         .unionByName(
           s.table("graft_stream_append").withColumn("_mode", lit("append")))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Driver for `stream_session_live`: replay the event_id%4 slice of
+    * `events` as eight event-time-ordered micro-batches (ntile over
+    * (ts, event_id)) through a real withWatermark(12 h) +
+    * session_window(4 h) aggregation in Append mode, and return the
+    * memory sink's table. Eight batches (vs the late feed's five) because
+    * every batch boundary is a chance for a state-store session MERGE —
+    * the contract this query grades. Bounded driver transfer
+    * (toLocalIterator in arrival order), state width 8, cached once per
+    * (session, corpus) like the other stream feeds. */
+  private[graft] def sessionLiveSink(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"stream:sessfeed:$dir") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.OutputMode
+    import s.implicits._
+    val batches = Tables.scan(s, dir, "events")
+      .filter(col("event_id") % 4 === 1)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"))
+      .withColumn("batch",
+        ntile(8).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+      .select(col("batch"), col("ts"), col("user_id"))
+      .sort("batch", "ts")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      implicit val sqlCtx = s.sqlContext
+      s.catalog.dropTempView("graft_stream_session")
+      val in = MemoryStream[SessionFeedEvent]
+      val q = in.toDS()
+        .withWatermark("ts", "12 hours")
+        .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory")
+        .queryName("graft_stream_session")
+        .outputMode(OutputMode.Append).start()
+      try {
+        import scala.jdk.CollectionConverters._
+        val it = batches.toLocalIterator().asScala
+          .map(r => (r.getInt(0),
+            SessionFeedEvent(r.getTimestamp(1), r.getLong(2))))
+        var cur = -1
+        val buf = scala.collection.mutable.ArrayBuffer.empty[SessionFeedEvent]
+        def flush(): Unit = if (buf.nonEmpty) {
+          in.addData(buf.toSeq)
+          q.processAllAvailable()
+          buf.clear()
+        }
+        it.foreach { case (b, e) =>
+          if (b != cur) { flush(); cur = b }
+          buf += e
+        }
+        flush()
+      } finally q.stop()
+      s.table("graft_stream_session")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -317,6 +415,33 @@ object StreamQueries extends QueryGroup {
         |FROM adm, fw
         |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= fw.w
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // the streaming session contract restated: gaps-and-islands per user
+    // with Spark's half-open session windows (two events chain iff
+    // ts − prev < gap, STRICT — [t, t+gap) ∩ [t', t'+gap) = ∅ at exactly
+    // gap), session end = last event + gap, and Append mode's
+    // finalization gate: emit iff end ≤ final watermark (ms-truncated
+    // max event time − 12 h). The feed is event-time-ordered with
+    // delay ≥ gap, so batch-final extents are the streaming extents
+    // (see the queries-map comment).
+    "stream_session_live" ->
+      """WITH e AS (SELECT user_id, ts FROM events WHERE event_id % 4 = 1),
+        |m AS (SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM e),
+        |g AS (SELECT user_id, ts,
+        |    SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 4 HOUR
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (SELECT user_id, MIN(ts) AS s_start,
+        |    MAX(ts) + INTERVAL 4 HOUR AS s_end, COUNT(*) AS n
+        |  FROM g GROUP BY user_id, sid),
+        |fw AS (SELECT date_trunc('milliseconds', MAX(ts))
+        |    - INTERVAL 12 HOUR AS w FROM e)
+        |SELECT user_id, s_start, s_end, CAST(n AS BIGINT) AS n
+        |FROM sess, fw WHERE s_end <= fw.w
+        |ORDER BY user_id, s_start""".stripMargin,
 
     "stream_tumbling" ->
       """SELECT date_trunc('minute', ts) AS w_start, event_type,

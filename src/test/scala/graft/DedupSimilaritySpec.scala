@@ -315,6 +315,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(quotientClusters == directClusters)
   }
 
+  test("cached corpus helpers are row-identical to the parameterized " +
+      "builds they specialize (no silent drift between the two copies)") {
+    import org.apache.spark.sql.functions._
+    // groupPairs/groupCandidates/groupCommonCounts inline the candidate/
+    // verify logic that groupedPairBuild keeps in parameterized form (so
+    // the cached frames can be shared across policies); this pins the two
+    // copies row-identical on the REAL corpus so they cannot drift apart.
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+          r.getAs[Double]("jaccard"))).toSet
+    val cached = pairSet(DedupQueries.groupPairs(spark, sfDir))
+    val param = pairSet(DedupQueries.groupedPairBuild(
+      DedupQueries.textGroups(spark, sfDir),
+      DedupQueries.shingles(spark, sfDir)))
+    assert(cached.nonEmpty, "corpus must produce at least one group pair")
+    assert(cached == param,
+      s"cached groupPairs drifted from groupedPairBuild: " +
+        s"only-cached=${(cached -- param).take(3)} " +
+        s"only-param=${(param -- cached).take(3)}")
+    // docComponents' inline quotient-CC labeling must agree with
+    // clustersViaQuotient's member fan-out on the same (g, gp) inputs
+    val g = DedupQueries.textGroups(spark, sfDir)
+    if (DedupQueries.quotientPays(g)) {
+      val fromClusters = DedupQueries
+        .clustersViaQuotient(g, DedupQueries.groupPairs(spark, sfDir))
+        .select(col("component"),
+          explode(split(col("members"), ",")).cast("long").as("doc_id"))
+        .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+      val fromLabels = DedupQueries.docComponents(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fromLabels == fromClusters)
+    }
+  }
+
   test("df-cap kills stop-shingle candidate blowup without losing true pairs") {
     import spark.implicits._
     // 60 unrelated docs that all share one boilerplate shingle (df=60),

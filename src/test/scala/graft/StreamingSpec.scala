@@ -218,4 +218,43 @@ class StreamingSpec extends SparkSpec {
       q.stop(); spark.streams.removeListener(rec)
     }
   }
+
+  test("stream_session_live exercises cross-batch session merges (a " +
+      "session extended by a later micro-batch's events) and withholds " +
+      "unfinalized sessions") {
+    import org.apache.spark.sql.expressions.Window
+    val sfDir = "/root/testdata/sf0.01" // sf0.001's slice is too sparse
+    val emitted = graft.operators.StreamQueries
+      .sessionLiveSink(spark, sfDir)
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"))
+    // recompute the harness's batch assignment (same ntile expression)
+    // and count emitted sessions containing events from >1 feed batch —
+    // the state-store MERGE path the graded query exists to exercise
+    val batches = graft.sources.Tables.scan(spark, sfDir, "events")
+      .filter(col("event_id") % 4 === 1)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"))
+      .withColumn("batch",
+        ntile(8).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+    val crossBatch = emitted.join(batches, Seq("user_id"))
+      .filter(col("ts") >= col("s_start") && col("ts") < col("s_end"))
+      .groupBy("user_id", "s_start")
+      .agg(countDistinct(col("batch")).as("nb"))
+      .filter(col("nb") > 1)
+      .count()
+    assert(crossBatch >= 1,
+      s"no emitted session spans a micro-batch boundary — the feed's " +
+        "slice/batching no longer exercises the session merge path")
+    // Append-mode finalization: the last-arriving sessions (end above the
+    // final watermark) must be absent from the emitted set — compare
+    // against the batch session_window over the SAME slice and gap
+    val all = batches
+      .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+      .count().count()
+    val live = emitted.count()
+    assert(live > 0 && live < all,
+      s"expected a strict finalized subset, got $live of $all sessions")
+  }
 }
