@@ -46,4 +46,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     groups.flatMap(_.oracles).toMap
+
+  /** Query name → owning [[QueryGroup]] simple name ([[CatalogGen]]'s
+    * operator-family column). */
+  def families: Map[String, String] =
+    groups.flatMap(g => g.queries.keys
+      .map(_ -> g.getClass.getSimpleName.stripSuffix("$"))).toMap
 }

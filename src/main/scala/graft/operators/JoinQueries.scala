@@ -133,32 +133,8 @@ object JoinQueries extends QueryGroup {
     // naive theta join (BETWEEN), same rows. A point always finds ≥ 1
     // session (its own), so the inner join is total. Micros arithmetic
     // end to end — exact in both engines.
-    "join_interval_bucketed" -> ((s, dir) => {
-      val HourUs = 3600L * 1000000L
-      val ev = Tables.scan(s, dir, "events")
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts").cast("timestamp")).as("tus"))
-      val wU = Window.partitionBy("user_id").orderBy("tus", "event_id")
-      val sess = ev
-        .withColumn("prev", lag(col("tus"), 1).over(wU))
-        .withColumn("news",
-          when(col("prev").isNull || col("tus") - col("prev") > HourUs, 1L)
-            .otherwise(0L))
-        .withColumn("sid", sum(col("news")).over(wU))
-        .groupBy("user_id", "sid")
-        .agg(min(col("tus")).as("s_start"), max(col("tus")).as("s_end"))
-      val sb = sess.select(col("s_start"), col("s_end"),
-        explode(sequence(floor(col("s_start") / HourUs),
-          floor(col("s_end") / HourUs))).as("hb"))
-      val pts = ev.filter(col("event_id") % 8 === 0)
-        .select(col("event_id"), col("tus"),
-          floor(col("tus") / HourUs).as("hb"))
-      pts.join(sb, Seq("hb"))
-        .filter(col("tus") >= col("s_start") && col("tus") <= col("s_end"))
-        .groupBy("event_id")
-        .agg(count(lit(1)).as("n_open"))
-        .orderBy("event_id")
-    }),
+    "join_interval_bucketed" -> ((s, dir) =>
+      intervalOpenCounts(s, dir).orderBy("event_id")),
 
     // op 13: as-of join — latest order state as of each event's timestamp.
     // Implemented as a union-merge: tag both sides, single shuffle on the
@@ -484,6 +460,76 @@ object JoinQueries extends QueryGroup {
   private val revenueExpr =
     """SUM(CAST(l_extendedprice AS DECIMAL(12,2))
       |    * (1 - CAST(l_discount AS DECIMAL(4,2))))""".stripMargin
+
+  /** `join_interval_bucketed`'s engine, with SKEW ROUTING (r13 verdict
+    * item 7): the candidate bound of the epoch-hour bucket join is
+    * per-hour points × per-hour open-session concurrency, and a
+    * flash-crowd hour is a real skew key — one hb would funnel its whole
+    * cross product through one task. Buckets whose estimated candidate
+    * product exceeds `hotThreshold` therefore route through the salted
+    * form ([[Skew.saltedJoin]]'s shape inlined on the composite (hb,
+    * salt) key): points shard by a content-derived salt, sessions
+    * replicate ×`salts`, so the hot bucket's work spreads over `salts`
+    * shuffle partitions. Cold buckets join plain — the hot set is
+    * detected from two bucket-grain aggregates (|hours| rows, corpus-
+    * size-independent) and applied via broadcast semi/anti joins, so on
+    * an unskewed corpus the detection costs two tiny aggregates and the
+    * plan stays the plain equi-join (PlanSpec asserts both: no BNLJ
+    * anywhere, and the graded corpus takes the cold path). The default
+    * threshold (2^22 candidates ≈ one task-minute of filter work) is
+    * calibrated to never fire below ~sf10 on this corpus shape; the
+    * flash-crowd equivalence spec forces it with threshold=1. */
+  private[graft] def intervalOpenCounts(
+      s: SparkSession, dir: String,
+      hotThreshold: Long = 1L << 22, salts: Int = 8): DataFrame = {
+    val ev = Tables.scan(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+    intervalOpenCountsOf(ev, hotThreshold, salts)
+  }
+
+  /** [[intervalOpenCounts]] over an arbitrary (user_id, event_id, tus)
+    * frame — the flash-crowd spec feeds a synthetic skewed corpus. */
+  private[graft] def intervalOpenCountsOf(
+      ev: DataFrame, hotThreshold: Long, salts: Int): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val wU = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val sess = ev
+      .withColumn("prev", lag(col("tus"), 1).over(wU))
+      .withColumn("news",
+        when(col("prev").isNull || col("tus") - col("prev") > HourUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("news")).over(wU))
+      .groupBy("user_id", "sid")
+      .agg(min(col("tus")).as("s_start"), max(col("tus")).as("s_end"))
+    val sb = sess.select(col("s_start"), col("s_end"),
+      explode(sequence(floor(col("s_start") / HourUs),
+        floor(col("s_end") / HourUs))).as("hb"))
+    val pts = ev.filter(col("event_id") % 8 === 0)
+      .select(col("event_id"), col("tus"),
+        floor(col("tus") / HourUs).as("hb"))
+    // hot-bucket detection: estimated candidates per hb = sessions × points
+    // — two bucket-grain aggregates, |hours| rows each, never corpus-sized
+    val hot = sb.groupBy("hb").agg(count(lit(1)).as("_ns"))
+      .join(pts.groupBy("hb").agg(count(lit(1)).as("_np")), Seq("hb"))
+      .filter(col("_ns") * col("_np") > hotThreshold)
+      .select("hb")
+    val cold = pts.join(broadcast(hot), Seq("hb"), "left_anti")
+      .join(sb.join(broadcast(hot), Seq("hb"), "left_anti"), Seq("hb"))
+    // salted path: content-derived point salt (retry-stable — the
+    // Skew.saltedSumCount rationale), session side replicated ×salts
+    val hotPts = pts.join(broadcast(hot), Seq("hb"), "left_semi")
+      .withColumn("_salt",
+        pmod(xxhash64(col("event_id")), lit(salts.toLong)))
+    val hotSb = sb.join(broadcast(hot), Seq("hb"), "left_semi")
+      .withColumn("_salt",
+        explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    val hotJ = hotPts.join(hotSb, Seq("hb", "_salt")).drop("_salt")
+    cold.unionByName(hotJ)
+      .filter(col("tus") >= col("s_start") && col("tus") <= col("s_end"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_open"))
+  }
 
   val oracles: Map[String, String] = Map(
     "join_inner" ->

@@ -13,6 +13,15 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("da", "db").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** The xxhash64 MinHash+LSH verified pairs — retired from the graded
+    * catalog in r14 (subsumed by the value-pinned `dedup_lsh_bands` and
+    * graded through `dedup_lsh_quality`); the contracts here still pin
+    * the production path directly. */
+  private def lshVerifiedPairs: Set[(Long, Long)] =
+    DedupQueries.lshVerified(spark, sfDir)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
   test("substring rewrite excises exactly the reported span, and exactly " +
       "the detected docs are rewritten") {
     import org.apache.spark.sql.functions._
@@ -69,7 +78,7 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("minhash-LSH near-dup pairs ⊆ exact n-gram-Jaccard pairs") {
     val exact = pairs("dedup_ngram_jaccard")
-    val lsh = pairs("dedup_minhash_lsh")
+    val lsh = lshVerifiedPairs
     assert(lsh.subsetOf(exact),
       s"LSH emitted non-near-dup pairs: ${lsh.diff(exact)}")
     // 8 bands × 4 rows at τ=0.5 → expected recall ≈ 1 on this data
@@ -91,7 +100,9 @@ class DedupSimilaritySpec extends SparkSpec {
     val brute = SimilarityQueries.queries("sim_topk")(spark, sfDir)
       .select("qid", "vec_id", "cosine").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val ann = SimilarityQueries.queries("sim_ann_lsh")(spark, sfDir)
+    // retired from the graded catalog (subsumed by sim_ann_lsh_pinned);
+    // the contract still pins the production xxhash64 path directly
+    val ann = SimilarityQueries.annTopK(spark, sfDir, "lsh")
       .select("qid", "vec_id", "cosine").collect()
     assert(ann.nonEmpty, "ANN returned nothing")
     // every ANN hit must carry the exact cosine the brute-force run computed
@@ -127,7 +138,9 @@ class DedupSimilaritySpec extends SparkSpec {
     val brute = SimilarityQueries.queries("sim_topk")(spark, sfDir)
       .select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = SimilarityQueries.queries("sim_ann_ivf")(spark, sfDir)
+    // retired from the graded catalog (subsumed by sim_ann_ivf_flat);
+    // the contract still pins the production Lloyd/IVF path directly
+    val ivf = SimilarityQueries.annTopK(spark, sfDir, "ivf")
       .select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty)
@@ -150,8 +163,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // every (variant, qid) row must equal the recall recomputed from the
     // graded entries themselves — the report is a twin, not a new truth
     for (variant <- Seq("lsh", "ivf")) {
-      val ann = SimilarityQueries
-        .queries(s"sim_ann_$variant")(spark, sfDir)
+      val ann = SimilarityQueries.annTopK(spark, sfDir, variant)
         .select("qid", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -184,7 +196,7 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect()
     assert(q.length == 1)
     val r = q.head
-    val lsh = pairs("dedup_minhash_lsh")
+    val lsh = lshVerifiedPairs
     val exact = pairs("dedup_ngram_jaccard")
     assert(r.getAs[Long]("n_verified") == lsh.size)
     assert(r.getAs[Long]("n_exact") == exact.size)

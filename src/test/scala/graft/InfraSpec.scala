@@ -42,6 +42,18 @@ class InfraSpec extends SparkSpec {
       s"SPARK_GRAFT_AQE must be read only by Bench, found in: $offenders")
   }
 
+  test("CATALOG.md is complete and current: every graded query has a " +
+      "describe entry and the committed file matches the generator") {
+    // completeness is checked inside render (require on key-set equality);
+    // byte-identity keeps the committed file from going stale — on
+    // failure, run `sbt "runMain graft.CatalogGen"` and commit.
+    val rendered = graft.CatalogGen.render
+    val committed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("CATALOG.md"))
+    assert(committed == rendered,
+      "CATALOG.md is stale — regenerate with `sbt \"runMain graft.CatalogGen\"`")
+  }
+
   test("scanPar: identical rows to scan, widened to session parallelism") {
     val plain = Tables.scan(spark, sfDir, "documents")
       .orderBy("doc_id").collect()

