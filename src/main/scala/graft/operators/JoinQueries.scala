@@ -470,15 +470,17 @@ object JoinQueries extends QueryGroup {
     * form ([[Skew.saltedJoin]]'s shape inlined on the composite (hb,
     * salt) key): points shard by a content-derived salt, sessions
     * replicate ×`salts`, so the hot bucket's work spreads over `salts`
-    * shuffle partitions. Cold buckets join plain — the hot set is
-    * detected from two bucket-grain aggregates (|hours| rows, corpus-
-    * size-independent) and applied via broadcast semi/anti joins, so on
-    * an unskewed corpus the detection costs two tiny aggregates and the
-    * plan stays the plain equi-join (PlanSpec asserts both: no BNLJ
-    * anywhere, and the graded corpus takes the cold path). The default
-    * threshold (2^22 candidates ≈ one task-minute of filter work) is
-    * calibrated to never fire below ~sf10 on this corpus shape; the
-    * flash-crowd equivalence spec forces it with threshold=1. */
+    * shuffle partitions. Cold buckets join plain — the hot set comes
+    * from ONE hour-grain aggregate (the 1-hour session gap means every
+    * session overlapping hour hb has an event in hb±1, so per-hour
+    * concurrency is bounded by the 3-hour event count — no second
+    * sessionization pass), collects to the driver (the hour axis is
+    * bounded and corpus-size-independent), and when EMPTY the returned
+    * plan is EXACTLY the plain bucket equi-join. The default threshold
+    * (2^22 candidates ≈ one task-minute of filter work) is calibrated to
+    * never fire below ~sf10 on this corpus shape (PlanSpec measures the
+    * headroom); the flash-crowd equivalence spec forces the salted
+    * branch with threshold=1 and pins it row-identical. */
   private[graft] def intervalOpenCounts(
       s: SparkSession, dir: String,
       hotThreshold: Long = 1L << 22, salts: Int = 8): DataFrame = {
@@ -508,27 +510,50 @@ object JoinQueries extends QueryGroup {
     val pts = ev.filter(col("event_id") % 8 === 0)
       .select(col("event_id"), col("tus"),
         floor(col("tus") / HourUs).as("hb"))
-    // hot-bucket detection: estimated candidates per hb = sessions × points
-    // — two bucket-grain aggregates, |hours| rows each, never corpus-sized
-    val hot = sb.groupBy("hb").agg(count(lit(1)).as("_ns"))
-      .join(pts.groupBy("hb").agg(count(lit(1)).as("_np")), Seq("hb"))
-      .filter(col("_ns") * col("_np") > hotThreshold)
-      .select("hb")
-    val cold = pts.join(broadcast(hot), Seq("hb"), "left_anti")
-      .join(sb.join(broadcast(hot), Seq("hb"), "left_anti"), Seq("hb"))
-    // salted path: content-derived point salt (retry-stable — the
-    // Skew.saltedSumCount rationale), session side replicated ×salts
-    val hotPts = pts.join(broadcast(hot), Seq("hb"), "left_semi")
-      .withColumn("_salt",
-        pmod(xxhash64(col("event_id")), lit(salts.toLong)))
-    val hotSb = sb.join(broadcast(hot), Seq("hb"), "left_semi")
-      .withColumn("_salt",
-        explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    val hotJ = hotPts.join(hotSb, Seq("hb", "_salt")).drop("_salt")
-    cold.unionByName(hotJ)
-      .filter(col("tus") >= col("s_start") && col("tus") <= col("s_end"))
-      .groupBy("event_id")
-      .agg(count(lit(1)).as("n_open"))
+    // hot-bucket detection WITHOUT re-running the sessionization: the gap
+    // is one hour, so every session present in hour hb has an event in
+    // hb−1, hb, or hb+1 — per-hour open-session concurrency is bounded by
+    // the 3-hour event count, and the candidate estimate by
+    // (ev(hb−1)+ev(hb)+ev(hb+1)) × pts(hb). One cheap hour-grain
+    // aggregate (|hours| rows — a corpus-size-independent axis), then the
+    // bounded hot list collects to the driver: when it is EMPTY (every
+    // graded corpus; PlanSpec measures ~100× headroom at sf0.01) the
+    // returned plan is exactly the plain bucket equi-join — the routing
+    // costs one tiny aggregate and nothing else. Overestimating only
+    // salts a cold bucket (correctness unaffected, proven by the
+    // flash-crowd equivalence spec).
+    val perHour = ev
+      .groupBy(floor(col("tus") / HourUs).as("hb"))
+      .agg(count(lit(1)).as("_ne"),
+        sum(when(col("event_id") % 8 === 0, 1L).otherwise(0L)).as("_np"))
+    val wH = Window.orderBy("hb")
+      .rowsBetween(-1, 1) // hour axis is bounded — one tiny global window
+    val hotHbs = perHour
+      .withColumn("_ns_bound", sum(col("_ne")).over(wH))
+      .filter(col("_ns_bound") * col("_np") > hotThreshold)
+      .select("hb").collect().map(_.getLong(0))
+    if (hotHbs.isEmpty) {
+      pts.join(sb, Seq("hb"))
+        .filter(col("tus") >= col("s_start") && col("tus") <= col("s_end"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_open"))
+    } else {
+      val cold = pts.filter(!col("hb").isInCollection(hotHbs))
+        .join(sb.filter(!col("hb").isInCollection(hotHbs)), Seq("hb"))
+      // salted path: content-derived point salt (retry-stable — the
+      // Skew.saltedSumCount rationale), session side replicated ×salts
+      val hotPts = pts.filter(col("hb").isInCollection(hotHbs))
+        .withColumn("_salt",
+          pmod(xxhash64(col("event_id")), lit(salts.toLong)))
+      val hotSb = sb.filter(col("hb").isInCollection(hotHbs))
+        .withColumn("_salt",
+          explode(sequence(lit(0L), lit(salts.toLong - 1))))
+      val hotJ = hotPts.join(hotSb, Seq("hb", "_salt")).drop("_salt")
+      cold.unionByName(hotJ)
+        .filter(col("tus") >= col("s_start") && col("tus") <= col("s_end"))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_open"))
+    }
   }
 
   val oracles: Map[String, String] = Map(

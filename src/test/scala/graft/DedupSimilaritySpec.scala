@@ -88,7 +88,11 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("simhash finds the high-Jaccard near-dup pairs") {
     val exact = pairs("dedup_ngram_jaccard")
-    val sim = pairs("dedup_simhash")
+    // retired from the graded catalog (subsumed by dedup_simhash_bands +
+    // dedup_simhash_quality); the contract pins the production path
+    val sim = DedupQueries.simhashPairs(spark, sfDir)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     // hamming ≤3 on 64 bits is a tighter near-dup notion than jaccard ≥0.5;
     // it must still be dominated by the exact near-dup set
     assert(sim.subsetOf(exact),
@@ -238,7 +242,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // recompute the histogram from the graded entries themselves — the
     // report is a twin of dedup_simhash + dedup_ngram_jaccard, not a new
     // truth
-    val sh = DedupQueries.queries("dedup_simhash")(spark, sfDir)
+    val sh = DedupQueries.simhashPairs(spark, sfDir).orderBy("da", "db")
       .collect()
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
         r.getAs[Int]("hamming")).toMap

@@ -237,7 +237,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"))
       .withColumn("batch",
-        ntile(8).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+        ntile(5).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
     val crossBatch = emitted.join(batches, Seq("user_id"))
       .filter(col("ts") >= col("s_start") && col("ts") < col("s_end"))
       .groupBy("user_id", "s_start")
