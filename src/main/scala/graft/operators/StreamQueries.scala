@@ -173,6 +173,60 @@ object StreamQueries extends QueryGroup {
     // connectors × span-buckets — monitoring-series cardinality,
     // independent of event volume, so the crossJoin stays tiny at any
     // data scale.
+    // op 43'' (the reference's PRIMARY alert rule — reference:
+    // helm-charts/cdc-system/templates/monitoring/prometheus-rules.yaml:
+    // 12-19: `kafka_consumer_lag > 1000 for 5m → warning` — the consumer
+    // backlog SLO every CDC deployment watches first): lag is a DERIVED
+    // series — produced offsets minus committed offsets per partition on
+    // the scrape grid — so the query synthesizes the offset ledger
+    // deterministically from `events` (two partitions = event_id%2;
+    // produced = cumulative per-hour event count on the dense grid;
+    // committed trails produced by one evaluation — the healthy
+    // steady-state backlog — EXCEPT partition 0's consumer stalls at a
+    // fixed date and its committed offset freezes, the classic wedged-
+    // consumer incident) and fires the rule with the SAME sustained-run
+    // machinery as the other two alert rules (threshold 1000 messages,
+    // `for:` mapped to 5 evaluation buckets like alert_availability maps
+    // 2m/1m). Partition 1's steady one-bucket lag never alerts — the
+    // negative case rides in the same output. Grid is partitions ×
+    // span-hours (monitoring-series cardinality, corpus-size-
+    // independent); the only corpus-sized work is one per-hour count.
+    "alert_consumer_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stallTs = lit("2024-01-12 00:00:00").cast("timestamp_ntz")
+      val ev = Tables.scan(s, dir, "events")
+      val span = ev.agg(date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+      val hours = span
+        .select(explode(expr("sequence(t0, t1, interval 1 hour)")).as("h"))
+      val perHour = ev
+        .groupBy((col("event_id") % 2).as("part"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val grid = s.range(2).select(col("id").as("part")).crossJoin(hours)
+        .join(perHour, Seq("part", "h"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val wP = Window.partitionBy("part").orderBy("h")
+      val cum = grid.withColumn("produced", sum(col("n")).over(wP))
+      // produced is monotone, so max over pre-stall hours IS the offset
+      // the wedged consumer froze at; bounded (1-row) broadcast join
+      val freeze = cum
+        .filter(col("part") === 0 && col("h") < stallTs)
+        .groupBy("part").agg(max(col("produced")).as("_freeze"))
+      val lagged = cum
+        .withColumn("_trail",
+          coalesce(lag(col("produced"), 1).over(wP), lit(0L)))
+        .join(broadcast(freeze), Seq("part"), "left")
+        .withColumn("lag_n",
+          col("produced") - when(
+            col("part") === 0 && col("h") >= stallTs, col("_freeze"))
+            .otherwise(col("_trail")))
+      graft.streaming.AlertRules.sustainedRuns(
+        lagged.select(col("part"), col("h"), col("lag_n").as("n")),
+        keyCol = "part", threshold = 1001L, minRun = 5)
+        .orderBy("part", "run_start")
+    }),
+
     "alert_availability" -> ((s, dir) => {
       // the grid is session-cached: both rule evaluations below reference
       // it, and without the persist the unioned plan would re-run the
@@ -499,6 +553,44 @@ object StreamQueries extends QueryGroup {
       """SELECT DISTINCT event_id, user_id, event_type, value
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
         |ORDER BY event_id""".stripMargin,
+
+    // the lag rule restated: dense (partition × hour) grid, cumulative
+    // produced offsets, committed = one-bucket trail except the wedged
+    // partition freezes at the stall date; islands over lag > 1000,
+    // runs ≥ 5 evaluations survive (the `for: 5m` gate)
+    "alert_consumer_lag" ->
+      """WITH span AS (SELECT date_trunc('hour', MIN(ts)) AS t0,
+        |    date_trunc('hour', MAX(ts)) AS t1 FROM events),
+        |hrs AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+        |  FROM span),
+        |parts AS (SELECT CAST(0 AS BIGINT) AS part
+        |  UNION ALL SELECT CAST(1 AS BIGINT)),
+        |ph AS (SELECT event_id % 2 AS part, date_trunc('hour', ts) AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT p.part, g.h, COALESCE(ph.n, 0) AS n
+        |  FROM parts p CROSS JOIN hrs g
+        |  LEFT JOIN ph ON ph.part = p.part AND ph.h = g.h),
+        |cum AS (SELECT part, h,
+        |    SUM(n) OVER (PARTITION BY part ORDER BY h) AS produced
+        |  FROM grid),
+        |fz AS (SELECT MAX(produced) AS freeze FROM cum
+        |  WHERE part = 0 AND h < TIMESTAMP '2024-01-12 00:00:00'),
+        |lagt AS (SELECT part, h, produced,
+        |    CASE WHEN part = 0 AND h >= TIMESTAMP '2024-01-12 00:00:00'
+        |         THEN fz.freeze
+        |         ELSE COALESCE(lag(produced) OVER (
+        |           PARTITION BY part ORDER BY h), 0) END AS committed
+        |  FROM cum CROSS JOIN fz),
+        |f AS (SELECT part, h, produced - committed AS lg,
+        |    row_number() OVER (PARTITION BY part ORDER BY h) AS rn
+        |  FROM lagt WHERE produced - committed >= 1001),
+        |g2 AS (SELECT *, CAST(epoch(h) AS BIGINT) // 3600 - rn AS grp
+        |  FROM f)
+        |SELECT part, MIN(h) AS run_start, MAX(h) AS run_end,
+        |  COUNT(*) AS n_hours, MAX(lg) AS peak
+        |FROM g2 GROUP BY part, grp HAVING COUNT(*) >= 5
+        |ORDER BY part, run_start""".stripMargin,
 
     "alert_sustained" ->
       """WITH m AS (SELECT event_type, date_trunc('hour', ts) AS h,
