@@ -92,6 +92,29 @@ object TextQueries extends QueryGroup {
     * stage — once PER BRANCH: Catalyst has no cross-branch common-subplan
     * reuse for aggregates. At warehouse scale this is the document-term
     * table a corpus pipeline writes once as a real artifact. */
+  /** Stopword list shared by the calibration gold label (both engines
+    * inline the same terms). */
+  private val clfStopTerms =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Per-doc classifier aggregate shared by `text_linear_classifier` and
+    * `text_classifier_calibration`: hashed-bucket fixed-point score,
+    * token count, and stopword mass — one pass over the shared tf table,
+    * cached per (session, corpus). */
+  private def classifierScores(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"text:clf:$dir") {
+      val wFix: Column => Column =
+        b => (b * 2654435761L) % 2048L * 1000L - 1023500L
+      tfTable(s, dir)
+        .select(col("doc_id"), col("tf"), col("term"),
+          (charFold(col("term")) % 1024L).as("b"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * wFix(col("b"))).as("score_fix"),
+          sum(when(col("term").isin(clfStopTerms: _*), col("tf"))
+            .otherwise(0L)).as("n_stop"))
+    }
+
   private def tfTable(s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"text:tf:$dir") {
       // scanPar: tokenize+explode is the heavy stage — parallelize it
@@ -380,19 +403,52 @@ object TextQueries extends QueryGroup {
     // (doc)-keyed exchange of (long, long) partials off the shared tf
     // table; weights never materialize as data at all.
     "text_linear_classifier" -> ((s, dir) => {
-      val wFix: Column => Column =
-        b => (b * 2654435761L) % 2048L * 1000L - 1023500L
-      tfTable(s, dir)
-        .select(col("doc_id"), col("tf"),
-          (charFold(col("term")) % 1024L).as("b"))
-        .groupBy("doc_id")
-        .agg(sum(col("tf")).as("n_tokens"),
-          sum(col("tf") * wFix(col("b"))).as("score_fix"))
+      classifierScores(s, dir)
         .select(col("doc_id"), col("n_tokens"), col("score_fix"),
           (col("score_fix").cast("double")
             / (col("n_tokens").cast("double") * 1e6)).as("score"),
           (col("score_fix") > 0L).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // CALIBRATION of the quality classifier — choosing the operating
+    // point is the step a deployment actually runs after training a
+    // gate ("what threshold keeps 80% of good docs?"): sweep eleven
+    // thresholds t = k/10, k ∈ −5..5, and report the confusion counts
+    // against a deterministic gold label (stopword mass ≥ 10% of
+    // tokens — the English-prose proxy, exact integers from the SAME
+    // shared tf table). The threshold predicate is evaluated in exact
+    // ints (10·score_fix ≥ k·n_tokens·10^6 ⇔ score ≥ k/10), so no
+    // double comparison can wobble cross-engine; precision/recall are
+    // one IEEE divide of exact counts each, with the zero-denominator
+    // → 1.0 convention of the other quality reports. Work: the shared
+    // classifier aggregate once, then an 11× explode of the per-doc
+    // frame and one k-keyed aggregate — |docs|·11 rows, map-side
+    // partials, corpus-scale safe.
+    "text_classifier_calibration" -> ((s, dir) => {
+      val withK = classifierScores(s, dir)
+        .select(col("doc_id"), col("n_tokens"), col("score_fix"),
+          col("n_stop"),
+          explode(typedlit((-5L to 5L).toSeq)).as("k"))
+        .withColumn("pred",
+          col("score_fix") * 10L >= col("k") * col("n_tokens") * 1000000L)
+        .withColumn("gold", col("n_stop") * 10L >= col("n_tokens"))
+      withK.groupBy("k")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("pred") && col("gold"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && !col("gold"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("gold"), 1L).otherwise(0L)).as("fn"))
+        .select(col("k"), (col("k").cast("double") / 10.0).as("threshold"),
+          col("n_docs"), col("n_kept"), col("tp"), col("fp"), col("fn"),
+          when(col("n_kept") > 0,
+            col("tp").cast("double") / col("n_kept").cast("double"))
+            .otherwise(lit(1.0)).as("precision"),
+          when(col("tp") + col("fn") > 0,
+            col("tp").cast("double")
+              / (col("tp") + col("fn")).cast("double"))
+            .otherwise(lit(1.0)).as("recall"))
+        .orderBy("k")
     }),
 
     "text_bm25" -> ((s, dir) =>
@@ -747,6 +803,50 @@ object TextQueries extends QueryGroup {
         |    AS score,
         |  score_fix > 0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the same classifier CTEs (term retained through the hash stage for
+    // the stopword gold), then an 11-threshold sweep in exact ints
+    "text_classifier_calibration" ->
+      """WITH tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |            AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |h AS (SELECT doc_id, term, tf,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(term, ''),
+        |        c -> CAST(ord(c) AS BIGINT))),
+        |      (a, b) -> (a * 1000003 + b) % 1000000007) % 1024 AS b
+        |  FROM tf),
+        |s AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(tf * ((b * 2654435761) % 2048 * 1000 - 1023500))
+        |      AS BIGINT) AS score_fix,
+        |    CAST(SUM(CASE WHEN term IN
+        |      ('the','a','of','and','to','in','is','it')
+        |      THEN tf ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM h GROUP BY doc_id),
+        |ks AS (SELECT CAST(unnest(range(-5, 6)) AS BIGINT) AS k),
+        |x AS (SELECT k,
+        |    (10 * score_fix >= k * n_tokens * 1000000) AS pred,
+        |    (10 * n_stop >= n_tokens) AS gold
+        |  FROM s CROSS JOIN ks),
+        |c AS (SELECT k, COUNT(*) AS n_docs,
+        |    SUM(CASE WHEN pred THEN 1 ELSE 0 END) AS n_kept,
+        |    SUM(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS tp,
+        |    SUM(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END) AS fp,
+        |    SUM(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END) AS fn
+        |  FROM x GROUP BY k)
+        |SELECT k, CAST(k AS DOUBLE) / 10.0 AS threshold,
+        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn,
+        |  CASE WHEN n_kept > 0 THEN CAST(tp AS DOUBLE) / CAST(n_kept AS DOUBLE)
+        |       ELSE 1.0 END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)
+        |         / CAST(tp + fn AS DOUBLE)
+        |       ELSE 1.0 END AS recall
+        |FROM c ORDER BY k""".stripMargin,
 
     "text_fingerprint" ->
       """WITH n AS (SELECT doc_id,
