@@ -451,6 +451,33 @@ object TextQueries extends QueryGroup {
         .orderBy("k")
     }),
 
+    // CORPUS N-GRAM COUNTS — the classic LM-counts artifact (the
+    // Google-ngrams / KenLM input shape): corpus-wide bigram and trigram
+    // frequencies with document frequency, top-20 each by (count desc,
+    // gram) — fully deterministic tie-break, so the truncation is
+    // hash-stable. Scale shape: gram expansion is the codegen'd
+    // [[graft.functions.VectorFunctions.wordShingles]] kernel (map-side,
+    // one native pass per doc); the (gram, doc) partial aggregate
+    // combines map-side so the wide shuffle carries distinct grams per
+    // doc, the second aggregate carries the vocab²-bounded distinct-gram
+    // axis, and the top-k is TakeOrdered (never a global sort of the
+    // gram table). At 100 TB this is THE canonical massive-aggregation
+    // workload; nothing here is corpus-order-dependent.
+    "text_ngram_counts" -> ((s, dir) => {
+      def top(n: Int): DataFrame =
+        Tables.scanPar(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.VectorFunctions.wordShingles(
+              lower(trim(col("text"))), n)).as("ngram"))
+          .groupBy("ngram", "doc_id").agg(count(lit(1)).as("c"))
+          .groupBy("ngram").agg(sum(col("c")).as("cnt"),
+            count(lit(1)).as("df"))
+          .orderBy(col("cnt").desc, col("ngram")).limit(20)
+          .select(lit(n.toLong).as("n"), col("ngram"), col("cnt"),
+            col("df"))
+      top(2).unionByName(top(3)).orderBy("n", "ngram")
+    }),
+
     "text_bm25" -> ((s, dir) =>
       bm25PerDoc(s, dir)
         .orderBy(col("score").desc, col("doc_id"))
@@ -803,6 +830,34 @@ object TextQueries extends QueryGroup {
         |    AS score,
         |  score_fix > 0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the kernel's documented equivalence: wordShingles(text, n) ==
+    // n-windows of regexp-split tokens joined with single spaces
+    "text_ngram_counts" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS ngram
+        |  FROM w CROSS JOIN LATERAL
+        |    (SELECT unnest(range(1, len(a))) AS i) t),
+        |g3 AS (SELECT doc_id,
+        |    a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS ngram
+        |  FROM w CROSS JOIN LATERAL
+        |    (SELECT unnest(range(1, len(a) - 1)) AS i) t),
+        |u AS (
+        |  SELECT 2 AS n, ngram, COUNT(*) AS cnt,
+        |      COUNT(DISTINCT doc_id) AS df
+        |    FROM g2 GROUP BY ngram
+        |  UNION ALL
+        |  SELECT 3 AS n, ngram, COUNT(*) AS cnt,
+        |      COUNT(DISTINCT doc_id) AS df
+        |    FROM g3 GROUP BY ngram),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY n ORDER BY cnt DESC, ngram) AS rn
+        |  FROM u)
+        |SELECT CAST(n AS BIGINT) AS n, ngram, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(df AS BIGINT) AS df
+        |FROM r WHERE rn <= 20 ORDER BY n, ngram""".stripMargin,
 
     // the same classifier CTEs (term retained through the hash stage for
     // the stopword gold), then an 11-threshold sweep in exact ints
