@@ -235,4 +235,63 @@ class AlertRulesSpec extends SparkSpec {
     assert(out.toSet == expected.toSet)
     assert(out.length == expected.length)
   }
+
+  test("alert_consumer_lag: only the wedged partition fires, the run " +
+      "starts exactly when cumulative backlog first crosses 1000, and " +
+      "the healthy partition's steady one-bucket lag never alerts") {
+    val sf01 = "/root/testdata/sf0.01"
+    val out = graft.operators.StreamQueries
+      .queries("alert_consumer_lag")(spark, sf01)
+      .collect()
+    assert(out.nonEmpty, "the wedged consumer must fire at sf0.01")
+    assert(out.forall(_.getLong(0) == 0L),
+      "only partition 0 (the wedged consumer) may alert")
+    // recompute the crossing hour linearly: produced counts on partition
+    // 0 after the freeze date, cumulative from the frozen offset
+    val stall = Timestamp.valueOf("2024-01-12 00:00:00")
+    val rows = graft.sources.Tables.scan(spark, sf01, "events")
+      .filter(col("event_id") % 2 === 0)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+      .sortBy(_._1.getTime)
+    var backlog = 0L
+    var crossing: Option[Timestamp] = None
+    for ((h, n) <- rows if !h.before(stall) && crossing.isEmpty) {
+      backlog += n
+      if (backlog > 1000L) crossing = Some(h)
+    }
+    assert(crossing.isDefined, "corpus too small to cross the threshold")
+    assert(out.head.getTimestamp(1) == crossing.get,
+      s"run_start ${out.head.getTimestamp(1)} != first crossing hour " +
+        s"${crossing.get}")
+  }
+
+  test("text_ngram_counts: counts close against the per-doc token " +
+      "lengths and df never exceeds count") {
+    val sf01 = "/root/testdata/sf0.01"
+    val out = graft.operators.TextQueries
+      .queries("text_ngram_counts")(spark, sf01)
+      .collect()
+    assert(out.length == 40, s"expected 2×top-20, got ${out.length}")
+    out.foreach { r =>
+      val (n, gram, cnt, df) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(gram.split(" ").length == n,
+        s"'$gram' is not a $n-gram")
+      assert(df >= 1 && df <= cnt, s"'$gram': df $df vs cnt $cnt")
+    }
+    // spot-verify the top bigram's corpus count with an independent
+    // driver-side scan (substring-count over the normalized text)
+    val top = out.filter(_.getLong(0) == 2L).maxBy(_.getLong(2))
+    val (gram, cnt) = (top.getString(1), top.getLong(2))
+    val recount = graft.sources.Tables.scan(spark, sf01, "documents")
+      .select(lower(trim(col("text"))).as("t")).collect()
+      .map { r =>
+        val toks = r.getString(0).trim.split("\\s+")
+        toks.sliding(2).count(_.mkString(" ") == gram)
+      }.sum
+    assert(recount.toLong == cnt,
+      s"top bigram '$gram': reported $cnt != recounted $recount")
+  }
 }
