@@ -213,7 +213,9 @@ object Bench {
     // tools/bench_diff.py can flag any query >1.5× its prior-round minimum.
     // Only full-suite default-SF runs overwrite it: a SPARK_GRAFT_ONLY
     // profiling subset or an sf1 sweep must not clobber the gate artifact.
-    if (only.isEmpty && sfDir.contains("sf0.1")) {
+    // exact basename match: a substring test would also match sf0.15 or a
+    // path whose ancestors contain "sf0.1" and clobber the gate artifact
+    if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1") {
       val repoOut = sys.env.getOrElse(
         "SPARK_GRAFT_PERQUERY_OUT",
         new java.io.File("bench_perquery_latest.json").getAbsolutePath)

@@ -125,15 +125,17 @@ object AggQueries extends QueryGroup {
           / col("exact_users") <= 0.05).as("est_ok"))
     }),
 
-    // sketch-quality report: the two distinct-count sketches next to
-    // their exact answers, with relative error as a column — the graded,
-    // visible form of AggContractsSpec's ≤5% contracts (same pattern as
-    // dedup_lsh_quality / sim_ann_recall). Rows-only (the sketch side is
-    // engine-specific). The exact sides are single-shuffle countDistinct
-    // aggregates — the comparison itself stays 100 TB-shaped; CMS heavy
-    // hitters already self-report (agg_heavy_hitters_cms carries
-    // exact_cnt and est_cnt side by side) and the quantile sketch's
-    // exact twin is the order-statistics pass agg_median_exact grades.
+    // sketch-quality grade, FULLY ORACLED (was rows-only): the exact
+    // distinct counts are cross-engine facts, and the sketches'
+    // ≤5%-relative-error contracts become oracle-pinned BOOLEANS the
+    // way agg_approx_percentile's ≤2% bounds already are — the estimate
+    // VALUES are engine-specific (HLL register layout) and stay visible
+    // in AggContractsSpec, which asserts the numeric bounds at two SFs.
+    // The exact sides are single-shuffle countDistinct aggregates — the
+    // comparison itself stays 100 TB-shaped; CMS heavy hitters already
+    // self-report (agg_heavy_hitters_cms carries exact_cnt and est_cnt
+    // side by side) and the quantile sketch's exact twin is the
+    // order-statistics pass agg_median_exact grades.
     "agg_sketch_quality" -> ((s, dir) => {
       val cust = Tables.scan(s, dir, "orders").agg(
         countDistinct(col("o_custkey")).as("exact_cust"),
@@ -146,12 +148,12 @@ object AggQueries extends QueryGroup {
       val exactUsers = Tables.scan(s, dir, "events")
         .agg(countDistinct(col("user_id")).as("exact_users"))
       cust.crossJoin(exactUsers).crossJoin(users).select(
-        col("exact_cust"), col("approx_cust"),
+        col("exact_cust"),
         (abs(col("approx_cust") - col("exact_cust")).cast("double")
-          / col("exact_cust")).as("cust_rel_err"),
-        col("exact_users"), col("hll_est_users"),
+          / col("exact_cust") <= 0.05).as("cust_est_ok"),
+        col("exact_users"),
         (abs(col("hll_est_users") - col("exact_users")).cast("double")
-          / col("exact_users")).as("users_rel_err"))
+          / col("exact_users") <= 0.05).as("users_est_ok"))
     }),
 
     // approx_percentile (mergeable quantile sketch — the distributed way
@@ -637,6 +639,15 @@ object AggQueries extends QueryGroup {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  true AS p50_ok, true AS p99_ok
         |FROM lineitem""".stripMargin,
+
+    "agg_sketch_quality" ->
+      """SELECT
+        |  (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+        |    AS exact_cust,
+        |  true AS cust_est_ok,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  true AS users_est_ok
+        |FROM events""".stripMargin,
 
     "agg_heavy_hitters_cms" ->
       """WITH t AS (SELECT l_suppkey, COUNT(*) AS exact_cnt

@@ -234,11 +234,14 @@ object CurationQueries extends QueryGroup {
           // products wrap silently in Spark where DuckDB errors, so guard
           // the operand magnitudes and fail LOUDLY on overflow (NullType
           // raise_error coerces to the otherwise-branch's double).
+          // integer `div`, not fractional `/`: Long.MaxValue as a double
+          // rounds UP to 2^63, so a fractional threshold lets exact-
+          // boundary products (e.g. 2 × 2^62) slip through unguarded
           when(
             (col("sw_fix") > lit(0L)
-              && col("total") > lit(Long.MaxValue) / col("sw_fix"))
+              && col("total") > expr(s"${Long.MaxValue}L div sw_fix"))
               || (col("tokens") > lit(0L)
-                && col("sw_total") > lit(Long.MaxValue) / col("tokens")),
+                && col("sw_total") > expr(s"${Long.MaxValue}L div tokens")),
             raise_error(lit("curate_temperature: BIGINT overflow in the " +
               "cross-multiplied multiplier — use the DECIMAL(38) form")))
             .otherwise((col("sw_fix") * col("total")).cast("double")

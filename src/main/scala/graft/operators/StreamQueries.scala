@@ -14,6 +14,13 @@ final case class LateFeedEvent(ts: java.sql.Timestamp, event_type: String)
   * rule as [[LateFeedEvent]]). */
 final case class SessionFeedEvent(ts: java.sql.Timestamp, user_id: Long)
 
+/** One arrival of either side of the `stream_join_live` feed (same
+  * top-level-encoder rule as [[LateFeedEvent]]; the two sides use two
+  * separate MemoryStreams of this shape — one stream per query consumer,
+  * per the committed-offset rule). */
+final case class JoinFeedEvent(
+    ts: java.sql.Timestamp, user_id: Long, eid: Long)
+
 /** Batch-verifiable forms of the streaming operators (SURVEY.md §2.C ops
   * 37-40): the same `window()` / `session_window()` / dedup expressions run
   * identically over a bounded DataFrame, which is what makes them
@@ -133,6 +140,29 @@ object StreamQueries extends QueryGroup {
           col("session_window.end").cast("timestamp_ntz").as("s_end"),
           col("n"))
         .orderBy("user_id", "s_start")
+    }),
+
+    // op 15 GRADED END TO END — watermarked stream-stream LEFT-OUTER
+    // interval join through a REAL two-MemoryStream Structured Streaming
+    // query (Append mode), not the batch twin: disjoint event slices
+    // replay as five lockstep micro-batches; matches emit as both sides
+    // arrive, while an UNMATCHED left row null-pads only once the global
+    // watermark (min of both sources', ratcheting at trigger boundaries)
+    // passes its 2-hour match-window end and the symmetric-hash state
+    // evicts it. The feeds are event-time-ordered, so no admitted row is
+    // ever late and no left row is evicted before its in-window matches
+    // arrive — which makes the relational restatement exact: the full
+    // interval join UNION the anti-join gated on l_ts + 2 h < final
+    // watermark (ms-truncated least of the two sides' max event times
+    // − 12 h). The strict `<` is Spark's own eviction predicate (state
+    // removes keys strictly below the state watermark).
+    "stream_join_live" -> ((s, dir) => {
+      joinLiveSink(s, dir)
+        .select(col("user_id"), col("l_eid"),
+          col("l_ts").cast("timestamp_ntz").as("l_ts"),
+          col("r_ts").cast("timestamp_ntz").as("r_ts"),
+          col("r_eid"))
+        .orderBy("user_id", "l_eid", "r_eid")
     }),
 
     // op 40 (batch form): at-least-once replay dedup — the log replayed
@@ -325,15 +355,33 @@ object StreamQueries extends QueryGroup {
         ntile(5).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
       .select(col("batch"), col("ts"), col("user_id"))
       .sort("batch", "ts")
+    // stream-stream join feed: two DISJOINT slices (left %8=2, right %8=6
+    // — off the late feed's %8=0 and the session feed's %4=1), batched
+    // by ntile(5) over the UNION's event-time order so both sides stay
+    // event-time-ordered and their watermarks interleave within one
+    // batch span of each other
+    val joinBatches = Tables.scan(s, dir, "events")
+      .filter(col("event_id") % 8 === 2 || col("event_id") % 8 === 6)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"),
+        (col("event_id") % 8 === 2).as("is_left"))
+      .withColumn("batch",
+        ntile(5).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+      .select(col("batch"), col("ts"), col("user_id"), col("event_id"),
+        col("is_left"))
+      .sort("batch", "ts", "event_id")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       implicit val sqlCtx = s.sqlContext
       Seq("graft_stream_late", "graft_stream_append",
-        "graft_stream_session").foreach(s.catalog.dropTempView)
+        "graft_stream_session", "graft_stream_join")
+        .foreach(s.catalog.dropTempView)
       val inU = MemoryStream[LateFeedEvent]
       val inA = MemoryStream[LateFeedEvent]
       val inS = MemoryStream[SessionFeedEvent]
+      val inJL = MemoryStream[JoinFeedEvent]
+      val inJR = MemoryStream[JoinFeedEvent]
       def lateAgg(in: MemoryStream[LateFeedEvent]) = in.toDS()
         .withWatermark("ts", "12 hours")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -349,6 +397,31 @@ object StreamQueries extends QueryGroup {
         .writeStream.format("memory")
         .queryName("graft_stream_session")
         .outputMode(OutputMode.Append).start()
+      // op 15 end to end: watermarked two-stream LEFT-OUTER interval join
+      // — matches emit when both sides have arrived; an unmatched left row
+      // null-pads only once the GLOBAL watermark (min of both sources'
+      // ratcheting watermarks, the default multipleWatermarkPolicy) passes
+      // the end of its 2-hour match window and the state store evicts it
+      val qJ = {
+        val l = inJL.toDS()
+          .select(col("ts").as("l_ts"), col("user_id"),
+            col("eid").as("l_eid"))
+          .withWatermark("l_ts", "12 hours")
+        val r = inJR.toDS()
+          .select(col("ts").as("r_ts"), col("user_id").as("r_uid"),
+            col("eid").as("r_eid"))
+          .withWatermark("r_ts", "12 hours")
+        l.join(r,
+          expr("""user_id = r_uid AND
+                 |r_ts >= l_ts AND r_ts <= l_ts + interval 2 hours"""
+            .stripMargin),
+          "left_outer")
+          .select(col("user_id"), col("l_eid"), col("l_ts"),
+            col("r_ts"), col("r_eid"))
+          .writeStream.format("memory")
+          .queryName("graft_stream_join")
+          .outputMode(OutputMode.Append).start()
+      }
       try {
         def drainLate(): Unit = {
           val it = lateBatches.toLocalIterator().asScala
@@ -396,16 +469,41 @@ object StreamQueries extends QueryGroup {
           }
           flush()
         }
-        // the two replay loops overlap; both always run to completion (or
+        def drainJoin(): Unit = {
+          // both sides of a batch land before the trigger, so each
+          // micro-batch advances both watermarks in lockstep
+          val it = joinBatches.toLocalIterator().asScala
+            .map(r => (r.getInt(0),
+              JoinFeedEvent(r.getTimestamp(1), r.getLong(2), r.getLong(3)),
+              r.getBoolean(4)))
+          var cur = -1
+          val bufL = scala.collection.mutable.ArrayBuffer.empty[JoinFeedEvent]
+          val bufR = scala.collection.mutable.ArrayBuffer.empty[JoinFeedEvent]
+          def flush(): Unit = if (bufL.nonEmpty || bufR.nonEmpty) {
+            if (bufL.nonEmpty) inJL.addData(bufL.toSeq)
+            if (bufR.nonEmpty) inJR.addData(bufR.toSeq)
+            qJ.processAllAvailable()
+            bufL.clear(); bufR.clear()
+          }
+          it.foreach { case (b, e, isLeft) =>
+            if (b != cur) { flush(); cur = b }
+            if (isLeft) bufL += e else bufR += e
+          }
+          flush()
+        }
+        // the three replay loops overlap; all always run to completion (or
         // failure) before any stop(), same discipline as the per-batch
         // pair above — the first failure observed wins
         val fS = Future(drainSess())
+        val fJ = Future(drainJoin())
         val errL = try { drainLate(); None }
           catch { case e: Throwable => Some(e) }
         val errS = try { Await.result(fS, Duration.Inf); None }
           catch { case e: Throwable => Some(e) }
-        (errL orElse errS).foreach(e => throw e)
-      } finally { qU.stop(); qA.stop(); qS.stop() }
+        val errJ = try { Await.result(fJ, Duration.Inf); None }
+          catch { case e: Throwable => Some(e) }
+        (errL orElse errS orElse errJ).foreach(e => throw e)
+      } finally { qU.stop(); qA.stop(); qS.stop(); qJ.stop() }
       val late = s.table("graft_stream_late")
         .withColumn("_mode", lit("update"))
         .unionByName(s.table("graft_stream_append")
@@ -418,14 +516,22 @@ object StreamQueries extends QueryGroup {
           col("session_window.start").as("w_start"),
           col("session_window.end").as("w_end"),
           col("user_id").cast("string").as("key"), col("n"))
-      late.unionByName(sess)
+      // join rows fold into the normalized shape: w_start/w_end carry the
+      // two event times (w_end NULL for null-padded rows), key packs the
+      // left row identity, n carries the matched right event id (or NULL)
+      val join = s.table("graft_stream_join")
+        .select(lit("join").as("_mode"),
+          col("l_ts").as("w_start"), col("r_ts").as("w_end"),
+          concat_ws("|", col("user_id"), col("l_eid")).as("key"),
+          col("r_eid").as("n"))
+      late.unionByName(sess).unionByName(join)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** The watermark pair\u0027s view of [[streamFeeds]], restored to the
     * memory-sink shape (window struct, event_type, cnt, _mode). */
   private def lateFeedSinks(s: SparkSession, dir: String): DataFrame =
-    streamFeeds(s, dir).filter(col("_mode") =!= "session")
+    streamFeeds(s, dir).filter(col("_mode").isin("update", "append"))
       .select(
         struct(col("w_start").as("start"), col("w_end").as("end"))
           .as("window"),
@@ -439,6 +545,16 @@ object StreamQueries extends QueryGroup {
         struct(col("w_start").as("start"), col("w_end").as("end"))
           .as("session_window"),
         col("key").cast("long").as("user_id"), col("n"))
+
+  /** `stream_join_live`'s view of [[streamFeeds]], unpacked back to the
+    * join-output shape (user_id, l_eid, l_ts, r_ts, r_eid). */
+  private[graft] def joinLiveSink(s: SparkSession, dir: String): DataFrame =
+    streamFeeds(s, dir).filter(col("_mode") === "join")
+      .select(
+        split(col("key"), "\\|").getItem(0).cast("long").as("user_id"),
+        split(col("key"), "\\|").getItem(1).cast("long").as("l_eid"),
+        col("w_start").as("l_ts"), col("w_end").as("r_ts"),
+        col("n").as("r_eid"))
 
   val oracles: Map[String, String] = Map(
     // Spark's watermark contract restated: per-batch ratcheting watermark
@@ -522,6 +638,33 @@ object StreamQueries extends QueryGroup {
         |FROM sess, fw WHERE s_end <= fw.w
         |ORDER BY user_id, s_start""".stripMargin,
 
+    // the stream-stream outer-join contract restated: matches = the plain
+    // interval join (ordered feeds → every match is emitted); null-padded
+    // rows = unmatched lefts whose match window the FINAL global watermark
+    // (least of the two sides' ms-truncated max event times − 12 h)
+    // strictly passed — lefts still inside it sit unemitted in state
+    "stream_join_live" ->
+      """WITH l AS (SELECT event_id AS l_eid, user_id, ts AS l_ts
+        |  FROM events WHERE event_id % 8 = 2),
+        |r AS (SELECT event_id AS r_eid, user_id AS r_uid, ts AS r_ts
+        |  FROM events WHERE event_id % 8 = 6),
+        |fw AS (SELECT least(
+        |    (SELECT date_trunc('milliseconds', MAX(l_ts)) FROM l),
+        |    (SELECT date_trunc('milliseconds', MAX(r_ts)) FROM r))
+        |    - INTERVAL 12 HOUR AS w),
+        |m AS (SELECT l.user_id, l.l_eid, l.l_ts, r.r_ts, r.r_eid
+        |  FROM l JOIN r ON r.r_uid = l.user_id
+        |    AND r.r_ts >= l.l_ts AND r.r_ts <= l.l_ts + INTERVAL 2 HOUR),
+        |u AS (SELECT l.user_id, l.l_eid, l.l_ts,
+        |    CAST(NULL AS TIMESTAMP) AS r_ts, CAST(NULL AS BIGINT) AS r_eid
+        |  FROM l CROSS JOIN fw
+        |  WHERE l.l_ts + INTERVAL 2 HOUR < fw.w
+        |    AND NOT EXISTS (SELECT 1 FROM r
+        |      WHERE r.r_uid = l.user_id AND r.r_ts >= l.l_ts
+        |        AND r.r_ts <= l.l_ts + INTERVAL 2 HOUR))
+        |SELECT * FROM m UNION ALL SELECT * FROM u
+        |ORDER BY user_id, l_eid, r_eid""".stripMargin,
+
     "stream_tumbling" ->
       """SELECT date_trunc('minute', ts) AS w_start, event_type,
         |  COUNT(*) AS n
@@ -588,7 +731,7 @@ object StreamQueries extends QueryGroup {
         |g2 AS (SELECT *, CAST(epoch(h) AS BIGINT) // 3600 - rn AS grp
         |  FROM f)
         |SELECT part, MIN(h) AS run_start, MAX(h) AS run_end,
-        |  COUNT(*) AS n_hours, MAX(lg) AS peak
+        |  COUNT(*) AS n_hours, CAST(MAX(lg) AS BIGINT) AS peak
         |FROM g2 GROUP BY part, grp HAVING COUNT(*) >= 5
         |ORDER BY part, run_start""".stripMargin,
 

@@ -109,7 +109,9 @@ object WindowQueries extends QueryGroup {
       Tables.scan(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           Dec.d2(col("o_totalprice")).cast("double").as("price"))
-        .withColumn("quartile", ntile(4).over(w))
+        // long, not Spark ntile's int: the oracle's NTILE is BIGINT and
+        // the local gate enforces exact dump-vs-oracle type parity
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
         .withColumn("cheapest", first(col("price")).over(full))
         .withColumn("second_cheapest",
           nth_value(col("price"), 2).over(full))

@@ -154,43 +154,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
 
-  test("sim_ann_recall reports the true per-query recall@10 and clears " +
-      "the usable floors") {
+  test("sim_ann_recall reports the true per-query hit counts of the " +
+      "pinned searches (and every query keeps its row)") {
     val exact = SimilarityQueries.queries("sim_topk")(spark, sfDir)
       .select("qid", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val reported = SimilarityQueries.queries("sim_ann_recall")(spark, sfDir)
       .collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(reported.keys.map(_._1).toSet == Set("lsh", "ivf"))
-    // every (variant, qid) row must equal the recall recomputed from the
-    // graded entries themselves — the report is a twin, not a new truth
-    for (variant <- Seq("lsh", "ivf")) {
-      val ann = SimilarityQueries.annTopK(spark, sfDir, variant)
-        .select("qid", "vec_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))
+        -> (r.getLong(2), r.getLong(3))).toMap
+    assert(reported.keys.map(_._1).toSet == Set("lsh_pinned", "ivf_flat"))
+    // every (variant, qid) row must equal the intersection recomputed
+    // from the graded pinned entries themselves — a twin, not a new truth
+    val sides = Seq(
+      "lsh_pinned" -> SimilarityQueries.lshPinnedTopK(spark, sfDir),
+      "ivf_flat" -> SimilarityQueries.ivfFlatTopK(spark, sfDir))
+    for ((variant, df) <- sides) {
+      val ann = df.select("qid", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       exact.foreach { case (qid, truth) =>
         val got = ann.getOrElse(qid, Set.empty)
-        val expect = got.intersect(truth).size.toDouble / truth.size
-        assert(reported((variant, qid)) == expect,
-          s"$variant qid=$qid: reported ${reported((variant, qid))}" +
-            s" != recomputed $expect")
+        val (hits, k) = reported((variant, qid))
+        assert(k == truth.size.toLong,
+          s"$variant qid=$qid: k=$k != |exact|=${truth.size}")
+        assert(hits == got.intersect(truth).size.toLong,
+          s"$variant qid=$qid: reported $hits" +
+            s" != recomputed ${got.intersect(truth).size}")
       }
     }
-    // usable-floor contracts (same floors as the direct recall tests)
-    def mean(v: String) = {
-      val vs = reported.collect { case ((`v`, _), r) => r }
-      vs.sum / vs.size
-    }
-    assert(mean("ivf") >= 0.3, s"mean IVF recall too low: ${mean("ivf")}")
-    // no LSH floor at this SF: with 2^8 buckets over the tiny sf0.001
-    // corpus the buckets are near-empty and top-10 recall is legitimately
-    // ~0 — what IS contractual is coverage: a zero-hit query must still
-    // appear with recall 0.0, not silently drop out of the report
+    // usable floor: IVF-Flat probes 2 of 16 seeded lists with an exact
+    // re-rank — mean recall well above the random baseline (10/N)
+    val ivf = reported.collect { case (("ivf_flat", _), (h, k)) =>
+      h.toDouble / k }
+    assert(ivf.sum / ivf.size >= 0.3,
+      s"mean IVF-Flat recall too low: ${ivf.sum / ivf.size}")
+    // no pinned-LSH floor: 2^8 buckets over a tiny corpus are near-empty
+    // and recall is legitimately ~0 — contractual is COVERAGE: a
+    // zero-hit query must still report hits=0, never drop out
     val qids = exact.keySet
-    for (v <- Seq("lsh", "ivf"); q <- qids)
+    for (v <- Seq("lsh_pinned", "ivf_flat"); q <- qids)
       assert(reported.contains((v, q)), s"missing report row ($v, $q)")
   }
 

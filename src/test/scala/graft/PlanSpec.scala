@@ -617,7 +617,17 @@ class PlanSpec extends SparkSpec {
 
   test("sim_ann_lsh_pinned: the coded queries broadcast onto the coded " +
       "corpus, and every window is query-partitioned") {
-    val (_, plan) = staticPlan("sim_ann_lsh_pinned")
+    // asserted on the UNCACHED build (the graded query reads the
+    // session-cached search result, whose plan hides inside an
+    // InMemoryRelation) — evict first so the CacheManager can't
+    // substitute a copy another suite already persisted
+    graft.BoundedDfCache.clearGraded()
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.operators.SimilarityQueries.buildLshPinnedTopK(spark, sfDir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
     assert(bhj.nonEmpty,
       s"the bucket probe must be a broadcast hash join on code:\n$plan")
@@ -630,7 +640,14 @@ class PlanSpec extends SparkSpec {
 
   test("sim_ann_ivf_flat: probes broadcast onto the lists, and every " +
       "window is query-partitioned") {
-    val (_, plan) = staticPlan("sim_ann_ivf_flat")
+    // uncached build, same reasoning as the lsh_pinned test above
+    graft.BoundedDfCache.clearGraded()
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.operators.SimilarityQueries.buildIvfFlatTopK(spark, sfDir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
     val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
     assert(bhj.nonEmpty,
       s"the list probe must be a broadcast hash join on cid:\n$plan")

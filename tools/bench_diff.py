@@ -76,7 +76,9 @@ def main():
     # tags carry the sf-dir suffix; normalize so runs at the same SF compare
     sp = {k.split(":/")[0]: v for k, v in sp.items()}
     sc = {k.split(":/")[0]: v for k, v in sc.items()}
-    breg = [(sc[t] / max(sp[t], floor), t, sp[t], sc[t])
+    # displayed ratio uses the SAME floored operands as the flag condition,
+    # so sub-floor tags never print a ratio that disagrees with the rule
+    breg = [(max(sc[t], floor) / max(sp[t], floor), t, sp[t], sc[t])
             for t in sorted(set(sp) & set(sc))
             if max(sc[t], floor) > flag * max(sp[t], floor)]
     if breg:

@@ -2,6 +2,13 @@
 """Local pre-check mimicking the driver's correctness gate.
 
 Usage: tools/check.py [sf_dir] [out_dir] [--only name1,name2] [--sf1]
+                      [--types-only]
+
+Comparison is TYPE-AWARE (r15): the driver's hash is type-sensitive, so an
+oracle emitting int128 (HUGEINT) or any column type differing from the
+Spark parquet dump FAILS here even when the values match. --types-only
+skips the data compare and just DESCRIBEs every oracle for int128 columns
+(fast pre-commit scan; needs only oracle_sql.json, not the dumps).
 
 Assumes `graft.Verify` already ran:  sbt "runMain graft.Verify <sf_dir> <out_dir>"
 Then for each entry in <out_dir>/oracle_sql.json, runs the oracle in DuckDB
@@ -44,9 +51,10 @@ def canon(v):
 
 def rows_of(rel):
     cols = rel.columns
+    types = [str(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(canon(r[i]) for i in order) for r in rel.fetchall()]
-    return sorted(cols), sorted(out)
+    return sorted(cols), sorted(out), [types[i] for i in order]
 
 
 def iterative_cc(con, pairs_sql, max_rounds=256):
@@ -132,6 +140,28 @@ def bounded_cc(con, name, sql):
     raise RuntimeError(f"no bounded form for {name}")
 
 
+def types_only(con, oracle):
+    """Fast int128 scan, no Verify run needed: DESCRIBE every oracle (plans
+    without executing) and fail on any HUGEINT/UHUGEINT output column —
+    the class of driver-red bug r14 shipped (DuckDB window SUM over BIGINT
+    widens to int128; the driver's hash is type-sensitive)."""
+    n_fail = 0
+    for name in sorted(oracle):
+        try:
+            desc = con.sql(f"DESCRIBE ({oracle[name]})").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        huge = [(c, t) for c, t, *_ in desc if "HUGEINT" in str(t)]
+        if huge:
+            print(f"FAIL {name}: int128 oracle column(s) {huge} — "
+                  "CAST to BIGINT")
+            n_fail += 1
+    print(f"\ntypes-only: {len(oracle) - n_fail} clean, {n_fail} int128")
+    sys.exit(1 if n_fail else 0)
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
@@ -150,6 +180,8 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    if "--types-only" in argv:
+        types_only(con, oracle)
     declared = set(oracle)
     dumped = {os.path.basename(p) for p in glob.glob(f"{out}/*") if os.path.isdir(p)}
     n_pass = n_fail = 0
@@ -165,15 +197,15 @@ def main():
             continue
         try:
             if bounded and name in CC_FINAL:
-                ecols, erows = rows_of(bounded_cc(con, name, oracle[name]))
+                ecols, erows, etypes = rows_of(bounded_cc(con, name, oracle[name]))
             else:
-                ecols, erows = rows_of(con.sql(oracle[name]))
+                ecols, erows, etypes = rows_of(con.sql(oracle[name]))
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         try:
-            gcols, grows = rows_of(
+            gcols, grows, gtypes = rows_of(
                 con.sql(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')"))
         except Exception as e:
             print(f"FAIL {name}: spark dump read error: {e}")
@@ -181,6 +213,26 @@ def main():
             continue
         if ecols != gcols:
             print(f"FAIL {name}: columns differ\n  oracle: {ecols}\n  spark:  {gcols}")
+            n_fail += 1
+            continue
+        # TYPE gate: the driver's hash is type-sensitive where canon() is
+        # not — an int128 oracle column (DuckDB window SUM over BIGINT →
+        # HUGEINT) is value-identical locally yet driver-RED. Reject int128
+        # outright, and fail any oracle-vs-spark type divergence so
+        # local-green implies driver-green.
+        huge = [(c, t) for c, t in zip(ecols, etypes) if "HUGEINT" in t]
+        if huge:
+            print(f"FAIL {name}: oracle emits int128 column(s) {huge} — "
+                  "CAST to BIGINT in the oracle SQL (driver hash is "
+                  "type-sensitive)")
+            n_fail += 1
+            continue
+        tdiff = [(c, te, tg) for c, te, tg in zip(ecols, etypes, gtypes)
+                 if te != tg]
+        if tdiff:
+            print(f"FAIL {name}: column types differ (oracle vs spark dump):")
+            for c, te, tg in tdiff:
+                print(f"  {c}: oracle {te} vs spark {tg}")
             n_fail += 1
             continue
         if erows == grows:
