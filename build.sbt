@@ -36,6 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++
+  // scratch-volume knob (local profiling): point the forked JVM's tmpdir
+  // (streaming checkpoints, fixture staging, shuffle scratch) at e.g.
+  // tmpfs — SPARK_GRAFT_TMPDIR=/dev/shm/graft-tmp
+  sys.env.get("SPARK_GRAFT_TMPDIR")
+    .map(d => s"-Djava.io.tmpdir=$d").toSeq ++
   // local A/B profiling knob only (the driver never sets it): pass ad-hoc
   // spark confs into the forked Verify/Bench JVM, e.g.
   // SPARK_GRAFT_CONF="spark.sql.adaptive.enabled=false"

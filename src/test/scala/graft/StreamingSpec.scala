@@ -257,4 +257,70 @@ class StreamingSpec extends SparkSpec {
     assert(live > 0 && live < all,
       s"expected a strict finalized subset, got $live of $all sessions")
   }
+
+  test("stream_join_live: matched rows equal the batch interval join, " +
+      "null-pads are exactly the finalized unmatched lefts, and a match " +
+      "crosses a micro-batch boundary") {
+    import org.apache.spark.sql.expressions.Window
+    // sf0.1: the only SF whose matched pairs straddle a batch cut (2 of
+    // 275 under ntile(3) — DuckDB-counted; sf0.01's 27 matches all land
+    // inside one batch, and ntile(5) had 0 cross even at sf0.1)
+    val sfDir = "/root/testdata/sf0.1"
+    val out = graft.operators.StreamQueries.joinLiveSink(spark, sfDir)
+      .select(col("user_id"), col("l_eid"), col("r_eid"))
+    val ev = graft.sources.Tables.scan(spark, sfDir, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"))
+    val l = ev.filter(col("event_id") % 8 === 2)
+      .select(col("event_id").as("l_eid"), col("user_id"),
+        col("ts").as("l_ts"))
+    val r = ev.filter(col("event_id") % 8 === 6)
+      .select(col("event_id").as("r_eid"),
+        col("user_id").as("r_uid"), col("ts").as("r_ts"))
+    val batchTwin = l.join(r,
+      col("r_uid") === col("user_id") && col("r_ts") >= col("l_ts")
+        && col("r_ts") <= col("l_ts") + expr("interval 2 hours"))
+      .select(col("user_id"), col("l_eid"), col("r_eid"))
+    // the streaming matched set IS the batch interval join (ordered
+    // feeds: nothing late, nothing evicted before its matches arrive)
+    val matched = out.filter(col("r_eid").isNotNull)
+    assert(matched.exceptAll(batchTwin).isEmpty
+      && batchTwin.exceptAll(matched).isEmpty,
+      "streaming matches must equal the batch interval join")
+    assert(matched.count() > 0, "no matched rows at this SF")
+    // null-pads: unmatched lefts whose window the final watermark passed
+    // — and ONLY those (no unfinalized left may emit)
+    val maxL = l.agg(max(col("l_ts"))).head().getTimestamp(0)
+    val maxR = r.agg(max(col("r_ts"))).head().getTimestamp(0)
+    val fwMs = // ms-truncated min-of-sources max, minus the 12 h delay
+      (math.min(maxL.getTime, maxR.getTime)) - 12L * 3600 * 1000
+    val unmatchedLefts = l.join(batchTwin.select("l_eid").distinct(),
+        Seq("l_eid"), "left_anti")
+    val finalized = unmatchedLefts
+      .filter(col("l_ts") + expr("interval 2 hours")
+        < to_timestamp(lit(fwMs / 1000.0)))
+      .select("l_eid")
+    val padded = out.filter(col("r_eid").isNull).select("l_eid")
+    assert(padded.exceptAll(finalized).isEmpty
+      && finalized.exceptAll(padded).isEmpty,
+      "null-padded set must be exactly the finalized unmatched lefts")
+    // cross-batch matching: at least one matched pair arrives in two
+    // DIFFERENT micro-batches (the state-store path the grade exists
+    // to exercise — recompute the harness's batch assignment)
+    val jb = ev
+      .filter(col("event_id") % 8 === 2 || col("event_id") % 8 === 6)
+      .withColumn("batch",
+        ntile(3).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+      .select(col("event_id"), col("batch"))
+    val cross = matched
+      .join(jb.withColumnRenamed("batch", "lb"),
+        col("l_eid") === col("event_id")).drop("event_id")
+      .join(jb.withColumnRenamed("batch", "rb"),
+        col("r_eid") === col("event_id"))
+      .filter(col("lb") =!= col("rb"))
+      .count()
+    assert(cross >= 1,
+      "no matched pair spans a micro-batch boundary — the batching no " +
+        "longer exercises cross-trigger symmetric-hash state")
+  }
 }
