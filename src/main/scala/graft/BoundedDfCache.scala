@@ -38,40 +38,75 @@ private[graft] object BoundedDfCache {
   private val buildTimes =
     scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-  /** Get the cached frame for (spark, tag), or build + persist it. */
+  /** Tags currently being built, each with a latch its waiters block on.
+    * Builds run OUTSIDE the map monitor (r15): holding it for the whole
+    * build serialized every concurrent first-touch — and deadlocked any
+    * build that awaited a Future which itself touched the cache — which
+    * is exactly what the concurrent standing-consumer prewarm
+    * ([[graft.operators.CdcQueries]]) needs to work. */
+  private val building = scala.collection.mutable.Map
+    .empty[(SparkSession, String), java.util.concurrent.CountDownLatch]
+
+  /** Get the cached frame for (spark, tag), or build + persist it.
+    * Concurrent callers of the SAME tag: one builds, the rest wait on the
+    * latch and read the cached result (a failed build releases its
+    * waiters, who then retry — the error surfaces on whoever builds).
+    * Concurrent callers of DIFFERENT tags build in parallel. Nested
+    * calls during a build are fine — no lock is held while building. */
   def getOrPersist(
-      spark: SparkSession, tag: String)(build: => DataFrame): DataFrame =
-    entries.synchronized {
-      entries.getOrElseUpdate((spark, tag), {
-        while (entries.size >= maxEntries) {
-          val (k, df) = entries.head
-          scala.util.Try(df.unpersist())
-          entries.remove(k)
+      spark: SparkSession, tag: String)(build: => DataFrame): DataFrame = {
+    val key = (spark, tag)
+    while (true) {
+      val claim = entries.synchronized {
+        entries.get(key) match {
+          case Some(df) => Some(Right(df))
+          case None => building.get(key) match {
+            case Some(l) => Some(Left(l))
+            case None =>
+              building(key) = new java.util.concurrent.CountDownLatch(1)
+              None
+          }
         }
-        val t0 = System.nanoTime()
-        // deserialized MEMORY_AND_DISK (the default), measured against
-        // MEMORY_AND_DISK_SER on the full suite: SER cost ~10% of total
-        // bench time in decode on every cached read. The resident set
-        // fits the sweep protocol's heap (SPARK_DRIVER_MEM=48g at sf1 —
-        // an 8g default-heap sweep OOMs in the cdc_* family, see the
-        // verify skill's gotcha); at production scale this seam is a
-        // parquet-materialized stage on disk, not an executor cache.
-        val df = build.persist()
-        // materialize NOW: persist() alone is lazy, so without this the
-        // build would run inside the first consumer's action and the
-        // recorded per-tag time would be 0 while the consumer's time
-        // silently absorbed the build (the attribution problem this
-        // timing exists to solve). Nested getOrPersist calls during
-        // `build` are fine: the monitor is reentrant and 2.13's
-        // LinkedHashMap.getOrElseUpdate tolerates other-key insertion
-        // during the default-value computation (pre-existing behavior —
-        // groupPairs already builds from cached textGroups/shingles).
-        df.count()
-        buildTimes(tag) =
-          buildTimes.getOrElse(tag, 0.0) + (System.nanoTime() - t0) / 1e9
-        df
-      })
+      }
+      claim match {
+        case Some(Right(df)) => return df
+        case Some(Left(l)) => l.await() // built (or failed) — re-check
+        case None =>
+          try {
+            val t0 = System.nanoTime()
+            // deserialized MEMORY_AND_DISK (the default), measured
+            // against MEMORY_AND_DISK_SER on the full suite: SER cost
+            // ~10% of total bench time in decode on every cached read.
+            // The resident set fits the sweep protocol's heap
+            // (SPARK_DRIVER_MEM=48g at sf1 — an 8g default-heap sweep
+            // OOMs in the cdc_* family, see the verify skill's gotcha);
+            // at production scale this seam is a parquet-materialized
+            // stage on disk, not an executor cache.
+            val df = build.persist()
+            // materialize NOW: persist() alone is lazy, so without this
+            // the build would run inside the first consumer's action and
+            // the recorded per-tag time would be 0 while the consumer's
+            // time silently absorbed the build (the attribution problem
+            // this timing exists to solve).
+            df.count()
+            entries.synchronized {
+              while (entries.size >= maxEntries) {
+                val (k, old) = entries.head
+                scala.util.Try(old.unpersist())
+                entries.remove(k)
+              }
+              entries(key) = df
+              buildTimes(tag) = buildTimes.getOrElse(tag, 0.0) +
+                (System.nanoTime() - t0) / 1e9
+            }
+            return df
+          } finally entries.synchronized {
+            building.remove(key).foreach(_.countDown())
+          }
+      }
     }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Return and reset the per-tag build timings accumulated since the
     * previous drain (benchmark reps call this once per rep). */
