@@ -190,6 +190,49 @@ object StreamQueries extends QueryGroup {
         .orderBy("event_type", "run_start")
     }),
 
+    // op 43''' — MULTI-WINDOW BURN-RATE, the SRE-workbook alert shape
+    // (two trailing windows must BOTH burn error budget before paging —
+    // the short window catches the spike, the long window proves it
+    // isn't a blip): SLI = error sample (value ≥ 150), hour-grain
+    // totals, trailing 1 h and 6 h windows. Rates are EXACT integer
+    // parts-per-million (err·10⁶ div tot — no cross-engine float
+    // division anywhere), the page condition is exact cross-
+    // multiplication (err·10 > tot ⟺ rate > 10%), and the graded
+    // output is the TOP-20 burn hours by (6 h ppm, 1 h ppm, hour) —
+    // deterministic and non-empty at every SF even when nothing
+    // crosses the page line (zero alerts at scale is the healthy
+    // steady state; the boolean carries the rule verdict). Scale
+    // shape: ONE corpus-sized pass (the hourly aggregate); the 6 h
+    // window and the ranking run on the ≤span-hours axis
+    // (monitoring-series cardinality) — the bounded-axis global
+    // window every alert rule here uses; top-20 is a TakeOrdered.
+    "alert_burn_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.scan(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(when(col("value") >= 150.0, 1L).otherwise(0L)).as("err"),
+          count(lit(1)).as("tot"))
+        // hour index for the range frame: NTZ → LTZ cast first (session
+        // is UTC, so the wall clock is unchanged — the unix_micros rule)
+        .withColumn("hi",
+          (unix_micros(col("h").cast("timestamp")) / 3600000000L)
+            .cast("long"))
+      val w6 = Window.orderBy(col("hi")).rangeBetween(-5, 0)
+      hourly
+        .withColumn("err_6h", sum(col("err")).over(w6))
+        .withColumn("tot_6h", sum(col("tot")).over(w6))
+        .select(col("h").cast("timestamp_ntz").as("h"),
+          col("err").as("err_1h"), col("tot").as("tot_1h"),
+          col("err_6h"), col("tot_6h"),
+          expr("err * 1000000L div tot").as("rate_ppm_1h"),
+          expr("err_6h * 1000000L div tot_6h").as("rate_ppm_6h"),
+          (col("err") * 10 > col("tot")
+            && col("err_6h") * 10 > col("tot_6h")).as("page"))
+        .orderBy(col("rate_ppm_6h").desc, col("rate_ppm_1h").desc,
+          col("h"))
+        .limit(20)
+    }),
+
     // op 43' (the reference's two AVAILABILITY alert rules — reference:
     // helm-charts/cdc-system/templates/monitoring/prometheus-rules.yaml:21-37:
     // `up == 0 for 2m` → KafkaConnectDown, `state != RUNNING for 1m` →
@@ -740,6 +783,34 @@ object StreamQueries extends QueryGroup {
         |  COUNT(*) AS n_hours, CAST(MAX(lg) AS BIGINT) AS peak
         |FROM g2 GROUP BY part, grp HAVING COUNT(*) >= 5
         |ORDER BY part, run_start""".stripMargin,
+
+    // the two-window burn restated: hour aggregate, trailing 6 h range
+    // frame, exact ppm integer division, exact cross-multiplied page
+    // condition, top-20 by the same deterministic ordering. Every
+    // windowed sum CAST back to BIGINT (DuckDB window SUM widens to
+    // int128 — the alert_consumer_lag lesson, enforced by the
+    // type-aware gate).
+    "alert_burn_rate" ->
+      """WITH hr AS (SELECT date_trunc('hour', ts) AS h,
+        |    SUM(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS err,
+        |    COUNT(*) AS tot
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT h, err, tot,
+        |    CAST(SUM(err) OVER (ORDER BY h RANGE BETWEEN
+        |      INTERVAL 5 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS err_6h,
+        |    CAST(SUM(tot) OVER (ORDER BY h RANGE BETWEEN
+        |      INTERVAL 5 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS tot_6h
+        |  FROM hr)
+        |SELECT h, CAST(err AS BIGINT) AS err_1h,
+        |  CAST(tot AS BIGINT) AS tot_1h, err_6h, tot_6h,
+        |  CAST(err * 1000000 // tot AS BIGINT) AS rate_ppm_1h,
+        |  CAST(err_6h * 1000000 // tot_6h AS BIGINT) AS rate_ppm_6h,
+        |  (err * 10 > tot AND err_6h * 10 > tot_6h) AS page
+        |FROM w
+        |ORDER BY rate_ppm_6h DESC, rate_ppm_1h DESC, h
+        |LIMIT 20""".stripMargin,
 
     "alert_sustained" ->
       """WITH m AS (SELECT event_type, date_trunc('hour', ts) AS h,

@@ -276,6 +276,52 @@ class PlanSpec extends SparkSpec {
       s"the run aggregate must reuse the window's partitioning:\n$plan")
   }
 
+  test("ts_rolling_distinct: the 7x expansion runs on the DEDUPED " +
+      "user-day grain, and the observed-day filter is a broadcast join") {
+    val (_, plan) = staticPlan("ts_rolling_distinct")
+    // the one corpus-sized pass is the user-day dedup; the explode must
+    // sit ABOVE an aggregate (the dedup), never directly on the scan —
+    // expanding the raw log 7x would be the data-sized mistake
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty, s"expected the sequence explode:\n$plan")
+    assert(gens.forall(_.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          => a
+      }.nonEmpty),
+      s"the explode must expand the deduped user-day table, not the " +
+        s"raw event scan:\n$plan")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      s"the observed-day semi filter must broadcast the day axis:\n$plan")
+  }
+
+  test("alert_burn_rate: one corpus-sized aggregate, the 6h frame on " +
+      "the bounded hour axis, and the top-20 as a TakeOrdered") {
+    val (_, plan) = staticPlan("alert_burn_rate")
+    // the global range-frame window is fine HERE because its input is
+    // the hour axis (≤ span-hours rows), not the corpus — same bounded-
+    // axis contract as the other alert rules; what must NOT appear is a
+    // second corpus-sized exchange beyond the hourly aggregate's
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the 6h range frame:\n$plan")
+    assert(plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+          => t
+      }.nonEmpty,
+      s"orderBy+limit(20) must plan as TakeOrderedAndProject, not a " +
+        s"global sort:\n$plan")
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashShuffles.size <= 1,
+      s"only the hourly aggregate may hash-shuffle the corpus:\n$plan")
+  }
+
   test("curate_shuffle: the corpus rank is partitioned, " +
       "only the bucket-offset window is global") {
     // same two-phase contract as pack_shards: the per-document row_number
