@@ -361,9 +361,81 @@ object PipelineQueries extends QueryGroup {
         .select(lit("gate_fail").as("metric"), (col("t") - col("g")).as("value"))
       base.unionByName(ed).unionByName(nd).unionByName(gf)
         .orderBy("metric")
+    }),
+
+    // dataset VERSION DIFF — the reproducibility audit every corpus
+    // release runs between v(N) and v(N+1): which documents were added,
+    // removed, changed, kept. v2 is synthesized deterministically from
+    // the corpus (drops %17=3, rewrites %13=5's text, adds an offset-id
+    // slice of %19=7 — all three change classes plus the unchanged
+    // bulk). The diff itself is the graded operator: ONE full outer
+    // join on doc_id comparing content digests (md5 over the exact
+    // bytes), then a 4-row class aggregate carrying counts, char
+    // volume, and the min/max doc ids per class (the audit trail a
+    // release note quotes). Scale shape: digests are map-side, the
+    // outer join is one co-partitioned shuffle on the id, the summary
+    // is a 4-group aggregate — the same plan at 100 TB.
+    "pipeline_dataset_diff" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      val v1 = docs.select(col("doc_id"),
+        md5(encode(col("text"), "UTF-8")).as("h1"),
+        col("n_chars").as("c1"))
+      val v2base = docs.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 5,
+            concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+      val v2new = docs.filter(col("doc_id") % 19 === 7)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          concat(lit("NEW "), col("text")).as("text"))
+      val v2 = v2base.unionByName(v2new)
+        .select(col("doc_id"),
+          md5(encode(col("text"), "UTF-8")).as("h2"),
+          length(col("text")).cast("long").as("c2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") === col("h2"), "kept")
+            .otherwise("changed").as("change"),
+          col("doc_id"),
+          coalesce(col("c2"), col("c1")).as("chars"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("chars")).as("n_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("change")
     }))
 
   val oracles: Map[String, String] = Map(
+    // the same synthesized v2 and digest diff (DuckDB md5 hashes the
+    // string's UTF-8 bytes — exactly Spark's md5(encode(text,'UTF-8')))
+    "pipeline_dataset_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1, n_chars AS c1
+        |  FROM documents),
+        |v2b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 5 THEN text || ' [rev2]'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |v2n AS (SELECT doc_id + 100000000 AS doc_id, 'NEW ' || text AS text
+        |  FROM documents WHERE doc_id % 19 = 7),
+        |v2 AS (SELECT doc_id, md5(text) AS h2,
+        |    CAST(length(text) AS BIGINT) AS c2
+        |  FROM (SELECT * FROM v2b UNION ALL SELECT * FROM v2n)),
+        |j AS (SELECT
+        |    CASE WHEN h1 IS NULL THEN 'added'
+        |         WHEN h2 IS NULL THEN 'removed'
+        |         WHEN h1 = h2 THEN 'kept'
+        |         ELSE 'changed' END AS change,
+        |    COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |    COALESCE(c2, c1) AS chars
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT change, COUNT(*) AS n_docs,
+        |  CAST(SUM(chars) AS BIGINT) AS n_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM j GROUP BY change ORDER BY change""".stripMargin,
+
     // the same cross-multiplied integer KS form: exact BIGINTs up to one
     // final division, so both engines hash-match bit-for-bit
     "pipeline_drift_ks" ->
