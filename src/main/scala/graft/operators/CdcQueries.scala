@@ -75,6 +75,30 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // POINT-IN-TIME REPLAY (time travel): the table's state AS OF an LSN
+    // cutoff — the recovery/debug/audit op every changelog deployment
+    // has (replay the archive up to position X and diff against the
+    // corrupted downstream). Same unwrap + latest-by-key compaction as
+    // cdc_compact, applied to the `_lsn ≤ cutoff` PREFIX of the log:
+    // events past the cutoff — later updates, later deletes — must be
+    // invisible, so keys deleted after the cutoff are PRESENT here and
+    // keys updated after it show their pre-update row. Cutoff = 60% of
+    // the key range in lsn units (max(o_orderkey)·6 — a bounded scalar
+    // broadcast, exact in both engines). Scale shape: the lsn filter
+    // pushes into the scan; one keyed window, as every compaction.
+    "cdc_time_travel" -> ((s, dir) => {
+      val cut = Tables.scan(s, dir, "orders")
+        .agg((max(col("o_orderkey")) * 6).as("_cut"))
+      val asOf = CdcOps.ordersUnwrapped(s, dir)
+        .crossJoin(broadcast(cut))
+        .filter(col("_lsn") <= col("_cut"))
+      CdcOps.compactLatest(asOf,
+        keys = Seq("o_orderkey"), ordering = Seq(col("_lsn").desc))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate_us", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     // A2: MySQL-connector compaction — binlog (file, pos) ordering across
     // a log rotation. The fixture's updates have numerically smaller pos
     // than their inserts (later file), so pos-only ordering would pick the
@@ -1182,6 +1206,21 @@ object CdcQueries extends QueryGroup {
         |         AS o_orderstatus,
         |       o_totalprice, o_orderdate_us, o_orderpriority
         |FROM base WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // the fixture's lsn layout (insert k·10, update k·10+5, delete
+    // k·10+8) replayed only up to the cutoff: updates/deletes past it
+    // never happened
+    "cdc_time_travel" -> (baseCte.stripSuffix("\n") +
+      """, mk AS (SELECT MAX(o_orderkey) * 6 AS c FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 0
+        |                 AND o_orderkey * 10 + 5 <= mk.c THEN 'X'
+        |            ELSE o_orderstatus END AS o_orderstatus,
+        |       o_totalprice, o_orderdate_us, o_orderpriority
+        |FROM base CROSS JOIN mk
+        |WHERE o_orderkey * 10 <= mk.c
+        |  AND NOT (o_orderkey % 7 = 0 AND o_orderkey * 10 + 8 <= mk.c)
         |ORDER BY o_orderkey""".stripMargin),
 
     "cdc_compact_mysql" -> (baseCte +

@@ -215,6 +215,20 @@ object CurationQueries extends QueryGroup {
     // the up/down-sampling multiplier weight/share are each ONE IEEE
     // divide-of-exact-ints tree. Bounded work: one per-lang aggregate
     // off the shared token table, then a |langs|-row crossJoin.
+    // SOFT dedup — train on every copy but DOWNWEIGHT by duplicate-group
+    // size (1/k per member, in exact ppm ints), the alternative to
+    // dropping that some pipelines prefer (keeps natural duplication
+    // signal while bounding template spam's gradient share). Rides the
+    // session's textGroups materialization — the entry costs one explode
+    // of the (already tiny) group table, nothing new shuffles.
+    "curate_dup_weights" -> ((s, dir) => {
+      DedupQueries.textGroups(s, dir)
+        .select(explode(col("members")).as("doc_id"),
+          col("sz").as("n_copies"))
+        .withColumn("weight_ppm", expr("1000000L div n_copies"))
+        .orderBy("doc_id")
+    }),
+
     "curate_temperature" -> ((s, dir) => {
       val per = withTokens(s, dir)
         .groupBy("lang").agg(sum("tokens").as("tokens"))
@@ -475,6 +489,16 @@ object CurationQueries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    // same lower(trim(text)) grouping key as the dedup family's
+    // textGroups, 1/k weights as truncating integer division
+    "curate_dup_weights" ->
+      """WITH g AS (SELECT lower(trim(text)) AS t, COUNT(*) AS sz
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, CAST(g.sz AS BIGINT) AS n_copies,
+        |  CAST(1000000 // g.sz AS BIGINT) AS weight_ppm
+        |FROM documents d JOIN g ON lower(trim(d.text)) = g.t
+        |ORDER BY d.doc_id""".stripMargin,
+
     // sqrt is correctly-rounded IEEE, quantized once to fixed point so
     // the normalizing sum is exact BIGINT in both engines
     "curate_temperature" ->
