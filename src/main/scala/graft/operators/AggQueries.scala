@@ -125,6 +125,30 @@ object AggQueries extends QueryGroup {
           / col("exact_users") <= 0.05).as("est_ok"))
     }),
 
+    // EXACT distinct counts via the pre-aggregated BITMAP layout — the
+    // warehouse acceleration pattern (store per-bucket roaring-style
+    // bitmaps once, answer COUNT(DISTINCT) forever after by OR-merging
+    // them): user ids bucket by bitmap_bucket_number, each
+    // (key, bucket) stores ONE bitmap_construct_agg blob, and the final
+    // count is sum over buckets of bitmap_count — buckets partition the
+    // id space, so the sum IS the exact distinct count, mergeable and
+    // incremental (a new micro-batch ORs into the touched buckets
+    // only). Unlike HLL this is exact, so it has a direct DuckDB
+    // oracle. Scale shape: two hash aggregates; the bitmap table is
+    // (keys × occupied buckets) rows of fixed-size blobs — the
+    // materialization a deployment keeps NEXT TO the fact table.
+    "agg_bitmap_distinct" -> ((s, dir) => {
+      val bm = Tables.scan(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+      bm.groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"),
+          count(lit(1)).as("n_buckets"))
+        .orderBy("event_type")
+    }),
+
     // sketch-quality grade, FULLY ORACLED (was rows-only): the exact
     // distinct counts are cross-engine facts, and the sketches'
     // ≤5%-relative-error contracts become oracle-pinned BOOLEANS the
@@ -639,6 +663,18 @@ object AggQueries extends QueryGroup {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  true AS p50_ok, true AS p99_ok
         |FROM lineitem""".stripMargin,
+
+    // exact twin + the bucket-count fact (Spark's piecewise 1-based
+    // 32768-wide bucketing: (x−1) div 32768 + 1 for x > 0, x div 32768
+    // otherwise — ids include 0, which rides its own bucket 0)
+    "agg_bitmap_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(DISTINCT CASE WHEN user_id > 0
+        |    THEN (user_id - 1) // 32768 + 1
+        |    ELSE user_id // 32768 END) AS BIGINT) AS n_buckets
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "agg_sketch_quality" ->
       """SELECT
