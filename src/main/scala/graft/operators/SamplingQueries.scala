@@ -117,6 +117,27 @@ object SamplingQueries extends QueryGroup {
         .orderBy("lang", "rk")
     }),
 
+    // CLASS-BALANCED downsampling — the label-balancing step before
+    // classifier/reward-model training: every label keeps EXACTLY
+    // min-class-size rows, chosen by content-hash rank (md5 of the id —
+    // seedless, retry-stable, the curate_shuffle permutation applied
+    // per class). Scale shape: one labeled pass for the per-class
+    // counts (a bounded class-cardinality table, broadcast back), one
+    // class-partitioned rank window — no global sort, no collect.
+    "sample_class_balance" -> ((s, dir) => {
+      val e = Tables.scan(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val floor = e.groupBy("label").agg(count(lit(1)).as("cn"))
+        .agg(min(col("cn")).as("m"))
+      val w = Window.partitionBy("label")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      e.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(floor))
+        .filter(col("rk") <= col("m"))
+        .select(col("label"), col("rk"), col("vec_id"))
+        .orderBy("label", "rk")
+    }),
+
     // LEAKAGE-SAFE split assignment: hashing each doc independently
     // (sample_split) lets a near-dup pair straddle train/test — the
     // classic eval-contamination bug (the model "generalizes" to a test
@@ -218,6 +239,18 @@ object SamplingQueries extends QueryGroup {
         |  FROM documents)
         |SELECT doc_id, lang, rk FROM r
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    // same md5 rank, capped at the min class size (exact-k per class)
+    "sample_class_balance" ->
+      """WITH r AS (SELECT vec_id, label,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT)
+        |      AS rk
+        |  FROM embeddings),
+        |m AS (SELECT CAST(MIN(cn) AS BIGINT) AS m FROM (
+        |  SELECT COUNT(*) AS cn FROM embeddings GROUP BY label))
+        |SELECT label, rk, vec_id FROM r CROSS JOIN m
+        |WHERE rk <= m.m ORDER BY label, rk""".stripMargin,
 
     // the pair/CC prefix (through `comp`) is VERBATIM dedup_clusters'
     // oracle — including the `e AS (SELECT` seam tools/check.py --sf1
