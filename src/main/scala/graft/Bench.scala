@@ -74,11 +74,35 @@ object Bench {
       graft.sources.Tables.scan(spark, sfDir, t).count()
     }
     var failed = Set.empty[String]
+    // wall seconds covered by the UNION of build windows, clipped to
+    // [t0, t1]: a group head that prewarms siblings concurrently must be
+    // charged the blocked wall time once, not the sum of overlapping
+    // build durations (which can exceed its own elapsed time)
+    def clippedUnion(
+        builds: Seq[BoundedDfCache.BuildRecord], t0: Long, t1: Long): Double = {
+      val clipped = builds
+        .map(b => (math.max(b.startNs, t0), math.min(b.endNs, t1)))
+        .filter { case (s, e) => e > s }
+        .sortBy(_._1)
+      if (clipped.isEmpty) 0.0
+      else {
+        var total = 0L
+        var curS = clipped.head._1
+        var curE = clipped.head._2
+        clipped.tail.foreach { case (s, e) =>
+          if (s > curE) { total += curE - curS; curS = s; curE = e }
+          else curE = math.max(curE, e)
+        }
+        total += curE - curS
+        total / 1e9
+      }
+    }
     // a rep where the query throws yields None — a crashing query must not
     // read as a fast query, and its near-zero fast-fail elapsed time must
     // not be mixed into the min either (min of mixed success/failure
     // samples is meaningless)
-    def runOnce(): Map[String, Option[Double]] = {
+    def runOnce(): (Map[String, Option[Double]], Double,
+        Seq[BoundedDfCache.BuildRecord]) = {
       // benchmark integrity: drop every GRADED materialization (bronze
       // parses, shingle/pair/tf tables) so THIS rep executes every graded
       // operator — within the rep they are still built once and shared
@@ -94,7 +118,10 @@ object Bench {
       // dedup_lsh_quality 0.35→4.64 s purely by order). Sorted order makes
       // per-query times comparable round-over-round; the shared_builds
       // section (drained below) attributes the first-touch cost by tag.
-      SparkEntry.queries.toSeq.sortBy(_._1)
+      val allBuilds =
+        scala.collection.mutable.ArrayBuffer.empty[BoundedDfCache.BuildRecord]
+      var rawTotal = 0.0
+      val own = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -105,8 +132,26 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
           }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        val t1 = System.nanoTime()
+        // drain after EVERY query: shared builds that completed in this
+        // window are attributed to the per-tag shared_builds section, and
+        // the query reports its OWN cost — elapsed minus the union of
+        // build wall inside [t0, t1] — so a group head that prewarms
+        // sibling pipelines concurrently no longer absorbs the whole
+        // group's first-touch cost into its per-query number (the r15
+        // attribution problem that false-flagged the cross-round gate).
+        // The union is clipped to the window: a background build spilling
+        // past t1 charges its remainder to whichever later query blocks
+        // on its latch, which is the query that actually waited.
+        val builds = BoundedDfCache.drainBuilds()
+        allBuilds ++= builds
+        if (ok) {
+          val elapsed = (t1 - t0) / 1e9
+          rawTotal += elapsed
+          name -> Some(math.max(0.0, elapsed - clippedUnion(builds, t0, t1)))
+        } else name -> None
       }.toMap
+      (own, rawTotal, allBuilds.toList)
     }
     // co-tenant noise probe: a fixed single-threaded busy-loop timed
     // before each rep. Its wall time is a host constant on a quiet
@@ -133,26 +178,28 @@ object Bench {
     // the worse of the pair per rep (a mid-rep burst that ends before the
     // post-probe remains undetectable — flat probes are evidence of a
     // quiet host, not proof)
-    BoundedDfCache.drainBuildTimes() // warmup's fixture builds: not a rep's
+    BoundedDfCache.drainBuilds() // warmup's fixture builds: not a rep's
     val probed = (1 to reps).map { i =>
       val pre = noiseProbe()
-      val r = runOnce()
-      val builds = BoundedDfCache.drainBuildTimes()
+      val (r, rawTotal, builds) = runOnce()
       val post = noiseProbe()
       System.err.println(
-        f"[bench] run $i/$reps total ${r.values.flatten.sum}%.1f s " +
+        f"[bench] run $i/$reps total ${rawTotal}%.1f s " +
           f"(probes ${pre}%.2f/${post}%.2f s, shared builds " +
-          f"${builds.map(_._2).sum}%.1f s over ${builds.size} tags)")
-      ((pre, post), r, builds)
+          f"${builds.map(_.seconds).sum}%.1f s over ${builds.size} tags)")
+      ((pre, post), r, rawTotal, builds)
     }
     val noises = probed.map(p => math.max(p._1._1, p._1._2))
     val noisePairs = probed.map(_._1)
     val runs = probed.map(_._2)
-    // per-tag MIN across reps (same least-contended-sample logic as the
-    // per-query mins). Fixture tags appear only in the rep that first
-    // built them (they survive rep boundaries by contract) — those report
-    // their single observed build.
-    val sharedBuilds = probed.flatMap(_._3).groupBy(_._1)
+    // per-tag MIN across reps of the per-rep summed duration (same
+    // least-contended-sample logic as the per-query mins). Fixture tags
+    // appear only in the rep that first built them (they survive rep
+    // boundaries by contract) — those report their single observed build.
+    val sharedBuilds = probed
+      .map(_._4.groupBy(_.tag).map { case (t, rs) =>
+        t -> rs.map(_.seconds).sum })
+      .flatten.groupBy(_._1)
       .map { case (tag, ts) => tag -> ts.map(_._2).min }
       .toSeq.sortBy(-_._2)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -163,13 +210,15 @@ object Bench {
       val ok = runs.flatMap(_(n))
       n -> (if (ok.isEmpty) None else Some(ok.min))
     }.toMap
-    val totals = runs.map(_.values.flatten.sum)
+    // RAW elapsed totals (shared builds INCLUDED — only the per-query map
+    // nets them out), so the headline keeps its round-over-round meaning
+    val totals = probed.map(_._3)
     // the headline minimum considers only COMPLETE reps: a rep where a
     // query fast-failed did strictly less work, so its (smaller) total
     // must not become the reported gate number; if every rep had a
     // failure, report the pessimistic max instead of a best-case lie
     val completeTotals =
-      runs.filter(_.values.forall(_.isDefined)).map(_.values.flatten.sum)
+      probed.filter(_._2.values.forall(_.isDefined)).map(_._3)
     val headline =
       if (completeTotals.nonEmpty) completeTotals.min else totals.max
     // explicit Locale.ROOT: the default-locale f"" interpolator writes a

@@ -27,16 +27,25 @@ private[graft] object BoundedDfCache {
   private val entries =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
 
-  /** Wall seconds each tag's first build+materialization took, since the
-    * last [[drainBuildTimes]]. The benchmark drains this per rep and ships
-    * it as the `shared_builds` JSON section: first-touch cost of a shared
-    * table still lands inside SOME query's timed window (alphabetically
-    * first consumer, now that Bench runs in sorted order), and this section
-    * says exactly how much of that query's time is the shared build —
-    * without it, per-query times look like regressions whenever a new name
-    * sorts ahead of the old first consumer. */
-  private val buildTimes =
-    scala.collection.mutable.LinkedHashMap.empty[String, Double]
+  /** One completed shared build: tag + the wall-clock window
+    * (nanoTime start/end) its build+materialization occupied. The
+    * benchmark drains these after EVERY query and (a) ships the per-tag
+    * durations as the `shared_builds` JSON section — the attribution
+    * unit for first-touch cost — and (b) subtracts the interval-UNION of
+    * the builds that completed inside a query's timed window from that
+    * query's reported time, so a group head that prewarms three sibling
+    * pipelines concurrently reports its OWN cost, not the group's (the
+    * r15 concurrency rework otherwise made `cdc_sink_upsert`-class heads
+    * false-flag the cross-round regression gate). Intervals, not just
+    * durations: concurrent group builds overlap, so summing durations
+    * would over-subtract past the query's real blocked wall time. */
+  private[graft] final case class BuildRecord(
+      tag: String, startNs: Long, endNs: Long) {
+    def seconds: Double = (endNs - startNs) / 1e9
+  }
+
+  private val buildRecords =
+    scala.collection.mutable.ArrayBuffer.empty[BuildRecord]
 
   /** Tags currently being built, each with a latch its waiters block on.
     * Builds run OUTSIDE the map monitor (r15): holding it for the whole
@@ -45,7 +54,8 @@ private[graft] object BoundedDfCache {
     * is exactly what the concurrent standing-consumer prewarm
     * ([[graft.operators.CdcQueries]]) needs to work. */
   private val building = scala.collection.mutable.Map
-    .empty[(SparkSession, String), java.util.concurrent.CountDownLatch]
+    .empty[(SparkSession, String),
+      (Thread, java.util.concurrent.CountDownLatch)]
 
   /** Get the cached frame for (spark, tag), or build + persist it.
     * Concurrent callers of the SAME tag: one builds, the rest wait on the
@@ -61,16 +71,30 @@ private[graft] object BoundedDfCache {
         entries.get(key) match {
           case Some(df) => Some(Right(df))
           case None => building.get(key) match {
-            case Some(l) => Some(Left(l))
+            case Some((thr, l)) =>
+              // a build that re-enters getOrPersist for its OWN tag would
+              // otherwise await its own latch and wedge silently — fail
+              // loudly instead (no legitimate caller does this)
+              if (thr eq Thread.currentThread())
+                throw new IllegalStateException(
+                  s"re-entrant build of cache tag '$tag' on its own thread")
+              Some(Left(l))
             case None =>
-              building(key) = new java.util.concurrent.CountDownLatch(1)
+              building(key) = (Thread.currentThread(),
+                new java.util.concurrent.CountDownLatch(1))
               None
           }
         }
       }
       claim match {
         case Some(Right(df)) => return df
-        case Some(Left(l)) => l.await() // built (or failed) — re-check
+        case Some(Left(l)) =>
+          // blocking{}: waiters run on ForkJoinPool threads (the
+          // concurrent prewarm groups use the global ExecutionContext,
+          // which spawns nested futures on the same pool) — without the
+          // managed-blocker hint, enough same-tag waiters pin every pool
+          // thread and starve the builds they are waiting on
+          scala.concurrent.blocking { l.await() } // built or failed — re-check
         case None =>
           try {
             val t0 = System.nanoTime()
@@ -96,23 +120,23 @@ private[graft] object BoundedDfCache {
                 entries.remove(k)
               }
               entries(key) = df
-              buildTimes(tag) = buildTimes.getOrElse(tag, 0.0) +
-                (System.nanoTime() - t0) / 1e9
+              buildRecords += BuildRecord(tag, t0, System.nanoTime())
             }
             return df
           } finally entries.synchronized {
-            building.remove(key).foreach(_.countDown())
+            building.remove(key).foreach(_._2.countDown())
           }
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** Return and reset the per-tag build timings accumulated since the
-    * previous drain (benchmark reps call this once per rep). */
-  def drainBuildTimes(): Seq[(String, Double)] = entries.synchronized {
-    val out = buildTimes.toSeq
-    buildTimes.clear()
+  /** Return and reset the build records accumulated since the previous
+    * drain (the benchmark drains after every query; Verify/tests never
+    * drain, which is fine — the buffer is bounded by the tag count). */
+  def drainBuilds(): Seq[BuildRecord] = entries.synchronized {
+    val out = buildRecords.toList
+    buildRecords.clear()
     out
   }
 

@@ -385,8 +385,14 @@ object PipelineQueries extends QueryGroup {
           when(col("doc_id") % 13 === 5,
             concat(col("text"), lit(" [rev2]")))
             .otherwise(col("text")).as("text"))
+      // the "added" slice re-ids above the corpus's own id space — the
+      // offset is DERIVED (max(doc_id)+1, a broadcast 1-row frame), not a
+      // fixed constant, so a corpus whose ids reach any magnitude can
+      // never collide synthesized ids with real ones
+      val off = broadcast(docs.agg((max("doc_id") + 1L).as("id_off")))
       val v2new = docs.filter(col("doc_id") % 19 === 7)
-        .select((col("doc_id") + 100000000L).as("doc_id"),
+        .crossJoin(off)
+        .select((col("doc_id") + col("id_off")).as("doc_id"),
           concat(lit("NEW "), col("text")).as("text"))
       val v2 = v2base.unionByName(v2new)
         .select(col("doc_id"),
@@ -418,7 +424,8 @@ object PipelineQueries extends QueryGroup {
         |    CASE WHEN doc_id % 13 = 5 THEN text || ' [rev2]'
         |         ELSE text END AS text
         |  FROM documents WHERE doc_id % 17 <> 3),
-        |v2n AS (SELECT doc_id + 100000000 AS doc_id, 'NEW ' || text AS text
+        |v2n AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+        |      AS doc_id, 'NEW ' || text AS text
         |  FROM documents WHERE doc_id % 19 = 7),
         |v2 AS (SELECT doc_id, md5(text) AS h2,
         |    CAST(length(text) AS BIGINT) AS c2

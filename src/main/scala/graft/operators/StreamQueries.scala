@@ -145,7 +145,7 @@ object StreamQueries extends QueryGroup {
     // op 15 GRADED END TO END — watermarked stream-stream LEFT-OUTER
     // interval join through a REAL two-MemoryStream Structured Streaming
     // query (Append mode), not the batch twin: disjoint event slices
-    // replay as five lockstep micro-batches; matches emit as both sides
+    // replay as three lockstep micro-batches; matches emit as both sides
     // arrive, while an UNMATCHED left row null-pads only once the global
     // watermark (min of both sources', ratcheting at trigger boundaries)
     // passes its 2-hour match-window end and the symmetric-hash state

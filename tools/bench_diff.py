@@ -8,6 +8,15 @@ Both inputs are graft.Bench full-JSON lines (bench_perquery_rN.json /
 bench_perquery_latest.json — the first line of SPARK_GRAFT_BENCH_OUT also
 works). Compares per-query minima and prints:
 
+Attribution note (r16): Bench per-query times are now OWN cost — the
+interval-union of shared builds completing inside a query's window is
+subtracted and attributed to the `shared_builds` tags instead, so a
+concurrent-group head (e.g. cdc_sink_upsert prewarming the standing
+pipelines) no longer false-flags here when build cost moves between
+consumers. Rep totals ("runs"/"value") remain RAW (builds included).
+Comparing a pre-r16 (raw) file against an r16+ (netted) file shows group
+heads as large improvements — expected, and never flagged.
+
   - REGRESSED: queries whose current min > flag x prior min (default 1.5x),
     with both times floored at `floor` seconds (default 0.15 s — below that
     per-query fixed overhead dominates and a 0.05->0.12 s "2.4x" is
