@@ -881,6 +881,178 @@ object CdcOps {
   }
 
   // -------------------------------------------------------------------
+  // Signal-driven AD-HOC incremental snapshot (public Debezium
+  // signaling: an INSERT into the signal table with
+  // type='execute-snapshot' and a data-collections JSON payload arrives
+  // MID-STREAM; the connector then chunk-reads ONLY the named
+  // collections, interleaved with live streaming, through the same DBLog
+  // watermark merge as A4' — the operational path a deployment uses to
+  // re-sync one table without restarting the connector).
+  //
+  // Spark-first reduction: the signal rows are a captured changelog like
+  // any other. Per captured table, chunk generation is GATED in the data
+  // plane by a join against the signal rows naming that collection — no
+  // signal, zero chunk rows — and every chunk's low watermark is placed
+  // STRICTLY AFTER the signal's WAL position (the re-sync starts when
+  // the signal arrives, so chunk reads observe a stream prefix that
+  // includes it). The standard compaction window then merges chunks and
+  // stream exactly as in the A4' reduction, so the final state equals
+  // straight compaction regardless of where the signal landed — that
+  // equivalence is the algorithm's contract and the oracle.
+  //   * signal 'adhoc-orders' at lsn 3·maxOrderKey (≈30% into orders'
+  //     k·10 lsn space) → re-sync public.orders
+  //   * signal 'adhoc-users'  at lsn 6·maxCustKey (≈60% into users'
+  //     space) → the second, later signal: its chunked re-sync of a
+  //     DIFFERENT table interleaves with the orders one
+  // -------------------------------------------------------------------
+
+  /** Kafka-record-shaped changelog of the `signal` table: two
+    * execute-snapshot INSERTs, one per collection, each at a mid-stream
+    * WAL position derived from that table's own key space (broadcast
+    * 1-row scalars — never O(data)). */
+  def synthSignalChangelog(spark: SparkSession, sfDir: String): DataFrame =
+    cachedFixture(spark, sfDir, "signals") {
+      val nullSig = lit(null).cast(Debezium.signalRowSchema)
+      def sig(id: String, collection: String, src: DataFrame): DataFrame =
+        src.select(
+          lit("prod.postgres.signal").as("topic"),
+          to_json(struct(lit(id).as("id"))).as("key"),
+          envelopeJsonFor(nullSig,
+            struct(
+              lit(id).as("id"),
+              lit("execute-snapshot").as("type"),
+              lit(s"""{"data-collections":["$collection"]}""").as("data")),
+            "c", col("_slsn"), "signal", lit(0L)).as("value"))
+      val o = Tables.scan(spark, sfDir, "orders")
+        .agg((max(col("o_orderkey")) * 3).as("_slsn"))
+      val c = Tables.scan(spark, sfDir, "customer")
+        .agg((max(col("c_custkey")) * 6).as("_slsn"))
+      sig("adhoc-orders", "public.orders", o)
+        .unionByName(sig("adhoc-users", "public.users", c))
+    }
+
+  /** Parsed `signal` changelog (bronze, shared). */
+  def parsedSignals(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "parsed-signals")(Debezium.parseEnvelope(
+      synthSignalChangelog(spark, sfDir), Debezium.signalRowSchema))
+
+  /** One row per (collection, signal lsn) named by an execute-snapshot
+    * signal — the data-plane gate chunk generation joins against. */
+  def snapshotSignals(spark: SparkSession, sfDir: String): DataFrame =
+    unwrap(parsedSignals(spark, sfDir))
+      .filter(col("type") === "execute-snapshot" &&
+        col("__deleted") === "false")
+      .select(
+        explode(from_json(col("data"), StructType(Seq(StructField(
+            "data-collections", ArrayType(StringType)))))
+          .getField("data-collections")).as("collection"),
+        col("_lsn").as("_sig_lsn"))
+      // several signals for one collection → re-sync from the latest;
+      // grouped (not a global agg) so an ABSENT collection stays absent
+      // and the gate below yields zero chunk rows for it
+      .groupBy("collection").agg(max("_sig_lsn").as("_sig_lsn"))
+
+  /** Signal lsn for one collection as a broadcast ≤1-row frame: the
+    * cross join against it is the GATE — zero rows when no signal names
+    * the collection, so no chunk is ever read un-signaled. */
+  private def signalGate(
+      spark: SparkSession, sfDir: String, collection: String): DataFrame =
+    broadcast(snapshotSignals(spark, sfDir)
+      .filter(col("collection") === collection).drop("collection"))
+
+  /** Chunk low watermark: strictly after the signal position, last chunk
+    * covering the WAL tail (ceil division reaches `maxLsn`). */
+  private def chunkLw(maxLsn: Column, chunks: Int): Column =
+    (col("_sig_lsn") + ceil((maxLsn - col("_sig_lsn"))
+      * (col("_chunk") + 1) / lit(chunks))).cast(LongType)
+
+  /** Signal-gated chunked re-sync reads of `orders` (`op='r'`,
+    * `lsn` = chunk low watermark, `snapshot=true`) — the same
+    * state-as-of-LW construction as [[synthOrdersSnapshotChunks]], with
+    * every LW placed after the gating signal's position. */
+  def synthOrdersSignalChunks(
+      spark: SparkSession, sfDir: String, chunks: Int = 8): DataFrame = {
+    val o = Tables.scan(spark, sfDir, "orders")
+    val k = col("o_orderkey")
+    val maxk = o.agg(max(k).as("_maxk"))
+    val withLw = o
+      .crossJoin(signalGate(spark, sfDir, "public.orders"))
+      .crossJoin(broadcast(maxk))
+      .withColumn("_chunk", pmod(k, lit(chunks)))
+      .withColumn("_lw", chunkLw(col("_maxk") * 10 + 8, chunks))
+    val visible = withLw
+      .filter(!(k % 7 === 0 && k * 10 + 8 <= col("_lw"))) // not deleted
+    val statusAsOfLw =
+      when(k % 10 === 0 && k * 10 + 5 <= col("_lw"), lit("X"))
+        .otherwise(col("o_orderstatus"))
+    visible.select(
+      lit("prod.postgres.orders").as("topic"),
+      to_json(struct(col("o_orderkey"))).as("key"),
+      to_json(struct(
+        nullRow.as("before"),
+        ordersRow(statusAsOfLw).as("after"),
+        sourceStruct(col("_lw"), snapshot = true).as("source"),
+        lit("r").as("op"),
+        epochMs(col("o_orderdate")).as("ts_ms"))).as("value"))
+  }
+
+  /** Signal-gated chunked re-sync reads of `users`: every customer is
+    * live (the users fixture has no deletes); the balance reflects the
+    * k%5 update iff its lsn 10k+5 precedes the chunk's LW. */
+  def synthUsersSignalChunks(
+      spark: SparkSession, sfDir: String, chunks: Int = 8): DataFrame = {
+    val c = Tables.scan(spark, sfDir, "customer")
+    val k = col("c_custkey")
+    val nullUser = lit(null).cast(Debezium.customerRowSchema)
+    val maxk = c.agg(max(k).as("_maxk"))
+    val withLw = c
+      .crossJoin(signalGate(spark, sfDir, "public.users"))
+      .crossJoin(broadcast(maxk))
+      .withColumn("_chunk", pmod(k, lit(chunks)))
+      .withColumn("_lw", chunkLw(col("_maxk") * 10 + 5, chunks))
+    val balAsOfLw = col("c_acctbal") +
+      when(k % 5 === 0 && k * 10 + 5 <= col("_lw"), 100).otherwise(0)
+    withLw.select(
+      lit("prod.postgres.users").as("topic"),
+      to_json(struct(col("c_custkey"))).as("key"),
+      to_json(struct(
+        nullUser.as("before"),
+        usersRow(balAsOfLw).as("after"),
+        sourceStruct(col("_lw"), snapshot = true, "users", lit(0L))
+          .as("source"),
+        lit("r").as("op"),
+        lit(0L).as("ts_ms"))).as("value"))
+  }
+
+  /** Final state of BOTH signaled tables: each table's signal-gated
+    * chunk reads merged with its full live stream through the ONE
+    * standard compaction window (chunk rows ride at lsn = LW, exactly
+    * the A4' precedence reduction), then unioned into a single
+    * (tab, pk, state) frame — schemas differ, so the state is a
+    * delimiter-joined projection both engines can restate. */
+  def signalSnapshotState(spark: SparkSession, sfDir: String): DataFrame = {
+    val oChunks = cached(spark, sfDir, "parsed-sigchunks-o")(
+      Debezium.parseEnvelope(
+        synthOrdersSignalChunks(spark, sfDir), Debezium.ordersRowSchema))
+    val uChunks = cached(spark, sfDir, "parsed-sigchunks-u")(
+      Debezium.parseEnvelope(
+        synthUsersSignalChunks(spark, sfDir), Debezium.customerRowSchema))
+    val oState = compactLatest(
+      unwrap(oChunks.unionByName(parsedOrders(spark, sfDir))),
+      keys = Seq("o_orderkey"), ordering = Seq(col("_lsn").desc))
+      .select(lit("orders").as("tab"), col("o_orderkey").as("pk"),
+        concat_ws("|", col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority")).as("state"))
+    val uState = compactLatest(
+      unwrap(uChunks.unionByName(parsedUsers(spark, sfDir))),
+      keys = Seq("c_custkey"), ordering = Seq(col("_lsn").desc))
+      .select(lit("users").as("tab"), col("c_custkey").as("pk"),
+        concat_ws("|", col("c_name"), col("c_acctbal"),
+          col("c_mktsegment")).as("state"))
+    oState.unionByName(uState)
+  }
+
+  // -------------------------------------------------------------------
   // Transactional-outbox fixture: an outbox-table changelog derived from
   // `events` (id = event_id, aggregatetype = event_type, aggregateid =
   // user_id, payload = props — the JSON the producing service wrote).

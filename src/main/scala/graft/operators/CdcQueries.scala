@@ -675,6 +675,18 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // A4' operational half: SIGNAL-DRIVEN ad-hoc incremental snapshot
+    // (public Debezium signaling). Two execute-snapshot signals arrive
+    // mid-stream — 'adhoc-orders' first, then 'adhoc-users' for a
+    // different table — and each starts a chunked re-sync of ONLY its
+    // named collection, gated in the data plane (a collection no signal
+    // names gets zero chunk rows) with every chunk read positioned after
+    // its signal's WAL lsn. Chunks ride the existing DBLog watermark
+    // merge; the oracle is the straight-compaction final state of both
+    // tables, which the signal-gated path must reach exactly.
+    "cdc_signal_snapshot" -> ((s, dir) =>
+      CdcOps.signalSnapshotState(s, dir).orderBy("tab", "pk")),
+
     // B10: ByLogicalTableRouter — two tenants' topics collapse onto one
     // logical `orders` table; the SAME primary keys exist in both, so
     // the merged compaction keys on (physical topic, PK) — the key
@@ -1473,6 +1485,30 @@ object CdcQueries extends QueryGroup {
         |       o_totalprice, o_orderdate_us, o_orderpriority
         |FROM base WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin),
+
+    // straight compaction of BOTH signaled tables (orders under its
+    // update/delete rules, users under its k%5 +100 balance update) —
+    // the state the signal-gated chunk path must reach; decimal→string
+    // via DECIMAL(12,2), the fixture's decimal.handling.mode
+    "cdc_signal_snapshot" ->
+      """WITH o AS (
+        |  SELECT 'orders' AS tab, o_orderkey AS pk,
+        |    concat_ws('|',
+        |      CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END,
+        |      CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+        |      o_orderpriority) AS state
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |u AS (
+        |  SELECT 'users' AS tab, c_custkey AS pk,
+        |    concat_ws('|', c_name,
+        |      CAST(CAST(c_acctbal +
+        |          CASE WHEN c_custkey % 5 = 0 THEN 100 ELSE 0 END
+        |        AS DECIMAL(12,2)) AS VARCHAR),
+        |      c_mktsegment) AS state
+        |  FROM customer)
+        |SELECT tab, pk, state FROM o
+        |UNION ALL SELECT tab, pk, state FROM u
+        |ORDER BY tab, pk""".stripMargin,
 
     // the router's contract over the synthesized outbox feed: the routed
     // stream IS the events table re-keyed — inserts only, deletes and

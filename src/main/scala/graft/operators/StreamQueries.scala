@@ -300,6 +300,57 @@ object StreamQueries extends QueryGroup {
         .orderBy("part", "run_start")
     }),
 
+    // op 43'''' — HEARTBEAT/LIVENESS stall (public Debezium
+    // `heartbeat.interval.ms`: the connector publishes a heartbeat
+    // record every interval even when the captured tables' WAL is
+    // silent, so a MISSING heartbeat separates "connector dead /
+    // replication wedged" from "no changes to ship" — the liveness
+    // signal the three graded traffic rules cannot see). Heartbeats
+    // ride the hour grid; the synthesized feed drops (a) a contiguous
+    // SILENT-WAL STRETCH on the postgres connector — the incident:
+    // span/4 hours into the series, max(3, span/10) hours long — and
+    // (b) isolated single misses every 37 hours on both connectors
+    // (scrape hiccups; 37-hour spacing means they are never contiguous,
+    // so these sub-minRun runs must NOT page). The mysql connector has
+    // only (b) — the standing negative case rides in the same grid and
+    // contributes zero output rows. The islands rule fires on ≥3
+    // consecutive missed heartbeats via the SAME sustainedRuns
+    // machinery as the other graded rules (n=1 marks a missed bucket).
+    // Scale shape: grid is connectors × span-hours (monitoring-series
+    // cardinality, corpus-size-independent); the only corpus-sized work
+    // is the one span aggregate.
+    "alert_heartbeat_stall" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      val span = ev.agg(date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+      val hours = span
+        .select(
+          explode(expr("sequence(t0, t1, interval 1 hour)")).as("h"),
+          (unix_micros(col("t0").cast("timestamp")) / 3600000000L)
+            .cast("long").as("t0i"),
+          (unix_micros(col("t1").cast("timestamp")) / 3600000000L)
+            .cast("long").as("t1i"))
+        .withColumn("hi",
+          (unix_micros(col("h").cast("timestamp")) / 3600000000L)
+            .cast("long"))
+        .withColumn("off", col("hi") - col("t0i"))
+        .withColumn("span_h", col("t1i") - col("t0i") + 1)
+      val grid = s.range(2)
+        .select(when(col("id") === 0, "postgres-prod")
+          .otherwise("mysql-prod").as("server"))
+        .crossJoin(hours) // bounded: 2 connectors × span-hours
+      val missed = grid.filter(
+        (col("server") === "postgres-prod" &&
+          col("off") >= expr("span_h div 4") &&
+          col("off") < expr("span_h div 4") +
+            greatest(lit(3L), expr("span_h div 10"))) ||
+        col("off") % 37 === 0)
+        .select(col("server"), col("h"), lit(1L).as("n"))
+      graft.streaming.AlertRules.sustainedRuns(
+        missed, keyCol = "server", threshold = 1L, minRun = 3)
+        .orderBy("server", "run_start")
+    }),
+
     "alert_availability" -> ((s, dir) => {
       // the grid is session-cached: both rule evaluations below reference
       // it, and without the persist the unioned plan would re-run the
@@ -783,6 +834,37 @@ object StreamQueries extends QueryGroup {
         |  COUNT(*) AS n_hours, CAST(MAX(lg) AS BIGINT) AS peak
         |FROM g2 GROUP BY part, grp HAVING COUNT(*) >= 5
         |ORDER BY part, run_start""".stripMargin,
+
+    // the heartbeat-miss set restated on the same dense grid: stall
+    // stretch (postgres only) ∪ 37-hour hiccups (both connectors),
+    // islands over contiguity, runs ≥ 3 survive; mysql's isolated
+    // misses never reach minRun, so only postgres rows emerge
+    "alert_heartbeat_stall" ->
+      """WITH span AS (SELECT date_trunc('hour', MIN(ts)) AS t0,
+        |    date_trunc('hour', MAX(ts)) AS t1 FROM events),
+        |hrs AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+        |  FROM span),
+        |idx AS (SELECT h,
+        |    CAST(epoch(h) AS BIGINT) // 3600
+        |      - (SELECT CAST(epoch(t0) AS BIGINT) // 3600 FROM span)
+        |      AS off,
+        |    (SELECT CAST(epoch(t1) AS BIGINT) // 3600
+        |      - CAST(epoch(t0) AS BIGINT) // 3600 + 1 FROM span) AS span_h
+        |  FROM hrs),
+        |srv AS (SELECT 'postgres-prod' AS server
+        |  UNION ALL SELECT 'mysql-prod'),
+        |miss AS (SELECT s.server, i.h,
+        |    row_number() OVER (PARTITION BY s.server ORDER BY i.h) AS rn,
+        |    CAST(epoch(i.h) AS BIGINT) // 3600 AS hi
+        |  FROM srv s CROSS JOIN idx i
+        |  WHERE (s.server = 'postgres-prod' AND i.off >= i.span_h // 4
+        |         AND i.off < i.span_h // 4 + greatest(3, i.span_h // 10))
+        |     OR i.off % 37 = 0)
+        |SELECT server, MIN(h) AS run_start, MAX(h) AS run_end,
+        |  COUNT(*) AS n_hours, CAST(1 AS BIGINT) AS peak
+        |FROM (SELECT *, hi - rn AS grp FROM miss)
+        |GROUP BY server, grp HAVING COUNT(*) >= 3
+        |ORDER BY server, run_start""".stripMargin,
 
     // the two-window burn restated: hour aggregate, trailing 6 h range
     // frame, exact ppm integer division, exact cross-multiplied page

@@ -179,6 +179,16 @@ object Debezium {
     StructField("c_acctbal", StringType),     // decimal.handling.mode=string
     StructField("c_mktsegment", StringType)))
 
+  /** Row schema of the Debezium signaling table (public Debezium docs:
+    * `signal.data.collection` names a captured table with columns
+    * id/type/data; an INSERT with type='execute-snapshot' and a JSON
+    * `data` payload naming data-collections triggers an ad-hoc
+    * incremental snapshot of those collections mid-stream). */
+  val signalRowSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("type", StringType),
+    StructField("data", StringType)))
+
   /** Row schema of a transactional-outbox table — the column set
     * Debezium's Outbox Event Router SMT expects (public Debezium docs;
     * `table.field.event.{id,aggregatetype,aggregateid,type,payload}`
