@@ -675,6 +675,30 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // Confluent Schema-Registry WIRE FORMAT (the reference's deployed
+    // registry payload: magic 0x00 + 4-byte schema id + Avro body; the
+    // spark-avro module does not resolve offline, so the body is decoded
+    // by Apache Avro's own GenericDatumReader at the typed codec seam —
+    // see sources/AvroWire.scala): a mixed-schema-id topic (inserts
+    // written under registry v1, updates/deletes under v2 which adds a
+    // defaulted o_comment) decodes under the v2 READER schema —
+    // per-record writer dispatch + Avro schema resolution — then rides
+    // the standard compaction. The surviving update rows carry v2's
+    // comment; v1-written survivors surface the default null, proving
+    // the resolution actually ran.
+    "cdc_compact_avro" -> ((s, dir) => {
+      import graft.sources.AvroWire
+      val decoded = graft.BoundedDfCache.getOrPersist(
+        s, s"cdc:avro-decoded:$dir")(
+        AvroWire.decodeOrdersConfluent(
+          AvroWire.synthConfluentChangelog(s, dir)))
+      CdcOps.compactLatest(decoded,
+        keys = Seq("o_orderkey"), ordering = Seq(col("_lsn").desc))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate_us", "o_orderpriority", "o_comment")
+        .orderBy("o_orderkey")
+    }),
+
     // A4' operational half: SIGNAL-DRIVEN ad-hoc incremental snapshot
     // (public Debezium signaling). Two execute-snapshot signals arrive
     // mid-stream — 'adhoc-orders' first, then 'adhoc-users' for a
@@ -1483,6 +1507,19 @@ object CdcQueries extends QueryGroup {
         |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
         |         AS o_orderstatus,
         |       o_totalprice, o_orderdate_us, o_orderpriority
+        |FROM base WHERE o_orderkey % 7 <> 0
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // cdc_compact's state plus the v2-schema comment: 'rev2' exactly on
+    // surviving update rows (k%10==0 not deleted), default-null on
+    // v1-written survivors
+    "cdc_compact_avro" -> (baseCte +
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |         AS o_orderstatus,
+        |       o_totalprice, o_orderdate_us, o_orderpriority,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'rev2'
+        |            ELSE NULL END AS o_comment
         |FROM base WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin),
 
