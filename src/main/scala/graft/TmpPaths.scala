@@ -30,6 +30,24 @@ object TmpPaths {
     new java.io.File(sys.props("java.io.tmpdir"),
       s"$name-${sanitize(src)}").toString
 
+  /** An EPHEMERAL per-process scratch root for artifacts with no
+    * durability contract at all — the replay-feed streaming checkpoints:
+    * a MemoryStream source cannot recover from a checkpoint (NOTES.md
+    * gotcha 7), so those bytes exist only to satisfy the state-store
+    * commit protocol within one run. Prefers tmpfs (/dev/shm) when
+    * present so each micro-batch's state commits pay memory latency
+    * rather than disk fsync; falls back to java.io.tmpdir. A
+    * deployment's checkpoints carry a recovery contract and go to
+    * durable storage — never through this helper. */
+  def ephemeral(name: String, src: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(sys.props("java.io.tmpdir"))
+    new java.io.File(base,
+      s"$name-${sanitize(src)}-p${ProcessHandle.current().pid()}").toString
+  }
+
   /** A tmpdir location private to THIS driver process, for artifacts that
     * are wiped and rebuilt per invocation (keyed by pid so concurrent
     * drivers cannot interleave with the wipe; stable within the process
