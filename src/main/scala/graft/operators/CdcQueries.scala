@@ -675,6 +675,27 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // B-chain PII transforms (public Kafka Connect/Debezium SMTs:
+    // `MaskField` / column.mask.with.length.chars — replace a sensitive
+    // column with a fixed-length mask BEFORE it ever reaches a sink —
+    // and column.truncate.to.length.chars — cap an unbounded column at
+    // the sink's width): configured on the users feed as mask(c_name,
+    // '*'×10) + truncate(c_mktsegment, 4). The transforms are pure
+    // map-side projections applied in the SMT chain position (on the
+    // unwrapped stream, before compaction), so the sink-visible state —
+    // including delete rewrites and the k%5 balance update — never
+    // contains the raw PII. One compaction shuffle, same as cdc_compact.
+    "cdc_mask_truncate" -> ((s, dir) => {
+      val masked = CdcOps.unwrap(CdcOps.parsedUsers(s, dir))
+        .withColumn("c_name", lit("*" * 10))
+        .withColumn("c_mktsegment", substring(col("c_mktsegment"), 1, 4))
+      CdcOps.compactLatest(masked,
+        keys = Seq("c_custkey"), ordering = Seq(col("_lsn").desc))
+        .select(col("c_custkey"), col("c_name").as("c_name_masked"),
+          col("c_mktsegment").as("c_mktsegment_trunc"), col("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
     // Confluent Schema-Registry WIRE FORMAT (the reference's deployed
     // registry payload: magic 0x00 + 4-byte schema id + Avro body; the
     // spark-avro module does not resolve offline, so the body is decoded
@@ -1509,6 +1530,17 @@ object CdcQueries extends QueryGroup {
         |       o_totalprice, o_orderdate_us, o_orderpriority
         |FROM base WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin),
+
+    // the masked/truncated users state: name fully masked, segment
+    // capped at 4 chars, the k%5 balance update applied (users has no
+    // deletes — every customer survives)
+    "cdc_mask_truncate" ->
+      """SELECT c_custkey, repeat('*', 10) AS c_name_masked,
+        |       substr(c_mktsegment, 1, 4) AS c_mktsegment_trunc,
+        |       CAST(CAST(c_acctbal +
+        |           CASE WHEN c_custkey % 5 = 0 THEN 100 ELSE 0 END
+        |         AS DECIMAL(12,2)) AS VARCHAR) AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // cdc_compact's state plus the v2-schema comment: 'rev2' exactly on
     // surviving update rows (k%10==0 not deleted), default-null on

@@ -128,6 +128,32 @@ object SimilarityQueries extends QueryGroup {
     "sim_topk" -> ((s, dir) =>
       exactTopK(s, dir).orderBy("qid", "rank")),
 
+    // MAXIMUM INNER-PRODUCT search (MIPS) — the recommendation/reward-
+    // model scoring order, which cosine deliberately erases (two vectors
+    // with equal direction but different magnitude tie under cosine and
+    // differ under MIPS). Graded: exact top-10 by raw inner product
+    // (the deterministic element-order fold — bit-identical cross-
+    // engine, NOTES fact 1). Scale path: the norm-augmentation
+    // reduction — append sqrt(M²−‖x‖²) to each corpus vector (M = max
+    // norm, a broadcast scalar) and 0 to the query, making augmented
+    // cosine a monotone transform of the inner product (‖x_aug‖ ≡ M),
+    // so the entire existing cosine ANN stack (LSH buckets, IVF lists,
+    // PQ codes) indexes MIPS unchanged; SignalSnapshotAvroSpec's sim
+    // sibling (DedupSimilaritySpec) asserts the reduction preserves
+    // this exact ranking on the fixture.
+    "sim_mips" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10).toDF("qid", "qlabel", "q", "qn")
+      val w = Window.partitionBy("qid")
+        .orderBy(col("ip").desc, col("vec_id"))
+      broadcast(q).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          dot(col("q"), col("v")).as("ip"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy("qid", "rank")
+    }),
+
     // NOTE (r14): the standalone rows-only entries `sim_ann_lsh` and
     // `sim_ann_ivf` are RETIRED from the graded catalog — each is
     // subsumed by a fully-oracled end-to-end twin (`sim_ann_lsh_pinned`,
@@ -1007,6 +1033,22 @@ object SimilarityQueries extends QueryGroup {
         |    ORDER BY cosine DESC, vec_id) AS INT) AS rank
         |  FROM scored)
         |SELECT qid, vec_id, label, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // the same element-order fold without normalization: raw inner
+    // product, rank by (ip DESC, vec_id)
+    "sim_mips" ->
+      """WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+        |scored AS (SELECT q.vec_id AS qid, e.vec_id, e.label,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(q.v, e.v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |      (x, y) -> x + y) AS ip
+        |  FROM e q JOIN e ON q.vec_id < 10 AND q.vec_id != e.vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY ip DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT qid, vec_id, label, ip, rank FROM ranked
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "sim_topk" ->

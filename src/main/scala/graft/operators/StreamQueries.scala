@@ -351,6 +351,50 @@ object StreamQueries extends QueryGroup {
         .orderBy("server", "run_start")
     }),
 
+    // op 43 GRADED EXPOSITION — the scrape surface itself (reference
+    // deploys prometheus scraping the connect/exporter endpoints;
+    // prometheus-config.yaml:26-59): a deterministic per-(query, hour)
+    // batch ledger renders through the REAL text-exposition writer
+    // (format 0.0.4, HELP/TYPE framing, label escaping) and is scraped
+    // back by the REAL parser — the full exporter→scrape round trip on
+    // the graded path; the compare runs on the PARSED samples, so the
+    // oracle restates (metric, labels, value) while text formatting
+    // stays the renderer's concern (Double.toString round-trips exactly
+    // through the parser at any magnitude). The driver transfer is the
+    // bounded monitoring ledger — types × span-hours, corpus-size-
+    // independent; the only corpus-sized work is the hourly aggregate.
+    "cdc_prometheus_metrics" -> ((s, dir) => {
+      import graft.streaming.{Prometheus, StreamingMetrics}
+      val ledger = Tables.scan(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "h")
+        .collect()
+      val batches = ledger.toSeq.zipWithIndex.map { case (r, i) =>
+        val n = r.getLong(2)
+        StreamingMetrics.BatchMetrics(
+          queryName = r.getString(0),
+          batchId = i.toLong,
+          inputRows = n,
+          // gauges carry exact integer-valued doubles so the oracle can
+          // restate them from the same hourly counts
+          inputRowsPerSec = n.toDouble,
+          processedRowsPerSec = n.toDouble,
+          batchDurationMs = n * 3)
+      }
+      val text = Prometheus.render(batches,
+        Seq("postgres-orders" -> "RUNNING", "mysql-inventory" -> "PAUSED"))
+      val samples = Prometheus.parse(text).map { sm =>
+        (sm.name,
+          sm.labels.toSeq.sorted
+            .map { case (k, v) => s"$k=$v" }.mkString(","),
+          sm.value)
+      }
+      import s.implicits._
+      samples.toDF("metric", "labels", "value")
+        .orderBy("metric", "labels")
+    }),
+
     "alert_availability" -> ((s, dir) => {
       // the grid is session-cached: both rule evaluations below reference
       // it, and without the persist the unioned plan would re-run the
@@ -888,6 +932,41 @@ object StreamQueries extends QueryGroup {
         |  COUNT(*) AS n_hours, CAST(MAX(lg) AS BIGINT) AS peak
         |FROM g2 GROUP BY part, grp HAVING COUNT(*) >= 5
         |ORDER BY part, run_start""".stripMargin,
+
+    // the exposition families restated from the same hourly ledger:
+    // per query (= event_type) the batch count, cumulative rows, last
+    // hour's integer-valued rates, and 3× duration; plus the two fixed
+    // connector gauges. Values exact-integer-valued doubles; the HUGEINT
+    // window sum is cast inside the DOUBLE
+    "cdc_prometheus_metrics" ->
+      """WITH hr AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY h DESC) AS rn FROM hr),
+        |agg AS (SELECT event_type,
+        |    CAST(COUNT(*) AS DOUBLE) AS batches,
+        |    CAST(SUM(n) AS DOUBLE) AS rows_total,
+        |    CAST(MAX(CASE WHEN rn = 1 THEN n END) AS DOUBLE) AS last_n
+        |  FROM rk GROUP BY 1),
+        |sm AS (
+        |  SELECT 'graft_connector_up' AS metric,
+        |    'connector=postgres-orders' AS labels,
+        |    CAST(1 AS DOUBLE) AS value
+        |  UNION ALL SELECT 'graft_connector_up',
+        |    'connector=mysql-inventory', CAST(0 AS DOUBLE)
+        |  UNION ALL SELECT 'graft_stream_batches_total',
+        |    'query=' || event_type, batches FROM agg
+        |  UNION ALL SELECT 'graft_stream_input_rows_total',
+        |    'query=' || event_type, rows_total FROM agg
+        |  UNION ALL SELECT 'graft_stream_input_rows_per_second',
+        |    'query=' || event_type, last_n FROM agg
+        |  UNION ALL SELECT 'graft_stream_processed_rows_per_second',
+        |    'query=' || event_type, last_n FROM agg
+        |  UNION ALL SELECT 'graft_stream_batch_duration_ms',
+        |    'query=' || event_type, last_n * 3 FROM agg)
+        |SELECT metric, labels, value FROM sm
+        |ORDER BY metric, labels""".stripMargin,
 
     // the heartbeat-miss set restated on the same dense grid: stall
     // stretch (postgres only) ∪ 37-hour hiccups (both connectors),

@@ -852,4 +852,33 @@ class DedupSimilaritySpec extends SparkSpec {
         s"$key: not in the exact pair table (or jaccard drifted)")
     }
   }
+
+  test("sim_mips: norm-augmentation reduction preserves the exact " +
+      "MIPS ranking (the cosine-ANN-stack-indexes-MIPS claim)") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.scan(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"),
+        VectorFunctions.floatNorm(col("embedding")).as("nrm"))
+    // M = max corpus norm: the augmentation scalar (broadcast, 1 row)
+    val m = e.agg(max("nrm")).head.getDouble(0)
+    val q = e.filter(col("vec_id") < 10).toDF("qid", "q", "qn")
+    val ip = VectorFunctions.floatDot(col("q"), col("v"))
+    // augmented cosine: q_aug = (q, 0), x_aug = (x, sqrt(M^2 - |x|^2)) so
+    // dot(q_aug, x_aug) = dot(q, x) and |x_aug| = M for every corpus
+    // vector - cosine = ip / (qn * M), a per-query monotone transform
+    val joined = broadcast(q).join(e, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), ip.as("ip"),
+        (ip / (col("qn") * lit(m))).as("augcos"))
+    val wIp = Window.partitionBy("qid")
+      .orderBy(col("ip").desc, col("vec_id"))
+    val wAug = Window.partitionBy("qid")
+      .orderBy(col("augcos").desc, col("vec_id"))
+    val mismatches = joined
+      .withColumn("r1", row_number().over(wIp))
+      .withColumn("r2", row_number().over(wAug))
+      .filter(col("r1") =!= col("r2")).count()
+    assert(mismatches == 0)
+  }
 }
