@@ -664,6 +664,52 @@ object DedupQueries extends QueryGroup {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       sharedPairs(s, dir).orderBy("da", "db")),
 
+    // op 45 INCREMENTAL — the add-a-batch path a production corpus
+    // actually runs: a DELTA of new documents (pipeline_dataset_diff's
+    // synthesized "added" slice — 'NEW '-prefixed texts, ids re-based
+    // above the corpus id space) is deduplicated against the STANDING
+    // corpus without re-mining it. Only the delta is featurized; its
+    // shingles probe the session-shared standing feature table
+    // ([[shingles]] — the index a deployment keeps materialized) under
+    // the same df cap as the batch family, and candidates verify by
+    // exact Jaccard ≥ 0.5. Every delta doc finds its source (prefix
+    // shifts one shingle: J = n/(n+1)) plus the source's own near-dups.
+    // Scale shape: delta-sized featurize + df-capped index probe —
+    // cost scales with the BATCH, not the corpus; the corpus-sized
+    // shingle table is the standing materialization all dedup policies
+    // already share.
+    "dedup_incremental" -> ((s, dir) => {
+      val sh1 = shingles(s, dir)
+      val off = broadcast(Tables.scan(s, dir, "documents")
+        .agg((max("doc_id") + 1L).as("o")))
+      val delta = Tables.scanPar(s, dir, "documents")
+        .filter(col("doc_id") % 19 === 7)
+        .crossJoin(off)
+        .select((col("doc_id") + col("o")).as("doc_id"),
+          concat(lit("NEW "), col("text")).as("text"))
+      val shd = delta.select(col("doc_id"),
+          explode(VectorFunctions.wordShingles(
+            lower(trim(col("text"))), 4)).as("s"))
+        .distinct()
+      val rare = sh1.groupBy("s").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxShingleDf).select("s")
+      val cand = shd.join(rare, "s").join(sh1.toDF("od", "s"), "s")
+        .select(col("doc_id").as("nd"), col("od")).distinct()
+      val sizes1 = sh1.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val sizesd = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      cand
+        .join(shd.toDF("nd", "s"), "nd")
+        .join(sh1.toDF("od", "s"), Seq("od", "s"))
+        .groupBy("nd", "od").agg(count(lit(1)).as("common"))
+        .join(sizesd.toDF("nd", "na"), "nd")
+        .join(sizes1.toDF("od", "nb"), "od")
+        .select(col("nd").as("new_id"), col("od").as("old_id"),
+          (col("common") / (col("na") + col("nb") - col("common")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("new_id", "old_id")
+    }),
+
     // op 45a'''' — CONTAINMENT near-dup detection, Broder'97's second
     // resemblance measure: c(A,B) = |A∩B| / min(|A|,|B|). Flags a short
     // document wholly EMBEDDED in a long one — there symmetric Jaccard
@@ -1344,6 +1390,48 @@ object DedupQueries extends QueryGroup {
         |JOIN sizes sb ON p.db = sb.doc_id
         |WHERE p.common / least(sa.n, sb.n) >= 0.8
         |ORDER BY da, db""".stripMargin,
+
+    // the delta restated: v1 shingles, 'new '-prefixed delta shingles
+    // (ids re-based by max+1), df cap on the standing side, exact
+    // Jaccard >= 0.5 — single int division, bit-identical cross-engine
+    "dedup_incremental" ->
+      """WITH v1t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh1 AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS s
+        |  FROM v1t),
+        |dt AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+        |      AS doc_id,
+        |    regexp_split_to_array(lower(trim('NEW ' || text)), '\s+') AS w
+        |  FROM documents WHERE doc_id % 19 = 7),
+        |shd AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS s
+        |  FROM dt),
+        |rare AS (SELECT s FROM sh1 GROUP BY s HAVING COUNT(*) <= 50),
+        |cand AS (SELECT DISTINCT d.doc_id AS nd, a.doc_id AS od
+        |  FROM shd d JOIN rare r ON d.s = r.s
+        |  JOIN sh1 a ON a.s = d.s),
+        |pairs AS (SELECT c.nd, c.od, COUNT(*) AS common
+        |  FROM cand c
+        |  JOIN shd d ON d.doc_id = c.nd
+        |  JOIN sh1 a ON a.doc_id = c.od AND a.s = d.s
+        |  GROUP BY 1, 2),
+        |s1 AS (SELECT doc_id, COUNT(*) AS n FROM sh1 GROUP BY doc_id),
+        |sd AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id)
+        |SELECT nd AS new_id, od AS old_id,
+        |  common / (sd.n + s1.n - common) AS jaccard
+        |FROM pairs
+        |JOIN sd ON nd = sd.doc_id
+        |JOIN s1 ON od = s1.doc_id
+        |WHERE common / (sd.n + s1.n - common) >= 0.5
+        |ORDER BY new_id, old_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,
