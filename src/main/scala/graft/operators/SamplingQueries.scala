@@ -89,6 +89,36 @@ object SamplingQueries extends QueryGroup {
 
     // train/val/test split assignment (12/2/2 nibbles ≈ 75/12.5/12.5) —
     // reported as the per-(lang, split) contingency a corpus build logs
+    // TEMPORAL split with an EMBARGO gap — the leakage discipline a
+    // content-hash split cannot provide when the target is time-ordered
+    // (a model evaluated on the future must not train on events adjacent
+    // to the test boundary; the embargo drops the gap rows entirely,
+    // the standard quant/forecasting protocol). Cutoff = 80% through
+    // the corpus hour span, embargo = max(1, span/50) hours, both
+    // derived from a broadcast 1-row span aggregate — assignment is a
+    // pure map-side CASE, one aggregate on top, no shuffle before it.
+    "sample_split_temporal" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      def hi(c: Column): Column =
+        (unix_micros(date_trunc("hour", c).cast("timestamp"))
+          / 3600000000L).cast("long")
+      val span = ev.agg(hi(min(col("ts"))).as("t0i"),
+        hi(max(col("ts"))).as("t1i"))
+      ev.crossJoin(broadcast(span))
+        .withColumn("hi", hi(col("ts")))
+        .withColumn("span_h", col("t1i") - col("t0i") + 1)
+        .withColumn("cut", col("t0i") + expr("span_h * 4 div 5"))
+        .withColumn("emb", greatest(lit(1L), expr("span_h div 50")))
+        .withColumn("split",
+          when(col("hi") >= col("cut"), "test")
+            .when(col("hi") >= col("cut") - col("emb"), "embargo")
+            .otherwise("train"))
+        .groupBy("split", "event_type")
+        .agg(count(lit(1)).as("n"),
+          min("event_id").as("min_eid"), max("event_id").as("max_eid"))
+        .orderBy("split", "event_type")
+    }),
+
     "sample_split" -> ((s, dir) => {
       Tables.scan(s, dir, "documents")
         .select(col("lang"), splitOf(col("doc_id")).as("split"))
@@ -213,6 +243,27 @@ object SamplingQueries extends QueryGroup {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
         |  IN ('0', '1', '2', '3')
         |ORDER BY doc_id""".stripMargin,
+
+    // the same hour-index arithmetic (epoch//3600), 80% cutoff, and
+    // max(1, span//50) embargo; integer division floors in both engines
+    "sample_split_temporal" ->
+      """WITH span AS (SELECT
+        |    CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) // 3600
+        |      AS t0i,
+        |    CAST(epoch(date_trunc('hour', MAX(ts))) AS BIGINT) // 3600
+        |      AS t1i
+        |  FROM events),
+        |lab AS (SELECT e.event_type, e.event_id,
+        |    CAST(epoch(date_trunc('hour', e.ts)) AS BIGINT) // 3600 AS hi,
+        |    s.t0i + (s.t1i - s.t0i + 1) * 4 // 5 AS cut,
+        |    greatest(1, (s.t1i - s.t0i + 1) // 50) AS emb
+        |  FROM events e CROSS JOIN span s)
+        |SELECT CASE WHEN hi >= cut THEN 'test'
+        |            WHEN hi >= cut - emb THEN 'embargo'
+        |            ELSE 'train' END AS split,
+        |  event_type, COUNT(*) AS n,
+        |  MIN(event_id) AS min_eid, MAX(event_id) AS max_eid
+        |FROM lab GROUP BY 1, 2 ORDER BY split, event_type""".stripMargin,
 
     "sample_split" ->
       """WITH a AS (SELECT lang,
