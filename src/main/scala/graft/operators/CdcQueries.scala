@@ -169,6 +169,42 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey", "valid_from")
     }),
 
+    // POINT-IN-TIME join against the SCD2 dimension — the bitemporal
+    // consumer op: every fact carries a replay POSITION and must see the
+    // dimension version valid AT that position, not current state (the
+    // "as the consumer replaying at p saw it" contract an audit/backfill
+    // needs). Facts = lineitem rows at pos = 10·l_orderkey +
+    // (3·l_linenumber mod 12), spanning before/inside/after each order's
+    // version boundaries; dimension = the same SCD2 build as cdc_scd2.
+    // Versions per key are bounded (≤3 — one per change event), so the
+    // PIT join is an ordinary keyed equi-join with a residual interval
+    // predicate: one hash/SMJ shuffle on the key, NO range-join
+    // machinery needed at any scale. LEFT join surfaces post-delete
+    // positions as NULL-dimension facts (the row was gone at p).
+    "join_scd2_pit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderkey").orderBy("_lsn")
+      val dim = CdcOps.ordersUnwrapped(s, dir)
+        .filter(!col("_tombstone"))
+        .withColumn("valid_to", lead(col("_lsn"), 1).over(w))
+        .filter(col("_op") =!= "d"
+          && !(col("valid_to") <=> col("_lsn")))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("_lsn").as("valid_from"), col("valid_to"))
+      val f = Tables.scan(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_orderkey") * 10 + pmod(col("l_linenumber") * 3, lit(12)))
+            .as("pos"))
+      f.join(dim,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("pos") >= col("valid_from") &&
+            (col("valid_to").isNull || col("pos") < col("valid_to")),
+          "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("pos"),
+          col("o_orderstatus"), col("valid_from"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // dead-letter routing: the corrupt-record path every at-least-once
     // pipeline needs. A changelog with a deterministic malformed minority
     // flows through the SAME parse as everything else; records the parser
@@ -1530,6 +1566,29 @@ object CdcQueries extends QueryGroup {
         |       o_totalprice, o_orderdate_us, o_orderpriority
         |FROM base WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin),
+
+    // the PIT state restated from the synthesis rules: at position p the
+    // row is absent past its delete (k%7, p ≥ 10k+8), shows the update
+    // from 10k+5 (k%10), else the insert image; valid_from names the
+    // matched version's open position
+    "join_scd2_pit" ->
+      """WITH f AS (SELECT l_orderkey, l_linenumber,
+        |    l_orderkey * 10 + (l_linenumber * 3) % 12 AS pos
+        |  FROM lineitem)
+        |SELECT f.l_orderkey, f.l_linenumber, f.pos,
+        |  CASE WHEN f.l_orderkey % 7 = 0
+        |            AND f.pos >= f.l_orderkey * 10 + 8 THEN NULL
+        |       WHEN f.l_orderkey % 10 = 0
+        |            AND f.pos >= f.l_orderkey * 10 + 5 THEN 'X'
+        |       ELSE o.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN f.l_orderkey % 7 = 0
+        |            AND f.pos >= f.l_orderkey * 10 + 8 THEN NULL
+        |       WHEN f.l_orderkey % 10 = 0
+        |            AND f.pos >= f.l_orderkey * 10 + 5
+        |       THEN f.l_orderkey * 10 + 5
+        |       ELSE f.l_orderkey * 10 END AS valid_from
+        |FROM f JOIN orders o ON o.o_orderkey = f.l_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // the masked/truncated users state: name fully masked, segment
     // capped at 4 chars, the k%5 balance update applied (users has no
