@@ -149,6 +149,34 @@ object AggQueries extends QueryGroup {
         .orderBy("event_type")
     }),
 
+    // EXACT set algebra on the bitmap layout (agg_bitmap_distinct's
+    // sibling): audience-overlap analytics — |A|, |B|, |A∪B| — computed
+    // from three OR-mergeable per-bucket bitmap aggregates, then
+    // |A∩B| / |A\B| / |B\A| by inclusion-exclusion, which is EXACT here
+    // because the bitmaps are exact sets (the identity sketches only
+    // approximate). The layout point: per-segment bucket bitmaps are
+    // the stored, incrementally-maintainable artifact; any segment
+    // pair's full overlap report is three bitmap unions away — no
+    // re-scan of the raw events. Scale: each aggregate is one hash
+    // shuffle on (bucket), blob sizes bounded by the bucket width.
+    "agg_bitmap_setops" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      val a = ev.filter(col("value") >= 100)
+      val b = ev.filter(col("event_id") % 2 === 0)
+      def cnt(df: DataFrame, name: String): DataFrame = df
+        .groupBy(expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+        .agg(sum(expr("bitmap_count(bm)")).as(name))
+      cnt(a, "n_a")
+        .crossJoin(cnt(b, "n_b"))
+        .crossJoin(cnt(a.unionByName(b), "n_union"))
+        .select(col("n_a"), col("n_b"), col("n_union"),
+          (col("n_a") + col("n_b") - col("n_union")).as("n_intersect"),
+          (col("n_union") - col("n_b")).as("n_a_only"),
+          (col("n_union") - col("n_a")).as("n_b_only"))
+    }),
+
     // sketch-quality grade, FULLY ORACLED (was rows-only): the exact
     // distinct counts are cross-engine facts, and the sketches'
     // ≤5%-relative-error contracts become oracle-pinned BOOLEANS the
@@ -667,6 +695,23 @@ object AggQueries extends QueryGroup {
     // exact twin + the bucket-count fact (Spark's piecewise 1-based
     // 32768-wide bucketing: (x−1) div 32768 + 1 for x > 0, x div 32768
     // otherwise — ids include 0, which rides its own bucket 0)
+    // exact sets restated with relational set ops; inclusion-exclusion
+    // identities follow from exactness
+    "agg_bitmap_setops" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events WHERE value >= 100),
+        |b AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0),
+        |u AS (SELECT user_id FROM a UNION SELECT user_id FROM b)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+        |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+        |  CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_union,
+        |  CAST((SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+        |    - (SELECT COUNT(*) FROM u) AS BIGINT) AS n_intersect,
+        |  CAST((SELECT COUNT(*) FROM u) - (SELECT COUNT(*) FROM b)
+        |    AS BIGINT) AS n_a_only,
+        |  CAST((SELECT COUNT(*) FROM u) - (SELECT COUNT(*) FROM a)
+        |    AS BIGINT) AS n_b_only""".stripMargin,
+
     "agg_bitmap_distinct" ->
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -711,6 +711,27 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // CONTENT-BASED routing (the public Debezium ContentBasedRouter
+    // SMT: an expression over the event PAYLOAD picks the destination
+    // topic — the "route hot/flagged rows to their own topic" pattern,
+    // vs RegexRouter's name-only routing): deletes to orders.deleted,
+    // X-status images to orders.flagged, everything else to orders.std,
+    // with op taking precedence over content exactly as a router chain
+    // evaluates. Pure map-side CASE over the unwrapped stream; the
+    // grade is the per-destination event census + lsn span.
+    "cdc_content_route" -> ((s, dir) => {
+      CdcOps.ordersUnwrapped(s, dir)
+        .filter(!col("_tombstone"))
+        .withColumn("topic",
+          when(col("_op") === "d", "orders.deleted")
+            .when(col("o_orderstatus") === "X", "orders.flagged")
+            .otherwise("orders.std"))
+        .groupBy("topic")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("_lsn")).as("min_lsn"), max(col("_lsn")).as("max_lsn"))
+        .orderBy("topic")
+    }),
+
     // B-chain PII transforms (public Kafka Connect/Debezium SMTs:
     // `MaskField` / column.mask.with.length.chars — replace a sensitive
     // column with a fixed-length mask BEFORE it ever reaches a sink —
@@ -1566,6 +1587,28 @@ object CdcQueries extends QueryGroup {
         |       o_totalprice, o_orderdate_us, o_orderpriority
         |FROM base WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin),
+
+    // the routed census from the synthesis rules: inserts at 10k (std,
+    // or flagged if the source status were X), update + verbatim replay
+    // at 10k+5 (flagged), delete at 10k+8 (deleted)
+    "cdc_content_route" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN o_orderstatus = 'X' THEN 'orders.flagged'
+        |              ELSE 'orders.std' END AS topic,
+        |         o_orderkey * 10 AS lsn
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.flagged', o_orderkey * 10 + 5 FROM orders
+        |  WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'orders.flagged', o_orderkey * 10 + 5 FROM orders
+        |  WHERE o_orderkey % 20 = 0
+        |  UNION ALL
+        |  SELECT 'orders.deleted', o_orderkey * 10 + 8 FROM orders
+        |  WHERE o_orderkey % 7 = 0)
+        |SELECT topic, COUNT(*) AS n_events,
+        |  MIN(lsn) AS min_lsn, MAX(lsn) AS max_lsn
+        |FROM ev GROUP BY 1 ORDER BY topic""".stripMargin,
 
     // the PIT state restated from the synthesis rules: at position p the
     // row is absent past its delete (k%7, p ≥ 10k+8), shows the update
