@@ -363,6 +363,45 @@ object PipelineQueries extends QueryGroup {
         .orderBy("metric")
     }),
 
+    // INCREMENTAL card maintenance — the add-a-batch twin of the
+    // dataset card: per-source mergeable statistics (count, char sum,
+    // min/max) of the grown corpus computed by MERGING the standing
+    // corpus's stats with DELTA-only stats — the delta (the dataset-
+    // diff 'added' slice) is the only data scanned twice nowhere: v1
+    // stats come from one corpus pass (the standing card a deployment
+    // keeps materialized), delta stats from a batch-sized pass, and the
+    // merge is a full-outer join on `source` with the sum/least/
+    // greatest algebra — count and sum add, extrema combine, which is
+    // exactly WHY cards are built from mergeable aggregates. The oracle
+    // recomputes over the union, proving merge ≡ recompute. Lengths via
+    // length(text) on both engines (cast to long — Spark length is
+    // INT); at 100 TB adding a batch never rescans the corpus.
+    "pipeline_incremental_card" -> ((s, dir) => {
+      val docs = Tables.scan(s, dir, "documents")
+      def stats(df: DataFrame, suf: String): DataFrame = df
+        .groupBy("source")
+        .agg(count(lit(1)).as(s"n$suf"),
+          sum(length(col("text")).cast("long")).as(s"s$suf"),
+          min(length(col("text")).cast("long")).as(s"mn$suf"),
+          max(length(col("text")).cast("long")).as(s"mx$suf"))
+      val v1 = stats(docs, "1")
+      val delta = stats(
+        docs.filter(col("doc_id") % 19 === 7)
+          .select(col("source"),
+            concat(lit("NEW "), col("text")).as("text")), "d")
+      v1.join(delta, Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("n1"), lit(0L)) + coalesce(col("nd"), lit(0L)))
+            .as("n_docs"),
+          (coalesce(col("s1"), lit(0L)) + coalesce(col("sd"), lit(0L)))
+            .as("sum_chars"),
+          least(coalesce(col("mn1"), col("mnd")),
+            coalesce(col("mnd"), col("mn1"))).as("min_chars"),
+          greatest(coalesce(col("mx1"), col("mxd")),
+            coalesce(col("mxd"), col("mx1"))).as("max_chars"))
+        .orderBy("source")
+    }),
+
     // dataset VERSION DIFF — the reproducibility audit every corpus
     // release runs between v(N) and v(N+1): which documents were added,
     // removed, changed, kept. v2 is synthesized deterministically from
@@ -415,6 +454,19 @@ object PipelineQueries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    // merge ≡ recompute: the oracle takes one pass over the UNION the
+    // engine never materializes
+    "pipeline_incremental_card" ->
+      """WITH u AS (
+        |  SELECT source, length(text) AS c FROM documents
+        |  UNION ALL
+        |  SELECT source, length('NEW ' || text) AS c
+        |  FROM documents WHERE doc_id % 19 = 7)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(c) AS BIGINT) AS sum_chars,
+        |  MIN(c) AS min_chars, MAX(c) AS max_chars
+        |FROM u GROUP BY 1 ORDER BY source""".stripMargin,
+
     // the same synthesized v2 and digest diff (DuckDB md5 hashes the
     // string's UTF-8 bytes — exactly Spark's md5(encode(text,'UTF-8')))
     "pipeline_dataset_diff" ->
