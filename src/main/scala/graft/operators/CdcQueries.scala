@@ -99,6 +99,87 @@ object CdcQueries extends QueryGroup {
         .orderBy("o_orderkey")
     }),
 
+    // DELIVERY-COMPLETENESS AUDIT — the pipeline-operations check every
+    // at-least-once CDC consumer runs: against the changelog archive
+    // (source of truth), a delivered copy is audited for LOST positions
+    // (never delivered) and REPLAYED positions (delivered more than
+    // once). The degraded copy is synthesized deterministically — drop
+    // lsn%97==13 (a lost batch), re-deliver lsn%101==7 (an at-least-once
+    // replay) — and the audit must RECOVER exactly those sets by
+    // grouping the delivered stream per lsn and full-outer-joining
+    // against the source positions: one hash shuffle on lsn (the audit
+    // key), then a per-table rollup — the same two-stage shape at 100 TB,
+    // where the lsn-grain join is the only data-sized exchange and the
+    // report is table-grain. Tombstones carry no position and are
+    // excluded on both sides.
+    "cdc_delivery_audit" -> ((s, dir) => {
+      val src = CdcOps.parsedOrders(s, dir)
+        .filter(col("env.op").isNotNull)
+        .select(col("env.source.table").as("tbl"),
+          col("env.source.lsn").as("lsn"))
+      // audit unit = the POSITION set (the archive itself already holds
+      // upstream at-least-once copies — k%20 updates arrive twice); the
+      // delivered side keeps every copy, so dc counts total deliveries
+      val srcPos = src.distinct()
+      val delivered = src.filter(!(col("lsn") % 97 === 13))
+        .unionAll(src.filter(col("lsn") % 101 === 7 &&
+          !(col("lsn") % 97 === 13)))
+      val dcnt = delivered.groupBy("tbl", "lsn")
+        .agg(count(lit(1)).as("dc"))
+      srcPos.join(dcnt, Seq("tbl", "lsn"), "left_outer")
+        .groupBy("tbl")
+        .agg(count(lit(1)).as("n_source"),
+          sum(coalesce(col("dc"), lit(0L))).cast("long").as("n_delivered"),
+          sum(when(col("dc") > 1, 1L).otherwise(0L)).cast("long")
+            .as("n_dup_lsns"),
+          sum(when(col("dc").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_missing"),
+          min(when(col("dc").isNull, col("lsn"))).as("min_missing_lsn"),
+          max(when(col("dc").isNull, col("lsn"))).as("max_missing_lsn"))
+        .orderBy("tbl")
+    }),
+
+    // CHUNK-HASH RECONCILIATION — the source-vs-target data-verification
+    // pass run after a backfill or suspected divergence (the operational
+    // companion of incremental snapshots): both sides digest rows
+    // MAP-SIDE into a 48-bit content hash, aggregate (count, hash-sum)
+    // per pk-range CHUNK, and only chunk fingerprints cross the wire —
+    // at 100 TB the exchange is chunks (thousands of rows), never data.
+    // Mismatched chunks localize the damage to a pk range the operator
+    // can re-snapshot (the report below IS that range list). Target
+    // drift is synthesized deterministically: key%127==9 missing
+    // downstream, key%113==5 corrupted (price zeroed).
+    "cdc_reconcile" -> ((s, dir) => {
+      def digest(df: DataFrame): DataFrame = df
+        .select((col("o_orderkey") / 512).cast("long").as("chunk"),
+          conv(substring(md5(concat_ws("|",
+            col("o_orderkey").cast("string"), col("o_orderstatus"),
+            col("o_totalprice"))), 1, 12), 16, 10)
+            .cast("long").as("d"))
+        .groupBy("chunk")
+        .agg(count(lit(1)).as("cnt"), sum(col("d")).as("hsum"))
+      val state = CdcOps.ordersCompacted(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val srcC = digest(state)
+      val tgtC = digest(state
+        .filter(!(col("o_orderkey") % 127 === 9))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 113 === 5, lit("0.00"))
+            .otherwise(col("o_totalprice"))))
+      srcC.join(tgtC.withColumnRenamed("cnt", "t_cnt")
+          .withColumnRenamed("hsum", "t_hsum"), Seq("chunk"), "full_outer")
+        .filter(coalesce(col("cnt"), lit(-1L)) =!=
+            coalesce(col("t_cnt"), lit(-1L)) ||
+          coalesce(col("hsum"), lit(-1L)) =!=
+            coalesce(col("t_hsum"), lit(-1L)))
+        .select(col("chunk"),
+          coalesce(col("cnt"), lit(0L)).as("src_cnt"),
+          coalesce(col("t_cnt"), lit(0L)).as("tgt_cnt"),
+          (coalesce(col("cnt"), lit(0L)) - coalesce(col("t_cnt"), lit(0L)))
+            .as("cnt_diff"))
+        .orderBy("chunk")
+    }),
+
     // A2: MySQL-connector compaction — binlog (file, pos) ordering across
     // a log rotation. The fixture's updates have numerically smaller pos
     // than their inserts (later file), so pos-only ordering would pick the
@@ -1336,6 +1417,67 @@ object CdcQueries extends QueryGroup {
         |WHERE o_orderkey * 10 <= mk.c
         |  AND NOT (o_orderkey % 7 = 0 AND o_orderkey * 10 + 8 <= mk.c)
         |ORDER BY o_orderkey""".stripMargin),
+
+    // the fixture's position universe with base multiplicity b (k%20
+    // updates already arrive twice upstream) and the degradation rules
+    // restated arithmetically: %97==13 lost, else %101==7 doubles every
+    // copy; a position is dup-delivered when its final count exceeds 1
+    "cdc_delivery_audit" ->
+      """WITH u AS (
+        |  SELECT o_orderkey * 10 AS lsn, 1 AS b FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey * 10 + 5,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN 2 ELSE 1 END
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey * 10 + 8, 1 FROM orders
+        |  WHERE o_orderkey % 7 = 0)
+        |SELECT 'orders' AS tbl, COUNT(*) AS n_source,
+        |  CAST(SUM(CASE WHEN lsn % 97 = 13 THEN 0
+        |                WHEN lsn % 101 = 7 THEN 2 * b ELSE b END)
+        |    AS BIGINT) AS n_delivered,
+        |  CAST(SUM(CASE WHEN lsn % 97 <> 13
+        |                 AND (lsn % 101 = 7 OR b > 1)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lsns,
+        |  CAST(SUM(CASE WHEN lsn % 97 = 13 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing,
+        |  MIN(CASE WHEN lsn % 97 = 13 THEN lsn END) AS min_missing_lsn,
+        |  MAX(CASE WHEN lsn % 97 = 13 THEN lsn END) AS max_missing_lsn
+        |FROM u""".stripMargin,
+
+    // compacted state (the cdc_compact oracle) digested twice — pristine
+    // and with the drift rules applied — then chunk fingerprints compared
+    "cdc_reconcile" -> (baseCte.stripSuffix("\n") +
+      """, st AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    o_totalprice
+        |  FROM base WHERE o_orderkey % 7 <> 0),
+        |sd AS (SELECT o_orderkey // 512 AS chunk,
+        |    CAST(concat('0x', substr(md5(concat_ws('|',
+        |      CAST(o_orderkey AS VARCHAR), o_orderstatus, o_totalprice)),
+        |      1, 12)) AS BIGINT) AS d
+        |  FROM st),
+        |sc AS (SELECT chunk, COUNT(*) AS cnt, CAST(SUM(d) AS BIGINT)
+        |    AS hsum FROM sd GROUP BY 1),
+        |t0 AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 113 = 5 THEN '0.00'
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM st WHERE o_orderkey % 127 <> 9),
+        |td AS (SELECT o_orderkey // 512 AS chunk,
+        |    CAST(concat('0x', substr(md5(concat_ws('|',
+        |      CAST(o_orderkey AS VARCHAR), o_orderstatus, o_totalprice)),
+        |      1, 12)) AS BIGINT) AS d
+        |  FROM t0),
+        |tc AS (SELECT chunk, COUNT(*) AS t_cnt, CAST(SUM(d) AS BIGINT)
+        |    AS t_hsum FROM td GROUP BY 1)
+        |SELECT COALESCE(sc.chunk, tc.chunk) AS chunk,
+        |  COALESCE(cnt, 0) AS src_cnt, COALESCE(t_cnt, 0) AS tgt_cnt,
+        |  COALESCE(cnt, 0) - COALESCE(t_cnt, 0) AS cnt_diff
+        |FROM sc FULL OUTER JOIN tc ON sc.chunk = tc.chunk
+        |WHERE COALESCE(cnt, -1) <> COALESCE(t_cnt, -1)
+        |   OR COALESCE(hsum, -1) <> COALESCE(t_hsum, -1)
+        |ORDER BY chunk""".stripMargin),
 
     "cdc_compact_mysql" -> (baseCte +
       """SELECT o_orderkey, o_custkey,

@@ -1152,6 +1152,32 @@ object DedupQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // TRIANGLE COUNT on the verified pair graph — the cluster-density
+    // diagnostic of a dedup run (triangles/wedges separates tight
+    // template families from chains of borderline pairs). Node-iterator
+    // on ID-ORIENTED edges (a<b), so every triangle is enumerated
+    // exactly once: wedges (a,b,c) from two edges sharing apex a, closed
+    // by the (b,c) edge — two joins, both keyed on edge endpoints, both
+    // co-locate when the edge table is pre-partitioned by its low
+    // endpoint. At 100 TB the orientation would be DEGREE-ordered
+    // (low-degree endpoint first — bounds wedge fan-out by arboricity,
+    // the standard skew guard); id-order keeps the oracle verbatim and
+    // is equivalent on this corpus, where pair components are small by
+    // construction (dedup_clusters' own bound).
+    "dedup_triangles" -> ((s, dir) => {
+      val e = sharedPairs(s, dir).select(col("da"), col("db"))
+      val w = e.as("e1").join(e.as("e2"),
+          col("e1.da") === col("e2.da") && col("e1.db") < col("e2.db"))
+        .select(col("e1.da").as("a"), col("e1.db").as("b"),
+          col("e2.db").as("c"))
+      val tri = w.join(e.as("cl"),
+        col("b") === col("cl.da") && col("c") === col("cl.db"))
+      tri.select(explode(array(col("a"), col("b"), col("c")))
+          .as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("doc_id")
+    }),
+
     // op 45d: embedding-cosine near-dup pairs — exact, oracle-verified.
     // τ=0.35 sits above the corpus's p99.9 pairwise cosine (0.377 max 0.513
     // at sf0.01) so the result is selective but non-empty.
@@ -1849,6 +1875,41 @@ ORDER BY block"""
         |SELECT v AS doc_id, pr AS pr_fix,
         |  CAST(pr AS DOUBLE) / 1048576.0 AS pr
         |FROM pr3 ORDER BY doc_id""".stripMargin,
+
+    // same pair prefix (through `jp`) as dedup_pagerank; triangles by
+    // the ordered node-iterator: apex wedge + closing-edge join
+    "dedup_triangles" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+        |cand0 AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN rare r ON a.s = r.s
+        |  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id),
+        |cand AS MATERIALIZED (SELECT c.da, c.db, COUNT(*) AS common
+        |  FROM cand0 c
+        |  JOIN sh a ON a.doc_id = c.da
+        |  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |  GROUP BY 1, 2),
+        |jp AS MATERIALIZED (SELECT da, db FROM cand
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE common / (sa.n + sb.n - common) >= 0.5),
+        |w2 AS (SELECT e1.da AS a, e1.db AS b, e2.db AS c
+        |  FROM jp e1 JOIN jp e2
+        |    ON e1.da = e2.da AND e1.db < e2.db),
+        |tri AS (SELECT a, b, c FROM w2
+        |  JOIN jp e ON w2.b = e.da AND w2.c = e.db),
+        |vx AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+        |SELECT doc_id, COUNT(*) AS n_triangles
+        |FROM vx GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding AS v,

@@ -168,6 +168,57 @@ object SamplingQueries extends QueryGroup {
         .orderBy("label", "rk")
     }),
 
+    // NEYMAN-ALLOCATION stratified sampling — the survey-sampling
+    // budget split (n_h ∝ N_h·S_h) that beats proportional allocation
+    // when strata differ in spread. The spread proxy is the exact
+    // integer RANGE (max−min of n_chars; the classic range rule — a
+    // std-dev proxy with no sqrt, so the whole allocation stays in
+    // BIGINTs). Largest-remainder rounding makes Σn_h == budget
+    // exactly (floor quotas, then +1 to the biggest remainders, ties
+    // to the lexicographic stratum), and each n_h is capped at N_h
+    // (no redistribution — the uncovered remainder is the report's
+    // business, not silently reassigned). Selection inside a stratum
+    // is content-hash rank — deterministic and retry-stable, as every
+    // sampler in this family. Scale: stratum stats and the allocation
+    // algebra live on the stratum axis (bounded); the only data-sized
+    // work is one partitioned hash-rank window + a broadcast-sized
+    // allocation join; the graded selection identity is Σdoc_id per
+    // stratum, not a data-sized dump.
+    "sample_neyman" -> ((s, dir) => {
+      val d = Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val strata = d.groupBy("lang").agg(count(lit(1)).as("n_pop"),
+        (max(col("n_chars")) - min(col("n_chars"))).as("rng"))
+      val tot = strata.agg(sum(col("n_pop")).as("total"),
+        sum(col("n_pop") * (col("rng") + lit(1L))).as("wsum"))
+      val a0 = strata.crossJoin(broadcast(tot))
+        .withColumn("w", col("n_pop") * (col("rng") + lit(1L)))
+        .withColumn("budget", expr("total div 5"))
+        .withColumn("base", expr("(budget * w) div wsum"))
+        .withColumn("rem", expr("(budget * w) % wsum"))
+      val give = a0.agg((max(col("budget")) - sum(col("base")))
+        .cast("long").as("give"))
+      val wr = Window.orderBy(col("rem").desc, col("lang"))
+      val alloc = a0.withColumn("rk", row_number().over(wr))
+        .crossJoin(broadcast(give))
+        .withColumn("alloc", least(
+          col("base") + when(col("rk") <= col("give"), 1L).otherwise(0L),
+          col("n_pop")))
+      val wsel = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val sel = d.withColumn("rk", row_number().over(wsel))
+        .join(broadcast(alloc.select("lang", "alloc")), "lang")
+        .filter(col("rk") <= col("alloc"))
+        .groupBy("lang").agg(count(lit(1)).as("n_sel"),
+          sum(col("doc_id")).as("sel_id_sum"))
+      alloc.select("lang", "n_pop", "rng", "alloc")
+        .join(sel, Seq("lang"), "left")
+        .select(col("lang"), col("n_pop"), col("rng"), col("alloc"),
+          coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+          coalesce(col("sel_id_sum"), lit(0L)).as("sel_id_sum"))
+        .orderBy("lang")
+    }),
+
     // LEAKAGE-SAFE split assignment: hashing each doc independently
     // (sample_split) lets a near-dup pair straddle train/test — the
     // classic eval-contamination bug (the model "generalizes" to a test
@@ -302,6 +353,43 @@ object SamplingQueries extends QueryGroup {
         |  SELECT COUNT(*) AS cn FROM embeddings GROUP BY label))
         |SELECT label, rk, vec_id FROM r CROSS JOIN m
         |WHERE rk <= m.m ORDER BY label, rk""".stripMargin,
+
+    // same range-rule weights, floor quotas + largest-remainder (+1 to
+    // the top `give` remainders, lexicographic tiebreak), cap at N_h,
+    // hash-rank selection; aggregates cast back from int128 BEFORE the
+    // quota products
+    "sample_neyman" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        |st AS (SELECT lang, COUNT(*) AS n_pop,
+        |    MAX(n_chars) - MIN(n_chars) AS rng
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_pop) AS BIGINT) AS total,
+        |    CAST(SUM(n_pop * (rng + 1)) AS BIGINT) AS wsum FROM st),
+        |a0 AS (SELECT lang, n_pop, rng,
+        |    total // 5 AS budget,
+        |    ((total // 5) * (n_pop * (rng + 1))) // wsum AS base,
+        |    ((total // 5) * (n_pop * (rng + 1))) % wsum AS rem
+        |  FROM st CROSS JOIN t),
+        |g AS (SELECT MAX(budget) - CAST(SUM(base) AS BIGINT) AS give
+        |  FROM a0),
+        |ar AS (SELECT a0.*, ROW_NUMBER() OVER (ORDER BY rem DESC, lang)
+        |    AS rk FROM a0),
+        |al AS (SELECT lang, n_pop, rng,
+        |    LEAST(base + CASE WHEN rk <= give THEN 1 ELSE 0 END, n_pop)
+        |      AS alloc
+        |  FROM ar CROSS JOIN g),
+        |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM d),
+        |sel AS (SELECT r.lang, COUNT(*) AS n_sel,
+        |    CAST(SUM(doc_id) AS BIGINT) AS sel_id_sum
+        |  FROM r JOIN al ON r.lang = al.lang AND r.rk <= al.alloc
+        |  GROUP BY 1)
+        |SELECT al.lang AS lang, al.n_pop, al.rng, al.alloc,
+        |  COALESCE(n_sel, 0) AS n_sel,
+        |  COALESCE(sel_id_sum, 0) AS sel_id_sum
+        |FROM al LEFT JOIN sel ON al.lang = sel.lang
+        |ORDER BY al.lang""".stripMargin,
 
     // the pair/CC prefix (through `comp`) is VERBATIM dedup_clusters'
     // oracle — including the `e AS (SELECT` seam tools/check.py --sf1

@@ -164,6 +164,49 @@ object TextQueries extends QueryGroup {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // COLLOCATION extraction — the phrase-mining pass behind tokenizer
+    // phrase vocabularies and "New York"-style multi-word units: the
+    // top-100 bigrams by association lift (= c12·N/(c1·c2)) at support
+    // c12 ≥ 5. PMI's log never gets computed — the ranking key is the
+    // EXACT integer permille lift (c12·N·1000) div (c1·c2) (every
+    // operand bounded by corpus token count, products ≤ ~10¹⁷ at sf1),
+    // with (w1, w2) as the total-order tiebreak, so the top-k is
+    // deterministic cross-engine with no float anywhere. Shapes:
+    // bigrams are built MAP-SIDE (zip_with over the token array — the
+    // explode multiplies rows, not work, and no per-doc window shuffle
+    // exists); the two unigram joins key on the vocabulary, which is
+    // sublinear in the corpus, so at 100 TB AQE broadcasts them and
+    // the only data-sized exchange is the bigram groupBy; the final
+    // rank is a top-k over support-filtered candidates (sublinear),
+    // not the corpus.
+    "text_collocations" -> ((s, dir) => {
+      val d = Tables.scan(s, dir, "documents")
+        .select(toks(col("text")).as("w"))
+      val uni = d.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val n = uni.agg(sum(col("c")).cast("long").as("n_tokens"))
+      val bgc = d.filter(size(col("w")) >= 2)
+        .select(explode(expr("zip_with(slice(w, 1, size(w) - 1), " +
+          "slice(w, 2, size(w) - 1), (x, y) -> concat(x, ' ', y))"))
+          .as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+        .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+      val scored = bgc
+        .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(n))
+        .filter(col("c12") >= 5)
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          expr("(c12 * n_tokens * 1000) div (c1 * c2)").as("lift_x1000"))
+      scored
+        .withColumn("rk", row_number().over(org.apache.spark.sql
+          .expressions.Window.orderBy(col("lift_x1000").desc,
+            col("w1"), col("w2"))))
+        .filter(col("rk") <= 100)
+        .orderBy("rk")
+    }),
+
     // token counting: whitespace tokens + BPE-ish pre-tokenizer count
     "text_tokens" -> ((s, dir) => {
       Tables.scan(s, dir, "documents")
@@ -755,6 +798,31 @@ object TextQueries extends QueryGroup {
       """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
         |  true AS bounds_ok, true AS self_concat_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same map-side bigram build (1-based list slices), same permille
+    // integer lift and the (lift desc, w1, w2) total-order top-100
+    "text_collocations" ->
+      """WITH d AS (SELECT regexp_split_to_array(lower(trim(text)),
+        |    '\s+') AS w FROM documents),
+        |uc AS (SELECT tok, COUNT(*) AS c FROM
+        |  (SELECT unnest(w) AS tok FROM d) GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uc),
+        |bc AS (SELECT bg, COUNT(*) AS c12,
+        |    split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+        |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i + 1])) AS bg
+        |    FROM d WHERE len(w) >= 2)
+        |  GROUP BY 1),
+        |j AS (SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+        |    (c12 * n_tokens * 1000) // (c1 * c2) AS lift_x1000
+        |  FROM bc JOIN uc u1 ON bc.w1 = u1.tok
+        |  JOIN uc u2 ON bc.w2 = u2.tok
+        |  CROSS JOIN n
+        |  WHERE c12 >= 5),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY lift_x1000
+        |    DESC, w1, w2) AS INT) AS rk FROM j)
+        |SELECT w1, w2, c12, c1, c2, lift_x1000, rk
+        |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,
