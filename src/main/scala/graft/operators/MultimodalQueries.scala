@@ -228,9 +228,162 @@ object MultimodalQueries extends QueryGroup {
         .agg(min(col("doc_id")).as("keeper_id"),
           count(lit(1)).as("n_copies"))
         .orderBy("keeper_id")
+    }),
+
+    // PERCEPTUAL-HASH image near-dup — the visual-dedup gate of a
+    // multimodal ingest (exact-checksum dedup misses re-encoded /
+    // slightly-edited copies; aHash catches them). The pipeline is the
+    // REAL one end to end: each image is encoded through ImageIO's PNG
+    // writer and decoded back through the real codec, the 8×8 average
+    // hash is computed from DECODED pixels (exact-integer luma proxy
+    // 2r+5g+b; block mean vs global mean via the cross-multiplied
+    // comparison s·64 > total — no division), and near-dups are found by
+    // PIGEONHOLE BANDING: 4 bands × 16 bits, so any pair within hamming
+    // 3 shares at least one identical band (threshold 2 ⇒ zero false
+    // negatives) and candidate generation is a band-value equijoin —
+    // hashes shuffle, never pixels, the property that holds at 100 TB
+    // of media. Ids ≥400 are synthesized as one-pixel-perturbed copies
+    // of id−400 (the near-dup ground truth); the oracle recomputes the
+    // whole hash from the raster formula in SQL, so ANY codec defect
+    // (channel swap, row order, lossy write) breaks the compare.
+    // Constant graded slice (432 images) at every SF, like mm_decode_png.
+    "mm_ahash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.scan(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 432).as[Long]
+      val hashes = ids.mapPartitions { it =>
+        it.map { id =>
+          val src = if (id >= 400) id - 400 else id
+          // id-crossed gradients (src·x / src·y terms): unlike the
+          // shared mm_decode_png raster, every image gets its OWN
+          // slope, so base hashes are discriminative and the planted
+          // pairs dominate the report instead of formula-wide
+          // block-mean collisions
+          val raster = new java.awt.image.BufferedImage(
+            16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 16) {
+              val r = ((src * 31 + 7L * xx + 13L * yy + 3L * src * xx)
+                % 256).toInt
+              val g = ((src * 3 + 11L * xx + yy + 5L * src * yy)
+                % 256).toInt
+              val b = ((src * 5 + xx + 17L * yy + 7L * src * xx)
+                % 256).toInt
+              raster.setRGB(xx, yy, (r << 16) | (g << 8) | b)
+              xx += 1
+            }
+            yy += 1
+          }
+          if (id >= 400) {
+            // one-pixel edit: green += 128 (mod 256) at a formula spot
+            val x0 = ((id * 5) % 16).toInt
+            val y0 = ((id * 7) % 8).toInt
+            val argb = raster.getRGB(x0, y0)
+            val g2 = (((argb >> 8) & 0xff) + 128) % 256
+            raster.setRGB(x0, y0, (argb & 0xff00ff) | (g2 << 8))
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(raster, "png", bos)
+          val img = MediaPipeline.readImage(bos.toByteArray) // real decode
+          val lum = Array.ofDim[Long](16, 8)
+          var total = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 16) {
+              val p = img.getRGB(x, y)
+              val l = 2L * ((p >> 16) & 0xff) + 5L * ((p >> 8) & 0xff) +
+                (p & 0xff)
+              lum(x)(y) = l; total += l; x += 1
+            }
+            y += 1
+          }
+          // 8×8 block grid (2×1 px blocks); band k = block rows 2k,2k+1
+          val bands = Array.fill(4)(0L)
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              val s0 = lum(2 * bx)(by) + lum(2 * bx + 1)(by)
+              if (s0 * 64 > total)
+                bands(by / 2) |= 1L << ((by % 2) * 8 + bx)
+              bx += 1
+            }
+            by += 1
+          }
+          (id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }.toDF("id", "b0", "b1", "b2", "b3")
+      val bandRows = hashes.select(col("id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("band", "v")))
+      val cand = bandRows.as("x").join(bandRows.as("y"),
+          col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("ia"), col("y.id").as("ib")).distinct()
+      val h2 = (c: String) => hashes.select(col("id"),
+        col("b0").as(s"${c}0"), col("b1").as(s"${c}1"),
+        col("b2").as(s"${c}2"), col("b3").as(s"${c}3"))
+      cand
+        .join(h2("a").withColumnRenamed("id", "ia"), "ia")
+        .join(h2("b").withColumnRenamed("id", "ib"), "ib")
+        .select(col("ia"), col("ib"),
+          expr("cast(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+            "bit_count(a2 ^ b2) + bit_count(a3 ^ b3) as int)")
+            .as("hamming"))
+        .filter(col("hamming") <= 2)
+        .orderBy("ia", "ib")
     }))
 
   val oracles: Map[String, String] = Map(
+    // the full aHash pipeline recomputed from the raster FORMULA
+    // (pixel → exact luma → block bits → bands → pigeonhole join →
+    // hamming verify); the engine's path must agree through a real
+    // PNG encode/decode round trip
+    "mm_ahash_neardup" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id < 432),
+        |px AS (SELECT i.id,
+        |    CASE WHEN i.id >= 400 THEN i.id - 400 ELSE i.id END AS src,
+        |    xs.x, ys.y
+        |  FROM ids i
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS y) ys),
+        |lm AS (SELECT id, x, y,
+        |    2 * ((src * 31 + 7 * x + 13 * y + 3 * src * x) % 256)
+        |    + 5 * (CASE WHEN id >= 400 AND x = (id * 5) % 16
+        |                 AND y = (id * 7) % 8
+        |           THEN ((src * 3 + 11 * x + y + 5 * src * y) % 256
+        |             + 128) % 256
+        |           ELSE (src * 3 + 11 * x + y + 5 * src * y) % 256 END)
+        |    + ((src * 5 + x + 17 * y + 7 * src * x) % 256) AS lum
+        |  FROM px),
+        |tot AS (SELECT id, CAST(SUM(lum) AS BIGINT) AS t FROM lm
+        |  GROUP BY 1),
+        |bs AS (SELECT id, y AS by, x // 2 AS bx,
+        |    CAST(SUM(lum) AS BIGINT) AS s0
+        |  FROM lm GROUP BY 1, 2, 3),
+        |bits AS (SELECT b.id, b.by, b.bx,
+        |    CASE WHEN s0 * 64 > t THEN 1 ELSE 0 END AS bit
+        |  FROM bs b JOIN tot USING (id)),
+        |bands AS (SELECT id, by // 2 AS band,
+        |    CAST(SUM(CAST(bit AS BIGINT) << ((by % 2) * 8 + bx))
+        |      AS BIGINT) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT x.id AS ia, y.id AS ib FROM bands x
+        |  JOIN bands y ON x.band = y.band AND x.v = y.v
+        |    AND x.id < y.id
+        |  GROUP BY 1, 2),
+        |hm AS (SELECT c.ia, c.ib,
+        |    CAST(SUM(bit_count(xor(p.v, q.v))) AS INT) AS hamming
+        |  FROM cand c JOIN bands p ON p.id = c.ia
+        |  JOIN bands q ON q.id = c.ib AND q.band = p.band
+        |  GROUP BY 1, 2)
+        |SELECT ia, ib, hamming FROM hm WHERE hamming <= 2
+        |ORDER BY ia, ib""".stripMargin,
+
     "mm_meta" ->
       """SELECT doc_id, source,
         |  CAST(n_chars % 3 AS INT) AS media_kind,
