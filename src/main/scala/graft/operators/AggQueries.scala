@@ -149,6 +149,45 @@ object AggQueries extends QueryGroup {
         .orderBy("event_type")
     }),
 
+    // HIERARCHICAL distinct rollup on the bitmap layout — the property
+    // that makes stored bitmaps the right artifact: day-grain user
+    // bitmaps are built from raw events ONCE, then month and all-time
+    // distincts come from OR-MERGING the stored day bitmaps — no
+    // re-scan of raw data at the coarser grains (COUNT(DISTINCT) can
+    // never roll up; bitmaps always can). The engine path is literal:
+    // month = bitmap_or_agg over day bitmaps, total = bitmap_or_agg
+    // over month bitmaps. Scale: one corpus-sized aggregate (day), then
+    // strictly shrinking merges keyed on (type, bucket); blob sizes
+    // bounded by the 32k bucket width.
+    "agg_bitmap_rollup" -> ((s, dir) => {
+      val dayBm = Tables.scan(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+      val day = dayBm.groupBy("event_type", "day")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .select(lit("day").as("grain"), col("event_type"),
+          col("day").cast("string").as("period"), col("n_users"))
+      val monthBm = dayBm
+        .groupBy(col("event_type"),
+          date_trunc("month", col("day")).cast("date").as("month"),
+          col("bkt"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      val month = monthBm.groupBy("event_type", "month")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .select(lit("month").as("grain"), col("event_type"),
+          col("month").cast("string").as("period"), col("n_users"))
+      val total = monthBm.groupBy(col("event_type"), col("bkt"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .select(lit("all").as("grain"), col("event_type"),
+          lit("all").as("period"), col("n_users"))
+      day.unionByName(month).unionByName(total)
+        .orderBy("grain", "event_type", "period")
+    }),
+
     // EXACT set algebra on the bitmap layout (agg_bitmap_distinct's
     // sibling): audience-overlap analytics — |A|, |B|, |A∪B| — computed
     // from three OR-mergeable per-bucket bitmap aggregates, then
@@ -711,6 +750,25 @@ object AggQueries extends QueryGroup {
         |    AS BIGINT) AS n_a_only,
         |  CAST((SELECT COUNT(*) FROM u) - (SELECT COUNT(*) FROM a)
         |    AS BIGINT) AS n_b_only""".stripMargin,
+
+    // the rollup restated as plain COUNT(DISTINCT) at each grain —
+    // the bitmap merges must agree with the direct distincts exactly
+    "agg_bitmap_rollup" ->
+      """WITH d AS (SELECT 'day' AS grain, event_type,
+        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS period,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events GROUP BY 2, 3),
+        |m AS (SELECT 'month' AS grain, event_type,
+        |    CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR)
+        |      AS period,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events GROUP BY 2, 3),
+        |a AS (SELECT 'all' AS grain, event_type, 'all' AS period,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events GROUP BY 2)
+        |SELECT * FROM d UNION ALL SELECT * FROM m
+        |UNION ALL SELECT * FROM a
+        |ORDER BY grain, event_type, period""".stripMargin,
 
     "agg_bitmap_distinct" ->
       """SELECT event_type,

@@ -128,6 +128,30 @@ object SimilarityQueries extends QueryGroup {
     "sim_topk" -> ((s, dir) =>
       exactTopK(s, dir).orderBy("qid", "rank")),
 
+    // RADIUS (range) search — "everything within cosine τ", the
+    // retrieval mode dedup sweeps and recall-oriented RAG filters use
+    // where top-k's fixed cutoff is wrong (a query may have 0 or 500
+    // true neighbors). Exact form: queries BROADCAST against the
+    // partitioned corpus, the cosine is the fixed-order double fold
+    // (bit-identical cross-engine), and the τ filter runs MAP-SIDE —
+    // the corpus never shuffles, which is the whole 100 TB story for a
+    // bounded query set; result size is data-dependent by design (that
+    // is what a radius search reports). The bucketed scale path for
+    // UNBOUNDED query sets is the existing LSH/IVF machinery
+    // (`sim_lsh_buckets` / `sim_ann_ivf_flat`) with the same τ verify
+    // replacing the top-k window.
+    "sim_range_search" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .toDF("qid", "qlabel", "q", "qn")
+      broadcast(q).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          (dot(col("q"), col("v")) / (col("qn") * col("nrm")))
+            .as("cosine"))
+        .filter(col("cosine") >= 0.30)
+        .orderBy("qid", "vec_id")
+    }),
+
     // MAXIMUM INNER-PRODUCT search (MIPS) — the recommendation/reward-
     // model scoring order, which cosine deliberately erases (two vectors
     // with equal direction but different magnitude tie under cosine and
@@ -1069,6 +1093,23 @@ object SimilarityQueries extends QueryGroup {
         |  FROM scored)
         |SELECT qid, vec_id, label, cosine, rank FROM ranked
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // same fixed-order fold, τ filter instead of the top-k window
+    "sim_range_search" ->
+      """WITH e AS (SELECT vec_id, embedding AS v,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |scored AS (SELECT q.vec_id AS qid, e.vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(q.v, e.v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |      (x, y) -> x + y) / (q.nrm * e.nrm) AS cosine
+        |  FROM e q JOIN e ON q.vec_id < 10 AND q.vec_id != e.vec_id)
+        |SELECT qid, vec_id, cosine FROM scored
+        |WHERE cosine >= 0.30 ORDER BY qid, vec_id""".stripMargin,
 
     "sim_centroids" ->
       """WITH dims AS (SELECT label, u.dim - 1 AS dim, u.x
