@@ -809,4 +809,68 @@ class PlanSpec extends SparkSpec {
       }.isEmpty,
       s"M4 must stay a pure hash aggregate:\n$plan")
   }
+
+  test("sim_range_search: queries broadcast, the corpus side never " +
+      "hash-shuffles") {
+    val (_, plan) = staticPlan("sim_range_search")
+    val bnlj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.size == 1,
+      s"radius search must be one broadcast join of the query set:\n$plan")
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    // only scanPar's round-robin widening and the harness ORDER BY's
+    // range partition may exchange — the τ filter is map-side
+    assert(hashShuffles.isEmpty,
+      s"the corpus must never hash-shuffle for a radius search:\n$plan")
+  }
+
+  test("text_collocations: bigrams are built map-side — no exchange " +
+      "below any explode") {
+    val (_, plan) = staticPlan("text_collocations")
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty, s"expected the bigram/unigram explodes:\n$plan")
+    gens.foreach { g =>
+      assert(g.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"the explode must sit directly on the scan (map-side):\n$plan")
+    }
+  }
+
+  test("cdc_reconcile: only chunk-grain fingerprints cross the wire — " +
+      "every hash exchange carries a partial aggregate") {
+    val (_, plan) = staticPlan("cdc_reconcile")
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashShuffles.nonEmpty)
+    // the compaction window's exchange carries raw rows by necessity;
+    // both digest exchanges must sit above partial HashAggregates so
+    // the reconciliation shuffle moves (chunk, cnt, hsum) rows only
+    val digestShuffles = hashShuffles.filter(_.collectFirst {
+      case a: HashAggregateExec => a
+    }.nonEmpty)
+    assert(digestShuffles.size >= 2,
+      s"both sides must pre-aggregate chunk fingerprints map-side:\n$plan")
+  }
+
+  test("agg_bitmap_rollup: the day-bitmap build is computed once and " +
+      "reused by the month/total merges (one raw scan)") {
+    val (_, plan) = staticPlan("agg_bitmap_rollup")
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val reused = plan.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(scans.size == 1 && reused.size >= 2,
+      s"day/month/all grains must share ONE events scan via exchange " +
+        s"reuse, got ${scans.size} scans / ${reused.size} reuses:\n$plan")
+  }
 }
