@@ -180,11 +180,8 @@ object TextQueries extends QueryGroup {
     // rank is a top-k over support-filtered candidates (sublinear),
     // not the corpus.
     "text_collocations" -> ((s, dir) => {
-      val d = Tables.scan(s, dir, "documents")
-        .select(toks(col("text")).as("w"))
-      val uni = d.select(explode(col("w")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c"))
-      val n = uni.agg(sum(col("c")).cast("long").as("n_tokens"))
+      val sc = Tables.scan(s, dir, "documents")
+      val d = sc.select(toks(col("text")).as("w"))
       val bgc = d.filter(size(col("w")) >= 2)
         .select(explode(expr("zip_with(slice(w, 1, size(w) - 1), " +
           "slice(w, 2, size(w) - 1), (x, y) -> concat(x, ' ', y))"))
@@ -192,6 +189,23 @@ object TextQueries extends QueryGroup {
         .groupBy("bg").agg(count(lit(1)).as("c12"))
         .withColumn("w1", expr("split_part(bg, ' ', 1)"))
         .withColumn("w2", expr("split_part(bg, ' ', 2)"))
+      // unigram counts WITHOUT a second corpus-sized explode: every
+      // token occurrence is either the w1 of a bigram or its doc's
+      // LAST token, so c(w) = Σc12 over bigrams led by w + #docs
+      // ending in w — the bigram table is re-aggregated (vocab-sized)
+      // and the last token comes from one cheap anchored regex per
+      // doc, not a re-split (empty text → "" matches the split([""])
+      // convention)
+      val lastTok = sc.select(regexp_extract(lower(trim(col("text"))),
+          "(\\S+)$", 1).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("lc"))
+      val uniFromBg = bgc.groupBy(col("w1").as("tok"))
+        .agg(sum(col("c12")).as("bc"))
+      val uni = lastTok.join(uniFromBg, Seq("tok"), "full_outer")
+        .select(col("tok"),
+          (coalesce(col("bc"), lit(0L)) + coalesce(col("lc"), lit(0L)))
+            .as("c"))
+      val n = uni.agg(sum(col("c")).cast("long").as("n_tokens"))
       val scored = bgc
         .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
         .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
