@@ -180,6 +180,48 @@ object CdcQueries extends QueryGroup {
         .orderBy("chunk")
     }),
 
+    // GTID-SET coverage (MySQL semantics; public Debezium/MySQL GTID
+    // format "uuid:1-5:8-12"): from the observed per-server transaction
+    // ids, RECONSTRUCT the interval-encoded GTID set — the islands
+    // computation a replication monitor runs to answer "which
+    // transactions has this replica actually got, and where are the
+    // holes". Fixture: 3 source servers (k%3), dense per-server txids
+    // (k div 3), ~1.1% deterministic holes (k%89==7 lost). One windowed
+    // islands pass per server (grp = txid − row_number, the standard
+    // O(n) gaps-and-islands), then the range strings aggregate
+    // ORDER-STABLY via sort_array(collect_list(struct)) — ranges per
+    // server ≈ holes + 1, so the reconstructed set string is
+    // holes-sized, not transaction-sized, at any scale.
+    "cdc_gtid_coverage" -> ((s, dir) => {
+      val tx = Tables.scan(s, dir, "orders")
+        .filter(!(col("o_orderkey") % 89 === 7))
+        .select(concat(lit("s"), (col("o_orderkey") % 3).cast("string"))
+            .as("server_uuid"),
+          expr("o_orderkey div 3").as("t"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("server_uuid").orderBy("t")
+      val isl = tx.withColumn("grp", col("t") - row_number().over(w))
+        .groupBy("server_uuid", "grp")
+        .agg(min(col("t")).as("lo"), max(col("t")).as("hi"),
+          count(lit(1)).as("n"))
+        .withColumn("rs", when(col("lo") === col("hi"),
+            col("lo").cast("string"))
+          .otherwise(concat(col("lo").cast("string"), lit("-"),
+            col("hi").cast("string"))))
+      isl.groupBy("server_uuid")
+        .agg(array_join(expr(
+            "transform(sort_array(collect_list(struct(lo, rs))), " +
+              "x -> x.rs)"), ":").as("ranges_str"),
+          count(lit(1)).as("n_ranges"), sum(col("n")).as("n_txns"),
+          min(col("lo")).as("lo0"), max(col("hi")).as("hi1"))
+        .select(col("server_uuid"),
+          concat(col("server_uuid"), lit(":"), col("ranges_str"))
+            .as("gtid_set"),
+          col("n_ranges"), col("n_txns"),
+          (col("hi1") - col("lo0") + 1 - col("n_txns")).as("n_holes"))
+        .orderBy("server_uuid")
+    }),
+
     // A2: MySQL-connector compaction — binlog (file, pos) ordering across
     // a log rotation. The fixture's updates have numerically smaller pos
     // than their inserts (later file), so pos-only ordering would pick the
@@ -1444,6 +1486,31 @@ object CdcQueries extends QueryGroup {
         |  MIN(CASE WHEN lsn % 97 = 13 THEN lsn END) AS min_missing_lsn,
         |  MAX(CASE WHEN lsn % 97 = 13 THEN lsn END) AS max_missing_lsn
         |FROM u""".stripMargin,
+
+    // the same islands (grp = t − row_number) and the same
+    // order-stable range-string aggregation
+    "cdc_gtid_coverage" ->
+      """WITH tx AS (SELECT concat('s', CAST(o_orderkey % 3 AS VARCHAR))
+        |    AS server_uuid, o_orderkey // 3 AS t
+        |  FROM orders WHERE o_orderkey % 89 <> 7),
+        |i AS (SELECT server_uuid, t,
+        |    t - ROW_NUMBER() OVER (PARTITION BY server_uuid ORDER BY t)
+        |      AS grp
+        |  FROM tx),
+        |r AS (SELECT server_uuid, grp, MIN(t) AS lo, MAX(t) AS hi,
+        |    COUNT(*) AS n FROM i GROUP BY 1, 2),
+        |rs AS (SELECT server_uuid, lo, hi, n,
+        |    CASE WHEN lo = hi THEN CAST(lo AS VARCHAR)
+        |         ELSE CAST(lo AS VARCHAR) || '-' || CAST(hi AS VARCHAR)
+        |    END AS rs
+        |  FROM r)
+        |SELECT server_uuid,
+        |  server_uuid || ':' || string_agg(rs, ':' ORDER BY lo)
+        |    AS gtid_set,
+        |  COUNT(*) AS n_ranges, CAST(SUM(n) AS BIGINT) AS n_txns,
+        |  CAST(MAX(hi) - MIN(lo) + 1 - CAST(SUM(n) AS BIGINT) AS BIGINT)
+        |    AS n_holes
+        |FROM rs GROUP BY server_uuid ORDER BY server_uuid""".stripMargin,
 
     // compacted state (the cdc_compact oracle) digested twice — pristine
     // and with the drift rules applied — then chunk fingerprints compared

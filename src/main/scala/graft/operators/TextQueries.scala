@@ -221,6 +221,29 @@ object TextQueries extends QueryGroup {
         .orderBy("rk")
     }),
 
+    // TOKENIZER FERTILITY by language — the multilingual-data-budget
+    // number (how many subword tokens a language pays per word decides
+    // its real share of a token-capped training mix; high-fertility
+    // languages are systematically under-served by a token budget).
+    // Fertility = BPE-ish pre-tokenizer count / whitespace word count,
+    // reported as the exact integer permille ratio of corpus-level
+    // sums — both counts are the same map-side expressions text_tokens
+    // grades per-doc, so the only exchange carries one partial
+    // aggregate row per language.
+    "text_fertility" -> ((s, dir) => {
+      Tables.scan(s, dir, "documents")
+        .select(col("lang"),
+          size(toks(col("text"))).cast("long").as("ws"),
+          regexp_count(col("text"), lit(bpePat)).cast("long").as("bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"))
+        .withColumn("fertility_x1000",
+          expr("(bpe_tokens * 1000) div ws_tokens"))
+        .orderBy("lang")
+    }),
+
     // token counting: whitespace tokens + BPE-ish pre-tokenizer count
     "text_tokens" -> ((s, dir) => {
       Tables.scan(s, dir, "documents")
@@ -837,6 +860,20 @@ object TextQueries extends QueryGroup {
         |    DESC, w1, w2) AS INT) AS rk FROM j)
         |SELECT w1, w2, c12, c1, c2, lift_x1000, rk
         |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin,
+
+    // same two counting expressions, language grain, integer permille
+    "text_fertility" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_split_to_array(lower(trim(text)),
+        |    '\s+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+        |    AS bpe_tokens,
+        |  (CAST(SUM(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) * 1000)
+        |    // CAST(SUM(len(regexp_split_to_array(lower(trim(text)),
+        |    '\s+'))) AS BIGINT) AS fertility_x1000
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,
