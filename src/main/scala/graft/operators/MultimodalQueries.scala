@@ -230,6 +230,49 @@ object MultimodalQueries extends QueryGroup {
         .orderBy("keeper_id")
     }),
 
+    // REAL AUDIO decode under a FULL oracle — the audio twin of
+    // mm_decode_png: 256 formula-synthesized 8-bit unsigned PCM samples
+    // per doc are written through javax.sound's ACTUAL WAV writer,
+    // parsed back through the ACTUAL reader, and the per-32-sample
+    // frame energies (Σ|s−128|, exact ints) are computed from the
+    // DECODED samples — unsigned-8-bit PCM is lossless, so any
+    // container defect (header arithmetic, sample framing, a silent
+    // stub fallback) breaks the hash. wav_len pins the canonical
+    // 44-byte RIFF header + data; n_samples pins the declared frame
+    // count surviving the round trip. Same mapPartitions codec seam
+    // (one session per task) and constant 300-doc graded slice as the
+    // image decoders.
+    "mm_decode_wav" -> ((s, dir) => {
+      import s.implicits._
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+        AudioInputStream, AudioSystem}
+      val ids = Tables.scan(s, dir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 300).as[Long]
+      ids.mapPartitions { it =>
+        it.map { d =>
+          val samples = Array.tabulate(256) { i =>
+            ((d * 7 + i * 31L + (i.toLong * i) % 97) % 256).toByte
+          }
+          val fmt = new AudioFormat(8000f, 8, 1, false, false)
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(samples), fmt, 256)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          val wav = bos.toByteArray
+          val in2 = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          val pcm = try in2.readAllBytes() finally in2.close()
+          val energies = pcm.grouped(32).map { fr =>
+            fr.map(b => math.abs((b & 0xff) - 128).toLong).sum
+          }.toArray
+          (d, wav.length, pcm.length, energies)
+        }
+      }.toDF("media_id", "wav_len", "n_samples", "energies")
+        .select(col("media_id"), col("wav_len"), col("n_samples"),
+          posexplode(col("energies")).as(Seq("frame_idx", "energy")))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // PERCEPTUAL-HASH image near-dup — the visual-dedup gate of a
     // multimodal ingest (exact-checksum dedup misses re-encoded /
     // slightly-edited copies; aHash catches them). The pipeline is the
@@ -338,6 +381,23 @@ object MultimodalQueries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    // the PCM formula recomputed sample-by-sample; the canonical RIFF
+    // header is 44 bytes, so wav_len = 300 pins the real writer's
+    // container and the energies pin the real reader's samples
+    "mm_decode_wav" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 300),
+        |sm AS (SELECT media_id, ii.i,
+        |    (media_id * 7 + ii.i * 31 + (ii.i * ii.i) % 97) % 256 AS s
+        |  FROM ids CROSS JOIN
+        |    (SELECT unnest(range(0, 256)) AS i) ii),
+        |fr AS (SELECT media_id, CAST(i // 32 AS INT) AS frame_idx,
+        |    CAST(SUM(abs(s - 128)) AS BIGINT) AS energy
+        |  FROM sm GROUP BY 1, 2)
+        |SELECT media_id, 300 AS wav_len, 256 AS n_samples, frame_idx,
+        |  energy
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
+
     // the full aHash pipeline recomputed from the raster FORMULA
     // (pixel → exact luma → block bits → bands → pigeonhole join →
     // hamming verify); the engine's path must agree through a real
