@@ -221,6 +221,37 @@ object TextQueries extends QueryGroup {
         .orderBy("rk")
     }),
 
+    // CORPUS NOVELTY by source — the curation signal behind "is this
+    // source adding new content or re-serving what we already have":
+    // a doc's shingle is NOVEL iff the doc is the corpus-wide FIRST
+    // (min doc_id) to contain it, and a source's novelty is the exact
+    // ppm of novel shingles it contributes. Rides the session-shared
+    // distinct shingle table ([[DedupQueries.shingles]] — the same
+    // feature table every dedup policy reads); first-occurrence is one
+    // shingle-keyed groupBy and the credit join reuses that
+    // partitioning, so the corpus-sized work is the two exchanges the
+    // dedup family already pays, then everything is doc- and
+    // source-grain. Docs under 4 tokens have no shingles and are out
+    // of scope on both sides (inner joins).
+    "text_novelty" -> ((s, dir) => {
+      val sh = DedupQueries.shingles(s, dir)
+      val firsts = sh.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      Tables.scan(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(perDoc, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_sh")).as("n_shingles"),
+          sum(col("n_novel")).as("n_novel"))
+        .withColumn("novelty_ppm",
+          expr("(n_novel * 1000000) div n_shingles"))
+        .orderBy("source")
+    }),
+
     // TOKENIZER FERTILITY by language — the multilingual-data-budget
     // number (how many subword tokens a language pays per word decides
     // its real share of a token-capped training mix; high-fertility
@@ -860,6 +891,31 @@ object TextQueries extends QueryGroup {
         |    DESC, w1, w2) AS INT) AS rk FROM j)
         |SELECT w1, w2, c12, c1, c2, lift_x1000, rk
         |FROM r WHERE rk <= 100 ORDER BY rk""".stripMargin,
+
+    // the dedup family's shingle prefix, first-occurrence credit by
+    // MIN(doc_id), source rollup with the exact ppm division
+    "text_novelty" ->
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 4 THEN
+        |      list_transform(range(1, len(w) - 2),
+        |        i -> array_to_string(w[i:i+3], ' '))
+        |      ELSE [] END) AS s
+        |  FROM toks),
+        |f AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |pd AS (SELECT sh.doc_id, COUNT(*) AS n_sh,
+        |    CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_novel
+        |  FROM sh JOIN f ON sh.s = f.s GROUP BY 1)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+        |  (CAST(SUM(n_novel) AS BIGINT) * 1000000)
+        |    // CAST(SUM(n_sh) AS BIGINT) AS novelty_ppm
+        |FROM documents d JOIN pd ON d.doc_id = pd.doc_id
+        |GROUP BY 1 ORDER BY source""".stripMargin,
 
     // same two counting expressions, language grain, integer permille
     "text_fertility" ->
