@@ -189,22 +189,17 @@ object TextQueries extends QueryGroup {
         .groupBy("bg").agg(count(lit(1)).as("c12"))
         .withColumn("w1", expr("split_part(bg, ' ', 1)"))
         .withColumn("w2", expr("split_part(bg, ' ', 2)"))
-      // unigram counts WITHOUT a second corpus-sized explode: every
-      // token occurrence is either the w1 of a bigram or its doc's
-      // LAST token, so c(w) = Σc12 over bigrams led by w + #docs
-      // ending in w — the bigram table is re-aggregated (vocab-sized)
-      // and the last token comes from one cheap anchored regex per
-      // doc, not a re-split (empty text → "" matches the split([""])
-      // convention)
-      val lastTok = sc.select(regexp_extract(lower(trim(col("text"))),
-          "(\\S+)$", 1).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("lc"))
-      val uniFromBg = bgc.groupBy(col("w1").as("tok"))
-        .agg(sum(col("c12")).as("bc"))
-      val uni = lastTok.join(uniFromBg, Seq("tok"), "full_outer")
-        .select(col("tok"),
-          (coalesce(col("bc"), lit(0L)) + coalesce(col("lc"), lit(0L)))
-            .as("c"))
+      // unigram counts by the direct explode: A/B-measured (5-rep
+      // subset bench, quiet host) against two "clever" variants —
+      // deriving c(w) from bigram-w1 sums + the doc's last token via
+      // an anchored (\S+)$ regex (1.49 s: left-to-right backtracking
+      // scans each doc) or via element_at(split, -1) (1.28 s: the
+      // corpus re-split dominates) — the plain explode + map-side-
+      // combined hash aggregate is fastest at 1.08 s: token explosion
+      // is cheap, the regex split is the real cost, and both variants
+      // still pay it
+      val uni = d.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
       val n = uni.agg(sum(col("c")).cast("long").as("n_tokens"))
       val scored = bgc
         .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
