@@ -158,8 +158,14 @@ object CdcQueries extends QueryGroup {
             .cast("long").as("d"))
         .groupBy("chunk")
         .agg(count(lit(1)).as("cnt"), sum(col("d")).as("hsum"))
+      // materialize the compacted state once: both digest branches read
+      // it (a production reconciler reads two PERSISTED tables — the
+      // recompute-per-branch of the compaction window is a fixture
+      // artifact, not part of the operator); 3 narrow columns, so the
+      // checkpoint is small at any SF
       val state = CdcOps.ordersCompacted(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .localCheckpoint()
       val srcC = digest(state)
       val tgtC = digest(state
         .filter(!(col("o_orderkey") % 127 === 9))
