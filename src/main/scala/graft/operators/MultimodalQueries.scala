@@ -220,6 +220,30 @@ object MultimodalQueries extends QueryGroup {
         .orderBy("doc_id")
     }),
 
+    // SHARD FILL-FACTOR report over the manifest — the storage-ops
+    // number behind every packed-blob layout decision (a shard fleet
+    // with low fill wastes read amplification; one with many
+    // singleton-overflow shards signals the budget is too small for
+    // the blob distribution). Pure rollup of the manifest the store
+    // already computes (shard grain, bounded by corpus/budget), with
+    // the fill ratio as an exact permille of the 8 KiB budget and
+    // oversize blobs (blobs that alone exceed the budget) counted
+    // explicitly — next-fit gives them a dedicated shard, the
+    // tar-layout convention.
+    "mm_shard_stats" -> ((s, dir) => {
+      MediaShardStore.manifest(
+        Tables.scan(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8")
+            .as("payload")), 8192L)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_blobs"),
+          sum(col("byte_len")).as("bytes"),
+          sum(when(col("byte_len") > 8192L, 1L).otherwise(0L))
+            .as("n_oversize"))
+        .withColumn("fill_x1000", expr("(bytes * 1000) div 8192"))
+        .orderBy("shard_id")
+    }),
+
     "mm_dedup" -> ((s, dir) => {
       Tables.scan(s, dir, "documents")
         .select(col("doc_id"),
@@ -495,6 +519,35 @@ object MultimodalQueries extends QueryGroup {
         |  CAST(block * 64 + seq AS BIGINT) AS shard_id,
         |  off AS byte_off
         |FROM step ORDER BY doc_id""".stripMargin,
+
+    // the same recursive next-fit fold, rolled up to shard grain
+    "mm_shard_stats" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    CAST(doc_id // 64 AS BIGINT) AS block
+        |  FROM documents),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY block
+        |    ORDER BY doc_id) AS BIGINT) AS rn FROM t),
+        |step AS (
+        |  SELECT block, rn, doc_id, byte_len,
+        |    CAST(0 AS BIGINT) AS seq, byte_len AS fill,
+        |    CAST(0 AS BIGINT) AS off
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.block, r.rn, r.doc_id, r.byte_len,
+        |    CASE WHEN s.fill + r.byte_len <= 8192 THEN s.seq
+        |         ELSE s.seq + 1 END,
+        |    CASE WHEN s.fill + r.byte_len <= 8192 THEN s.fill + r.byte_len
+        |         ELSE r.byte_len END,
+        |    CASE WHEN s.fill + r.byte_len <= 8192 THEN s.fill
+        |         ELSE CAST(0 AS BIGINT) END
+        |  FROM step s JOIN r ON r.block = s.block AND r.rn = s.rn + 1)
+        |SELECT CAST(block * 64 + seq AS BIGINT) AS shard_id,
+        |  COUNT(*) AS n_blobs, CAST(SUM(byte_len) AS BIGINT) AS bytes,
+        |  CAST(SUM(CASE WHEN byte_len > 8192 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oversize,
+        |  (CAST(SUM(byte_len) AS BIGINT) * 1000) // 8192 AS fill_x1000
+        |FROM step GROUP BY 1 ORDER BY shard_id""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id AS media_id,

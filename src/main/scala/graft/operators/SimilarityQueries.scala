@@ -254,6 +254,40 @@ object SimilarityQueries extends QueryGroup {
     "sim_ann_lsh_pinned" -> ((s, dir) =>
       lshPinnedTopK(s, dir).orderBy("qid", "rank")),
 
+    // MULTI-PROBE LSH (Lv et al. VLDB'07) — the recall lever that does
+    // NOT multiply index size: instead of more hash tables, each query
+    // ALSO probes the buckets one bit-flip away (the most likely
+    // landing spots of near neighbors that straddled a hyperplane).
+    // Here: base code + all 8 one-bit perturbations = 9 probes per
+    // query over the SAME single-table pinned index sim_ann_lsh_pinned
+    // searches — candidates grow ~9× per query (still ∝ bucket
+    // occupancy, never all-pairs) while the stored index is unchanged,
+    // the exact trade a deployment tunes against adding tables. A
+    // vector has exactly one code, so probe sets never duplicate a
+    // candidate. Same map-side coding, broadcast probes, exact-cosine
+    // re-rank — and the same full-oracle replay, probes included.
+    "sim_ann_lsh_multiprobe" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val coded = e.select(col("vec_id"), col("v"), col("nrm"),
+        VectorFunctions.dyadicLshCode(col("v"), 8).as("code"))
+      val probes = coded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"),
+          explode(expr("array(code, code ^ 1, code ^ 2, code ^ 4, " +
+            "code ^ 8, code ^ 16, code ^ 32, code ^ 64, code ^ 128)"))
+            .as("code"))
+      val wR = Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      broadcast(probes).join(coded, Seq("code"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          (VectorFunctions.floatDot(col("qv"), col("v"))
+            / (col("qn") * col("nrm"))).as("cosine"))
+        .withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= 10)
+        .orderBy("qid", "rank")
+    }),
+
     // END-TO-END IVF-Flat search, fully oracled — the search-result twin
     // of `sim_ann_ivfpq_recall` (which grades only the recall of the
     // PQ-compressed composition): pinned seed coarse quantizer
@@ -1012,6 +1046,45 @@ object SimilarityQueries extends QueryGroup {
         |      (x, y) -> x + y) / (q.nrm * t.nrm) AS cosine
         |  FROM c q JOIN c t ON q.code = t.code
         |  WHERE q.vec_id < 10 AND q.vec_id != t.vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT qid, vec_id, cosine, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // the same code CTE; the query side fans out to the 9 probe codes
+    // (base + every one-bit flip) before the bucket equi-join
+    "sim_ann_lsh_multiprobe" ->
+      """WITH e AS (SELECT vec_id, embedding AS v,
+        |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS MATERIALIZED (SELECT vec_id, v, nrm,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(7, -1, -1), pp ->
+        |        CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |            list_transform(list_zip(v, range(0, 64)),
+        |              q -> CAST(q[1] AS DOUBLE) *
+        |                (CAST((pp * 64 + q[2]) * 2654435761 % 4096
+        |                   AS DOUBLE) / 4096 - 0.5))),
+        |            (a, b) -> a + b) >= 0
+        |          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, b) -> a * 2 + b) AS code
+        |  FROM e),
+        |qp AS (SELECT vec_id, v, nrm,
+        |    unnest([code, xor(code, 1), xor(code, 2), xor(code, 4),
+        |      xor(code, 8), xor(code, 16), xor(code, 32),
+        |      xor(code, 64), xor(code, 128)]) AS pcode
+        |  FROM c WHERE vec_id < 10),
+        |scored AS (SELECT q.vec_id AS qid, t.vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_zip(q.v, t.v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |      (x, y) -> x + y) / (q.nrm * t.nrm) AS cosine
+        |  FROM qp q JOIN c t ON q.pcode = t.code
+        |  WHERE q.vec_id != t.vec_id),
         |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
         |    ORDER BY cosine DESC, vec_id) AS INT) AS rank
         |  FROM scored)
