@@ -116,6 +116,46 @@ object CurationQueries extends QueryGroup {
           .as("chunk_md5"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TWO-PHASE DATA SCHEDULE (pretrain → anneal) — the midtraining
+    // move every modern run makes: the long pretrain phase samples
+    // sources in proportion to their token mass, the short anneal
+    // phase re-weights toward each source's GATED-quality token mass
+    // (the "end on your best data" schedule). The gate is three
+    // cross-multiplied integer predicates on the same counts the
+    // quality score uses (≥20 tokens, punct < 10% of chars,
+    // stopwords < 50% of tokens) — no doubles anywhere, so phase
+    // shares and the per-source anneal boost (w2/w1 as exact
+    // permille) are bit-stable. Map-side gate + one source-grain
+    // aggregate + a 1-row totals broadcast; the schedule card is
+    // sources-sized at any corpus scale.
+    "curate_anneal_mix" -> ((s, dir) => {
+      val d = Tables.scan(s, dir, "documents")
+        .select(col("source"), length(col("text")).cast("long").as("nc"),
+          size(TextQueries.toks(col("text"))).cast("long").as("nt"),
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]"))
+            .cast("long").as("np"),
+          regexp_count(lower(col("text")),
+            lit("\\b(the|a|of|and|to|in|is|it)\\b"))
+            .cast("long").as("ns"))
+        .withColumn("good", col("nt") >= 20 &&
+          col("np") * 10 < col("nc") && col("ns") * 2 < col("nt"))
+      val per = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
+        sum(col("nc")).as("tokens"),
+        sum(when(col("good"), col("nc")).otherwise(0L))
+          .as("good_tokens"))
+      val tot = per.agg(sum(col("tokens")).cast("long").as("total"),
+        sum(col("good_tokens")).cast("long").as("good_total"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("w1_ppm", expr("(tokens * 1000000) div total"))
+        .withColumn("w2_ppm",
+          expr("(good_tokens * 1000000) div good_total"))
+        .withColumn("boost_x1000", expr("(w2_ppm * 1000) div w1_ppm"))
+        .select("source", "n_docs", "n_good", "tokens", "good_tokens",
+          "w1_ppm", "w2_ppm", "boost_x1000")
+        .orderBy("source")
+    }),
     // token-budget shard packing: document i goes to the shard where its
     // FIRST token lands in the concatenated corpus token stream (docs may
     // straddle a boundary; assignment is by start offset, the standard
@@ -489,6 +529,36 @@ object CurationQueries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    // same integer gate predicates, source rollup, ppm/permille divs
+    "curate_anneal_mix" ->
+      """WITH d AS (SELECT source,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      AS BIGINT) AS nt,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+        |      AS BIGINT) AS np,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|of|and|to|in|is|it)\b')) AS BIGINT) AS ns
+        |  FROM documents),
+        |g AS (SELECT source, nc,
+        |    (nt >= 20 AND np * 10 < nc AND ns * 2 < nt) AS good
+        |  FROM d),
+        |p AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_good,
+        |    CAST(SUM(nc) AS BIGINT) AS tokens,
+        |    CAST(SUM(CASE WHEN good THEN nc ELSE 0 END) AS BIGINT)
+        |      AS good_tokens
+        |  FROM g GROUP BY 1),
+        |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+        |    CAST(SUM(good_tokens) AS BIGINT) AS good_total FROM p)
+        |SELECT source, n_docs, n_good, tokens, good_tokens,
+        |  (tokens * 1000000) // total AS w1_ppm,
+        |  (good_tokens * 1000000) // good_total AS w2_ppm,
+        |  (((good_tokens * 1000000) // good_total) * 1000)
+        |    // ((tokens * 1000000) // total) AS boost_x1000
+        |FROM p CROSS JOIN t ORDER BY source""".stripMargin,
+
     // same lower(trim(text)) grouping key as the dedup family's
     // textGroups, 1/k weights as truncating integer division
     "curate_dup_weights" ->
