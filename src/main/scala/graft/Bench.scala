@@ -68,6 +68,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // concurrent warm-start of the shared builds (kicked inside the first
+    // query's timed window each rep — see graft.Prewarm)
+    Prewarm.enable()
     // warm the session (parquet footer reads, codegen compiler, JIT) so the
     // first timed query doesn't absorb one-time setup cost
     graft.sources.Tables.all.foreach { t =>

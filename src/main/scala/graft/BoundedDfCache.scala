@@ -204,12 +204,18 @@ private[graft] object BoundedDfCache {
     * persisted outputs of GRADED operators (bronze parses, shingle and
     * pair tables) and report a cache read as query time — so each rep
     * drops them and pays the full graded materialization work again. */
-  def clearGraded(): Unit = entries.synchronized {
-    val graded = entries.keys.filterNot(_._2.startsWith(FixturePrefix)).toList
-    graded.foreach { k =>
-      scala.util.Try(entries(k).unpersist())
-      entries.remove(k)
+  def clearGraded(): Unit = {
+    entries.synchronized {
+      val graded =
+        entries.keys.filterNot(_._2.startsWith(FixturePrefix)).toList
+      graded.foreach { k =>
+        scala.util.Try(entries(k).unpersist())
+        entries.remove(k)
+      }
     }
+    // new epoch: the next query's kick re-warms (and re-pays) the full
+    // graded build set
+    Prewarm.reset()
   }
 
   /** Unpersist and evict EVERY entry, fixtures included. */

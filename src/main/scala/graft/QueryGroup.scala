@@ -10,6 +10,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 trait QueryGroup {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
+
+  /** Shared materializations this group owns, for the session warm-start
+    * ([[Prewarm]]): each task triggers the group's cached builds through
+    * the same entry points its queries use. Empty = nothing shared. */
+  def prewarm: Seq[Prewarm.Task] = Seq.empty
 }
 
 /** Determinism helpers for oracle-comparable numerics (SURVEY.md §7.4.3).

@@ -20,6 +20,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Prewarm.enable() // concurrent warm-start of the shared builds
     new java.io.File(outDir).mkdirs()
     writeOracleJson(outDir)
     val errDir = Paths.get(s"$outDir/_errors")

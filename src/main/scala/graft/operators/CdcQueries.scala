@@ -492,35 +492,49 @@ object CdcQueries extends QueryGroup {
       // full RocksDB open+commit across every state partition, pure
       // per-batch overhead that dominated this query's bench time.
       val chunk = math.max(1L, math.min(65536L, total / 2 + 1)).toInt
-      val prev =
-        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // a stateful query's state-store count is pinned (into the
-      // checkpoint) from shuffle.partitions at first start — size it to
-      // the STATE volume, not the session's analytic shuffle width: every
-      // instance is a live RocksDB opened+committed per micro-batch, so 32
-      // instances for a few thousand keys is 4× pure store overhead. A
-      // production deployment makes the same call per stateful job
-      // (state partitions ≈ state size / target store size).
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      locally {
         implicit val sqlCtx = s.sqlContext
         val sinkName = "graft_tws_compact"
         s.catalog.dropTempView(sinkName)
         val in = MemoryStream[KeyedChange]
-        val q = TwsCompaction.compact(in.toDS())
-          .writeStream.format("memory").queryName(sinkName)
-          .outputMode(OutputMode.Update).start()
+        // provider and state-store count are pinned at START (start()
+        // clones the session for the stream's lifetime), so the
+        // session-wide sets cover only this gated section — concurrent
+        // warm-start pipelines can no longer catch the RocksDB provider
+        // or have their width restore interleave with this one.
+        // Width 8: a stateful query's state-store count is sized to the
+        // STATE volume, not the session's analytic shuffle width — every
+        // instance is a live RocksDB opened+committed per micro-batch, so
+        // 32 instances for a few thousand keys is 4× pure store overhead.
+        // A production deployment makes the same call per stateful job
+        // (state partitions ≈ state size / target store size).
+        val q = graft.StartGate.locked {
+          val prev =
+            s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+          val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+          s.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          try TwsCompaction.compact(in.toDS())
+            .writeStream.format("memory").queryName(sinkName)
+            .outputMode(OutputMode.Update).start()
+          finally {
+            s.conf.set("spark.sql.shuffle.partitions", prevParts)
+            prev match {
+              case Some(v) => s.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", v)
+              case None =>
+                s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            }
+          }
+        }
         try {
           import scala.jdk.CollectionConverters._
           keyed.toLocalIterator().asScala.grouped(chunk).foreach {
             b => in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
           }
         } finally q.stop()
-        // (no conf restore here: the outer finally below is the single
-        // source of truth, and the fold below plans lazily — after it)
         // fold Update-mode emissions to final state: max (lsn, deleted)
         // per key — the processor's own rank — then drop deleted keys
         s.table(sinkName)
@@ -532,14 +546,6 @@ object CdcQueries extends QueryGroup {
             graft.sources.Debezium.ordersRowSchema).as("row"))
           .select(payloadCols.map(c => col(s"row.$c")): _*)
           .orderBy("o_orderkey")
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        prev match {
-          case Some(v) =>
-            s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-          case None =>
-            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
       }
     }),
 
@@ -1049,14 +1055,16 @@ object CdcQueries extends QueryGroup {
     * race other queries' starts. Shuffle width 8 across the block; the
     * bodies' own set/restore of the same conf is benign under the
     * wrapper (every writer writes 8). */
-  private def standing(
+  private[graft] def standing(
       s: SparkSession, dir: String, which: String): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // batch stages run at ambient width (the bench session is width 8);
+    // the two streaming pipelines pin their state width inside their own
+    // StartGate sections — the old group-wide session set/restore raced
+    // the concurrent warm-start's other groups
+    locally {
       // shared inputs resolved BEFORE the futures spawn (the ivmViews
       // discipline): they are consumed by other queries too, so their
       // build is paid once either way — inside the concurrent block they
@@ -1083,7 +1091,7 @@ object CdcQueries extends QueryGroup {
         case Right(df) => df
         case Left(e) => throw e
       }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   private def standingBuild(
@@ -1150,13 +1158,20 @@ object CdcQueries extends QueryGroup {
     if (fs.exists(root)) fs.delete(root, true)
     // bounded scalar: sizes the chunks so every sf feeds ~4 batches
     val chunk = math.max(1L, (rows.count() + 3) / 4).toInt
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    locally {
       implicit val sqlCtx = s.sqlContext
       val in = MemoryStream[WarehouseFeedRow]
-      val q = Sinks.appendWarehouse(in.toDF(), s"$tmp/data",
-        s"$tmp/ckpt", "month", interval = "0 seconds").start()
+      // state width 8 is pinned at START (start() clones the session for
+      // the stream's lifetime), so the session-wide set only needs to
+      // cover the start — gated so concurrent pipeline starts can't
+      // interleave their set/restore pairs
+      val q = graft.StartGate.locked {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try Sinks.appendWarehouse(in.toDF(), s"$tmp/data",
+          s"$tmp/ckpt", "month", interval = "0 seconds").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       try {
         import scala.jdk.CollectionConverters._
         rows.toLocalIterator().asScala.grouped(chunk).foreach { b =>
@@ -1164,7 +1179,7 @@ object CdcQueries extends QueryGroup {
           q.processAllAvailable()
         }
       } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.read.parquet(s"$tmp/data")
       .groupBy(col("day").cast("date").as("day"))
       .agg(count(lit(1)).as("n_orders"),
@@ -1193,25 +1208,30 @@ object CdcQueries extends QueryGroup {
         col("event_count").as("expected"))
       .as[TxnFeedEvent].sort("txid")
     val nTx = meta.count() // bounded scalar: the await target
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    // state-store count follows state volume, not analytic width —
-    // same per-stateful-job sizing call as cdc_compact_tws
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    locally {
       implicit val sqlCtx = s.sqlContext
       val sinkName = "graft_txn_apply_evict"
       s.catalog.dropTempView(sinkName)
       val in = MemoryStream[TxnFeedEvent]
-      val q = TxnApply(in.toDS(),
-          replayWindowMs = Some(TxnApply.DefaultReplayWindowMs))
-        .writeStream
-        // eviction mode schedules data-less timeout batches forever,
-        // so processAllAvailable never returns — poll the sink under a
-        // sane trigger interval instead (the operator's caller
-        // contract)
-        .trigger(Trigger.ProcessingTime("100 milliseconds"))
-        .format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Update).start()
+      // state-store count follows state volume, not analytic width —
+      // same per-stateful-job sizing call as cdc_compact_tws. Width 8 is
+      // pinned at START, so the session-wide set covers only the gated
+      // start section (see buildSinkWarehouse).
+      val q = graft.StartGate.locked {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try TxnApply(in.toDS(),
+            replayWindowMs = Some(TxnApply.DefaultReplayWindowMs))
+          .writeStream
+          // eviction mode schedules data-less timeout batches forever,
+          // so processAllAvailable never returns — poll the sink under a
+          // sane trigger interval instead (the operator's caller
+          // contract)
+          .trigger(Trigger.ProcessingTime("100 milliseconds"))
+          .format("memory").queryName(sinkName)
+          .outputMode(OutputMode.Update).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       def await(cond: => Boolean, what: String): Unit = {
         val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
         while (!cond) {
@@ -1250,7 +1270,7 @@ object CdcQueries extends QueryGroup {
         .select(col("txid"), col("event_count"), col("min_lsn"),
           col("max_lsn"))
         .orderBy("txid")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** All four incrementally-maintained views applied CONCURRENTLY in one
@@ -1289,7 +1309,7 @@ object CdcQueries extends QueryGroup {
     * argument); outputs normalize to (_mode, key, m1, m2, m3) and the
     * per-query views restore names. First failure wins, after all four
     * complete. */
-  private def ivmViews(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ivmViews(s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"cdc:ivmviews:$dir") {
       import graft.streaming.{BucketedJoinView, IncrementalJoinView,
         IncrementalMinMax, IncrementalView}
@@ -1319,9 +1339,11 @@ object CdcQueries extends QueryGroup {
         df.select(lit(mode).as("_mode") +: col(key).as("key") +:
           pad.zipWithIndex.map { case (c, i) => c.as(s"m${i + 1}") }: _*)
       }
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // batch pipelines run at the session's ambient shuffle width (the
+      // bench session IS width 8; the old in-build session-wide set/
+      // restore raced the concurrent warm-start's other groups — a lost
+      // restore could pin the whole session at a sibling's width)
+      {
         val fView = Future {
           val tmp = wiped("graft-ivm-view")
           // tombstones carry no row and never reach a delta (eventsOf
@@ -1368,7 +1390,7 @@ object CdcQueries extends QueryGroup {
         }
         results.collectFirst { case Left(e) => e }.foreach(e => throw e)
         results.collect { case Right(df) => df }.reduce(_ unionByName _)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     }
 
   private[graft] def dlqReplayState(
@@ -2032,4 +2054,21 @@ object CdcQueries extends QueryGroup {
         |WHERE o_orderkey % 7 <> 0
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin)
+
+  /** Warm-start targets (weights = measured sf0.1 build seconds; the
+    * concurrent kick is [[graft.Prewarm]]). */
+  override def prewarm: Seq[graft.Prewarm.Task] = Seq(
+    graft.Prewarm.Task("cdc:ivmviews", 6.0, (s, d) => { ivmViews(s, d); () }),
+    graft.Prewarm.Task("cdc:standing", 5.0,
+      (s, d) => { standing(s, d, "upsert"); () }),
+    graft.Prewarm.Task("cdc:signal", 2.7,
+      (s, d) => { CdcOps.signalSnapshotState(s, d); () }),
+    graft.Prewarm.Task("cdc:parsed", 2.0, (s, d) => {
+      CdcOps.txnMetaShared(s, d); CdcOps.parsedSharded(s, d)
+      CdcOps.parsedOrdersTail(s, d); CdcOps.parsedOrdersSnapshot(s, d)
+      CdcOps.parsedOrdersMySql(s, d); CdcOps.parsedOrdersMongo(s, d)
+      CdcOps.parsedUsers(s, d); CdcOps.parsedOutbox(s, d)
+      ()
+    }))
+
 }

@@ -803,4 +803,10 @@ object CurationQueries extends QueryGroup {
          |  CAST($terms AS BIGINT) AS zval
          |FROM t ORDER BY zval, o_orderkey""".stripMargin
     })
+
+  /** Warm-start targets (see [[graft.Prewarm]]). */
+  override def prewarm: Seq[graft.Prewarm.Task] = Seq(
+    graft.Prewarm.Task("curate:tokens", 0.2,
+      (s, d) => { withTokens(s, d); () }))
+
 }

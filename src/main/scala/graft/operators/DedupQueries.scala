@@ -1961,4 +1961,19 @@ ORDER BY block"""
         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
         |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.35
         |ORDER BY va, vb""".stripMargin)
+
+  /** Warm-start targets (see [[graft.Prewarm]]): docComponents pulls the
+    * whole shingle -> groups -> overlap-counts -> pair-table -> CC chain
+    * (the suite's longest sequential build chain), the others are the
+    * independent candidate disciplines. */
+  override def prewarm: Seq[graft.Prewarm.Task] = Seq(
+    graft.Prewarm.Task("dedup:cc", 9.0,
+      (s, d) => { docComponents(s, d); () }),
+    graft.Prewarm.Task("dedup:substr", 1.3,
+      (s, d) => { substringRuns(s, d); () }),
+    graft.Prewarm.Task("dedup:lsh", 1.0,
+      (s, d) => { lshVerified(s, d); () }),
+    graft.Prewarm.Task("dedup:simhash", 0.7,
+      (s, d) => { simhashPairs(s, d); () }))
+
 }

@@ -776,4 +776,12 @@ object PipelineQueries extends QueryGroup {
         |  (SELECT COUNT(*) FROM documents)
         |    - (SELECT COUNT(*) FROM gated)
         |ORDER BY metric""".stripMargin)
+
+  /** Warm-start targets (see [[graft.Prewarm]]). */
+  override def prewarm: Seq[graft.Prewarm.Task] = Seq(
+    graft.Prewarm.Task("pipeline:tables", 2.0, (s, d) => {
+      gatedWithPairs(s, d); sourceQualityAgg(s, d)
+      ()
+    }))
+
 }

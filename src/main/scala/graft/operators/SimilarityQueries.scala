@@ -1449,4 +1449,14 @@ object SimilarityQueries extends QueryGroup {
         |FROM etop et LEFT JOIN atop at
         |  ON et.qid = at.qid AND et.vec_id = at.vec_id
         |GROUP BY et.qid ORDER BY et.qid""".stripMargin)
+
+  /** Warm-start targets (see [[graft.Prewarm]]). */
+  override def prewarm: Seq[graft.Prewarm.Task] = Seq(
+    graft.Prewarm.Task("sim:tables", 2.5, (s, d) => {
+      exactTopK(s, d); lshPinnedTopK(s, d); ivfFlatTopK(s, d)
+      annTopK(s, d, "lsh"); annTopK(s, d, "ivf")
+      l2TopK(s, d); pqCodes(s, d)
+      ()
+    }))
+
 }

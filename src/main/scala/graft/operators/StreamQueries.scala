@@ -396,12 +396,27 @@ object StreamQueries extends QueryGroup {
     }),
 
     "alert_availability" -> ((s, dir) => {
-      // the grid is session-cached: both rule evaluations below reference
-      // it, and without the persist the unioned plan would re-run the
-      // full-table per-hour aggregation, the span agg, and the distinct
-      // once PER RULE — the grid itself is connectors × hours (tiny), so
-      // caching it caps the events scans at one per session
-      val status = graft.BoundedDfCache.getOrPersist(
+      val status = statusGrid(s, dir)
+      def runs(cond: org.apache.spark.sql.Column, minRun: Int, rule: String) =
+        graft.streaming.AlertRules.sustainedRuns(
+          status.select(col("connector"), col("h"),
+            when(cond, 1L).otherwise(0L).as("n")),
+          keyCol = "connector", threshold = 1L, minRun = minRun)
+          .select(lit(rule).as("rule"), col("connector"),
+            col("run_start"), col("run_end"), col("n_hours"))
+      runs(col("up") === 0L, 2, "ConnectDown")
+        .unionByName(runs(col("state") =!= "RUNNING", 1, "ConnectorNotRunning"))
+        .orderBy("rule", "connector", "run_start")
+    }))
+
+  /** Connector × hour status grid for the availability rules —
+    * session-cached: both rule evaluations reference it, and without the
+    * persist the unioned plan would re-run the full-table per-hour
+    * aggregation, the span agg, and the distinct once PER RULE — the
+    * grid itself is connectors × hours (tiny), so caching it caps the
+    * events scans at one per session. */
+  private def statusGrid(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(
         s, s"alert:status:$dir") {
         val ev = Tables.scan(s, dir, "events")
         val perHour = ev
@@ -423,17 +438,6 @@ object StreamQueries extends QueryGroup {
             .when(col("max_v") >= 200.0, lit("FAILED"))
             .otherwise(lit("RUNNING")))
       }
-      def runs(cond: org.apache.spark.sql.Column, minRun: Int, rule: String) =
-        graft.streaming.AlertRules.sustainedRuns(
-          status.select(col("connector"), col("h"),
-            when(cond, 1L).otherwise(0L).as("n")),
-          keyCol = "connector", threshold = 1L, minRun = minRun)
-          .select(lit(rule).as("rule"), col("connector"),
-            col("run_start"), col("run_end"), col("n_hours"))
-      runs(col("up") === 0L, 2, "ConnectDown")
-        .unionByName(runs(col("state") =!= "RUNNING", 1, "ConnectorNotRunning"))
-        .orderBy("rule", "connector", "run_start")
-    }))
 
   /** ONE build for ALL three streaming-feed graded queries
     * (`stream_late_data`, `stream_append_mode`, `stream_session_live`):
@@ -530,9 +534,11 @@ object StreamQueries extends QueryGroup {
         .select(col("batch"), col("ts"), col("user_id"), col("event_id"),
           col("is_left"))
     }
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // fixture reads/drain bookkeeping run at ambient width (the bench
+    // session is width 8); the four streaming queries pin their state
+    // widths inside the gated start section below — the old build-wide
+    // session set/restore raced the concurrent warm-start's other groups
+    locally {
       implicit val sqlCtx = s.sqlContext
       Seq("graft_stream_late", "graft_stream_append",
         "graft_stream_session", "graft_stream_join")
@@ -551,7 +557,11 @@ object StreamQueries extends QueryGroup {
       val inS = MemoryStream[SessionFeedEvent]
       val inJL = MemoryStream[JoinFeedEvent]
       val inJR = MemoryStream[JoinFeedEvent]
-      // the JOIN query starts first, under width-2 state (r16 trim of
+      // State widths are pinned at START (start() clones the session for
+      // the stream's lifetime), so the session-wide sets cover only this
+      // gated section (concurrent pipeline starts can't interleave their
+      // set/restore pairs).
+      // The JOIN query starts first, under width-2 state (r16 trim of
       // the stream:feeds tag): its per-trigger fixed cost is 4
       // state-store commits × state partitions × 2 batches per flush,
       // and its state volume at the bench SF is a few hundred keys —
@@ -562,59 +572,68 @@ object StreamQueries extends QueryGroup {
       // per-query start-time conf — a deployment starts the same join
       // at production width. StreamJoinPropertySpec re-proves the
       // contract across randomized batchings after this change.
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      // op 15 end to end: watermarked two-stream LEFT-OUTER interval join
-      // — matches emit when both sides have arrived; an unmatched left row
-      // null-pads only once the GLOBAL watermark (min of both sources'
-      // ratcheting watermarks, the default multipleWatermarkPolicy) passes
-      // the end of its 2-hour match window and the state store evicts it
-      val qJ = {
-        val l = inJL.toDS()
-          .select(col("ts").as("l_ts"), col("user_id"),
-            col("eid").as("l_eid"))
-          .withWatermark("l_ts", "12 hours")
-        val r = inJR.toDS()
-          .select(col("ts").as("r_ts"), col("user_id").as("r_uid"),
-            col("eid").as("r_eid"))
-          .withWatermark("r_ts", "12 hours")
-        l.join(r,
-          expr("""user_id = r_uid AND
-                 |r_ts >= l_ts AND r_ts <= l_ts + interval 2 hours"""
-            .stripMargin),
-          "left_outer")
-          .select(col("user_id"), col("l_eid"), col("l_ts"),
-            col("r_ts"), col("r_eid"))
-          .writeStream.format("memory")
-          .option("checkpointLocation", ck("join"))
-          .queryName("graft_stream_join")
-          .outputMode(OutputMode.Append).start()
-      }
-      // the aggregation queries run width 4 (r16: state is event-types ×
+      // The aggregation queries run width 4 (r16: state is event-types ×
       // days / users × sessions — a few hundred keys at the bench SF, so
       // 8 partitions were commit fan-out, not parallelism; each flush
       // commits every store twice — data batch + watermark-advance
       // batch — making the per-trigger commit count the feed's wall
       // clock). Results are width-independent; a deployment sizes this
       // at query start like any state width.
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      def lateAgg(in: MemoryStream[LateFeedEvent]) = in.toDS()
-        .withWatermark("ts", "12 hours")
-        .groupBy(window(col("ts"), "1 day"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-      val qU = lateAgg(inU).writeStream.format("memory")
-        .option("checkpointLocation", ck("late"))
-        .queryName("graft_stream_late").outputMode(OutputMode.Update).start()
-      val qA = lateAgg(inA).writeStream.format("memory")
-        .option("checkpointLocation", ck("append"))
-        .queryName("graft_stream_append").outputMode(OutputMode.Append).start()
-      val qS = inS.toDS()
-        .withWatermark("ts", "12 hours")
-        .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
-        .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory")
-        .option("checkpointLocation", ck("session"))
-        .queryName("graft_stream_session")
-        .outputMode(OutputMode.Append).start()
+      val (qJ, qU, qA, qS) = graft.StartGate.locked {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "2")
+          // op 15 end to end: watermarked two-stream LEFT-OUTER interval
+          // join — matches emit when both sides have arrived; an
+          // unmatched left row null-pads only once the GLOBAL watermark
+          // (min of both sources' ratcheting watermarks, the default
+          // multipleWatermarkPolicy) passes the end of its 2-hour match
+          // window and the state store evicts it
+          val qJ = {
+            val l = inJL.toDS()
+              .select(col("ts").as("l_ts"), col("user_id"),
+                col("eid").as("l_eid"))
+              .withWatermark("l_ts", "12 hours")
+            val r = inJR.toDS()
+              .select(col("ts").as("r_ts"), col("user_id").as("r_uid"),
+                col("eid").as("r_eid"))
+              .withWatermark("r_ts", "12 hours")
+            l.join(r,
+              expr("""user_id = r_uid AND
+                     |r_ts >= l_ts AND r_ts <= l_ts + interval 2 hours"""
+                .stripMargin),
+              "left_outer")
+              .select(col("user_id"), col("l_eid"), col("l_ts"),
+                col("r_ts"), col("r_eid"))
+              .writeStream.format("memory")
+              .option("checkpointLocation", ck("join"))
+              .queryName("graft_stream_join")
+              .outputMode(OutputMode.Append).start()
+          }
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          def lateAgg(in: MemoryStream[LateFeedEvent]) = in.toDS()
+            .withWatermark("ts", "12 hours")
+            .groupBy(window(col("ts"), "1 day"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"))
+          val qU = lateAgg(inU).writeStream.format("memory")
+            .option("checkpointLocation", ck("late"))
+            .queryName("graft_stream_late")
+            .outputMode(OutputMode.Update).start()
+          val qA = lateAgg(inA).writeStream.format("memory")
+            .option("checkpointLocation", ck("append"))
+            .queryName("graft_stream_append")
+            .outputMode(OutputMode.Append).start()
+          val qS = inS.toDS()
+            .withWatermark("ts", "12 hours")
+            .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+            .agg(count(lit(1)).as("n"))
+            .writeStream.format("memory")
+            .option("checkpointLocation", ck("session"))
+            .queryName("graft_stream_session")
+            .outputMode(OutputMode.Append).start()
+          (qJ, qU, qA, qS)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       try {
         def drainLate(): Unit = {
           val it = lateBatches.toLocalIterator().asScala
@@ -723,7 +742,7 @@ object StreamQueries extends QueryGroup {
           concat_ws("|", col("user_id"), col("l_eid")).as("key"),
           col("r_eid").as("n"))
       late.unionByName(sess).unionByName(join)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** The watermark pair\u0027s view of [[streamFeeds]], restored to the
@@ -1076,4 +1095,12 @@ object StreamQueries extends QueryGroup {
         |  GROUP BY connector, grp HAVING COUNT(*) >= 1)
         |SELECT * FROM r1o UNION ALL SELECT * FROM r2o
         |ORDER BY rule, connector, run_start""".stripMargin)
+
+  /** Warm-start targets (see [[graft.Prewarm]]). */
+  override def prewarm: Seq[graft.Prewarm.Task] = Seq(
+    graft.Prewarm.Task("stream:feeds", 4.5,
+      (s, d) => { streamFeeds(s, d); () }),
+    graft.Prewarm.Task("alert:status", 0.5,
+      (s, d) => { statusGrid(s, d); () }))
+
 }

@@ -1399,4 +1399,12 @@ FROM dcg CROSS JOIN ideal CROSS JOIN best"""
     }.mkString(",\n")
     s"$base,\n$rounds"
   }
+
+  /** Warm-start targets (see [[graft.Prewarm]]). */
+  override def prewarm: Seq[graft.Prewarm.Task] = Seq(
+    graft.Prewarm.Task("text:tables", 1.7, (s, d) => {
+      bm25PerDoc(s, d); classifierScores(s, d)
+      ()
+    }))
+
 }
