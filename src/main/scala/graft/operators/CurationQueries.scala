@@ -172,17 +172,11 @@ object CurationQueries extends QueryGroup {
     // is. The budget gate compares exact integers (cum·10 ≤ total·3), so
     // the cut is bit-stable however large the corpus.
     "curate_select_budget" -> ((s, dir) => {
-      val scored = Tables.scan(s, dir, "documents")
-        .select(col("doc_id"),
-          size(TextQueries.toks(col("text"))).cast("long").as("tokens"),
-          size(TextQueries.toks(col("text"))).cast("double")
-            .as("n_tokens"),
-          length(col("text")).cast("double").as("n_chars"),
-          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
-            .as("n_punct"),
-          regexp_count(lower(col("text")),
-            lit("\\b(the|a|of|and|to|in|is|it)\\b")).cast("double")
-            .as("n_stop"))
+      // the per-doc metric tuple (two corpus-wide regex counts) is the
+      // shared [[PipelineQueries.docQualityMetrics]] pass — the same
+      // doubles this query previously derived itself, so q is
+      // bit-identical and the corpus regex pass is paid once per session
+      val scored = PipelineQueries.docQualityMetrics(s, dir)
         .select(col("doc_id"), col("tokens"),
           (least(lit(1.0), col("n_tokens") / lit(50.0))
             * (lit(1.0) - col("n_punct") / col("n_chars"))

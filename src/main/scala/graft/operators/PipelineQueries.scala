@@ -57,8 +57,34 @@ object PipelineQueries extends QueryGroup {
   private[graft] def sourceQualityAgg(
       s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"pipeline:srcq:$dir") {
-      Tables.scan(s, dir, "documents")
+      docQualityMetrics(s, dir)
+        .select(col("source"),
+          floor((least(lit(1.0), col("n_tokens") / lit(50.0))
+            * (lit(1.0) - col("n_punct") / col("n_chars"))
+            * (lit(1.0) - lit(0.5) * col("n_stop") / col("n_tokens")))
+            * lit(1048576.0)).cast("long").as("q_fix"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("q_fix").as("q_sum_fix"))
+    }
+
+  /** Per-doc quality METRIC tuple `(doc_id, source, tokens, n_tokens,
+    * n_chars, n_punct, n_stop)` — the shared corpus pass under both the
+    * domain scorer ([[sourceQualityAgg]]) and the budget selector
+    * (`curate_select_budget`): the two regex counts over the full text
+    * are by far the heaviest per-row work either query does, and the
+    * formulas downstream consume exactly these doubles, so materializing
+    * the tuple once per (session, corpus) deletes a full corpus regex
+    * pass per consumer without changing a single output value (guide
+    * §2.3 "aggregate before you shuffle" / the materialize-once seam).
+    * `tokens` (exact BIGINT) and `n_tokens` (double) are the same split
+    * sized twice — subexpression elimination computes the split once. */
+  private[graft] def docQualityMetrics(
+      s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"pipeline:docq:$dir") {
+      // scanPar: the regex counts are the per-row-heavy stage
+      Tables.scanPar(s, dir, "documents")
         .select(col("doc_id"), col("source"),
+          size(TextQueries.toks(col("text"))).cast("long").as("tokens"),
           size(TextQueries.toks(col("text"))).cast("double")
             .as("n_tokens"),
           length(col("text")).cast("double").as("n_chars"),
@@ -67,13 +93,6 @@ object PipelineQueries extends QueryGroup {
           regexp_count(lower(col("text")),
             lit("\\b(the|a|of|and|to|in|is|it)\\b")).cast("double")
             .as("n_stop"))
-        .select(col("source"),
-          floor((least(lit(1.0), col("n_tokens") / lit(50.0))
-            * (lit(1.0) - col("n_punct") / col("n_chars"))
-            * (lit(1.0) - lit(0.5) * col("n_stop") / col("n_tokens")))
-            * lit(1048576.0)).cast("long").as("q_fix"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), sum("q_fix").as("q_sum_fix"))
     }
 
   private def gatedWithPairs(

@@ -180,8 +180,14 @@ object TextQueries extends QueryGroup {
     // rank is a top-k over support-filtered candidates (sublinear),
     // not the corpus.
     "text_collocations" -> ((s, dir) => {
-      val sc = Tables.scan(s, dir, "documents")
-      val d = sc.select(toks(col("text")).as("w"))
+      val sc = Tables.scanPar(s, dir, "documents")
+      // three subtrees read the token arrays (bigram counts, unigram
+      // counts, token total) and Catalyst has no common-subplan reuse,
+      // so the corpus regex split — measured as THE cost of this query
+      // (see the unigram A/B note below) — would run three times; the
+      // eager localCheckpoint materializes the split once (guide §1.2:
+      // don't compute things twice before tuning what you compute)
+      val d = sc.select(toks(col("text")).as("w")).localCheckpoint()
       val bgc = d.filter(size(col("w")) >= 2)
         .select(explode(expr("zip_with(slice(w, 1, size(w) - 1), " +
           "slice(w, 2, size(w) - 1), (x, y) -> concat(x, ' ', y))"))
@@ -570,6 +576,12 @@ object TextQueries extends QueryGroup {
     // gram table). At 100 TB this is THE canonical massive-aggregation
     // workload; nothing here is corpus-order-dependent.
     "text_ngram_counts" -> ((s, dir) => {
+      // r16 optimization A/B: a one-pass rewrite (both gram sizes tagged
+      // into one explode + one two-level aggregate + checkpointed gram
+      // table) measured 1.25 s vs 1.19 s for this two-pass form on the
+      // same quiet 5-rep subset — the per-row shingle kernel dominates
+      // and is paid per gram size either way, so the extra scan is noise
+      // and the rewrite only added a checkpoint. Kept as-is.
       def top(n: Int): DataFrame =
         Tables.scanPar(s, dir, "documents")
           .select(col("doc_id"),
