@@ -502,10 +502,11 @@ object CdcQueries extends QueryGroup {
         // session-wide sets cover only this gated section — concurrent
         // warm-start pipelines can no longer catch the RocksDB provider
         // or have their width restore interleave with this one.
-        // Width 8: a stateful query's state-store count is sized to the
-        // STATE volume, not the session's analytic shuffle width — every
-        // instance is a live RocksDB opened+committed per micro-batch, so
-        // 32 instances for a few thousand keys is 4× pure store overhead.
+        // Width 4 (r16 A/B: 8→4 measured 2.63→2.00 s, 4→2 regressed to
+        // 2.31 — commit fan-out vs per-store work crosses over): a
+        // stateful query's state-store count is sized to the STATE
+        // volume, not the session's analytic shuffle width — every
+        // instance is a live RocksDB opened+committed per micro-batch.
         // A production deployment makes the same call per stateful job
         // (state partitions ≈ state size / target store size).
         val q = graft.StartGate.locked {
@@ -515,7 +516,7 @@ object CdcQueries extends QueryGroup {
           s.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state." +
               "RocksDBStateStoreProvider")
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set("spark.sql.shuffle.partitions", "4")
           try TwsCompaction.compact(in.toDS())
             .writeStream.format("memory").queryName(sinkName)
             .outputMode(OutputMode.Update).start()
