@@ -69,8 +69,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // concurrent warm-start of the shared builds (kicked inside the first
-    // query's timed window each rep — see graft.Prewarm)
-    Prewarm.enable()
+    // query's timed window each rep — see graft.Prewarm). Full-suite runs
+    // only (same guard as Verify): a SPARK_GRAFT_ONLY profiling subset
+    // must not kick builds for tags the subset never consumes — those
+    // could still be in flight when clearGraded() runs at the next rep
+    // boundary and then insert AFTER the clear, handing later reps free
+    // cache hits on graded tags and contaminating subset A/B numbers
+    // (r16 ADVICE, medium).
+    if (only.isEmpty) Prewarm.enable()
     // warm the session (parquet footer reads, codegen compiler, JIT) so the
     // first timed query doesn't absorb one-time setup cost
     graft.sources.Tables.all.foreach { t =>
