@@ -428,14 +428,31 @@ object AggQueries extends QueryGroup {
     // kafka_consumer_lag_sum > 1000 for 5m analog,
     // reference prometheus-rules.yaml:12-19)
     "agg_threshold" -> ((s, dir) => {
-      Tables.scan(s, dir, "events")
+      // two-level regroup of the sliding window (guide §2.3 "aggregate
+      // before you shuffle"): groupBy(window(ts, 6h, 1h)) explodes EVERY
+      // event into its 6 containing windows before the exchange — 6× the
+      // corpus through the shuffle. Both windows and hours are
+      // epoch-aligned, so an event's 6 window-starts are exactly
+      // trunc_hour(ts) − k·1h (k = 0..5): aggregate to hour grain first
+      // (map-side combined, corpus-sized work happens once), then expand
+      // the already-tiny hour partials ×6 and re-sum. DECIMAL partials
+      // regroup exactly and a window has ≥1 event iff one of its 6 hours
+      // does, so the result — and the oracle — is unchanged.
+      val hourly = Tables.scan(s, dir, "events")
         .select(col("ts").cast("timestamp").as("ts"), col("value"))
-        .groupBy(window(col("ts"), "6 hours", "1 hour"))
-        .agg(sum(Dec.d2(col("value"))).as("total_dec"),
-          count(lit(1)).as("n"))
+        .groupBy(date_trunc("hour", col("ts")).as("hh"))
+        .agg(sum(Dec.d2(col("value"))).as("part_dec"),
+          count(lit(1)).as("nh"))
+      hourly
+        .select(explode(expr(
+            "sequence(hh - interval 5 hours, hh, interval 1 hour)"))
+            .as("ws0"),
+          col("part_dec"), col("nh"))
+        .groupBy(col("ws0"))
+        .agg(sum(col("part_dec")).as("total_dec"), sum(col("nh")).as("n"))
         .filter(col("total_dec") > 5000)
         .select(
-          col("window.start").cast("timestamp_ntz").as("ws"),
+          col("ws0").cast("timestamp_ntz").as("ws"),
           Dec.toDbl(col("total_dec")).as("total"), col("n"))
         .orderBy("ws")
     }),

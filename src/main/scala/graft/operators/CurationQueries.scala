@@ -129,14 +129,16 @@ object CurationQueries extends QueryGroup {
     // aggregate + a 1-row totals broadcast; the schedule card is
     // sources-sized at any corpus scale.
     "curate_anneal_mix" -> ((s, dir) => {
-      val d = Tables.scan(s, dir, "documents")
-        .select(col("source"), length(col("text")).cast("long").as("nc"),
-          size(TextQueries.toks(col("text"))).cast("long").as("nt"),
-          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]"))
-            .cast("long").as("np"),
-          regexp_count(lower(col("text")),
-            lit("\\b(the|a|of|and|to|in|is|it)\\b"))
-            .cast("long").as("ns"))
+      // counts off the shared corpus pass (PipelineQueries.
+      // docQualityMetrics): nt is exactly its `tokens`; nc/np/ns are its
+      // doubles cast back to long — every one an exact integer (counts
+      // and lengths < 2^31), so the gate and the per-source sums are
+      // bit-identical to the private-scan form this replaces
+      val d = PipelineQueries.docQualityMetrics(s, dir)
+        .select(col("source"), col("n_chars").cast("long").as("nc"),
+          col("tokens").as("nt"),
+          col("n_punct").cast("long").as("np"),
+          col("n_stop").cast("long").as("ns"))
         .withColumn("good", col("nt") >= 20 &&
           col("np") * 10 < col("nc") && col("ns") * 2 < col("nt"))
       val per = d.groupBy("source").agg(

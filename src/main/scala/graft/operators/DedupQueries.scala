@@ -423,6 +423,75 @@ object DedupQueries extends QueryGroup {
       verifyJaccard(lshCandidates(s, dir), shingles(s, dir), 0.5)
     }
 
+  /** The `dedup_lsh_quality` funnel counts computed on the exact-dup
+    * QUOTIENT (dup-dense branch): every quantity in the report is
+    * group-invariant — identical texts have identical shingle sets, hence
+    * identical MinHash signatures and band buckets, and Jaccard depends
+    * only on the two texts — so each member-level count equals its
+    * group-level count weighted by group sizes:
+    *
+    *   - cross-group mass: Σ over rep pairs of sza·szb (a member pair
+    *     collides/verifies iff its rep pair does);
+    *   - intra-group mass: Σ over qualifying groups of C(sz, 2)
+    *     (identical docs share all 8 band buckets whenever they have ≥1
+    *     shingle, and verify at Jaccard exactly 1.0; the exact side's
+    *     intra set is [[groupPairs]]' self rows — candidate-visible
+    *     groups, a subset of the LSH intra set, so tp-intra = exact-intra).
+    *
+    * Work is ∝ distinct texts (signature + band join on reps, verify on
+    * rep pairs) instead of Ω(k²) per k-copy duplicate group — the sf1
+    * 33.8× blow-up this replaces (VERDICT r16 item 2). Value-equivalence
+    * to the member-level report is proven by LshQuotientEquivalence in
+    * DedupSimilaritySpec on a dup-dense corpus. */
+  private[graft] def lshFunnelCountsQuotient(
+      s: SparkSession, dir: String): DataFrame =
+    lshFunnelCountsQuotientOf(
+      textGroups(s, dir),
+      shingleArray(s, dir),
+      repShingles(s, dir).select("doc_id", "s"),
+      groupPairs(s, dir))
+
+  /** The [[lshFunnelCountsQuotient]] engine over arbitrary frames
+    * (unit-testable seam, like [[groupedPairBuild]]): `g` a text-group
+    * table (rep, sz, members), `fa` the per-doc feature arrays, `repSh`
+    * the reps' full (doc_id, s) shingle sets, `gp` the group-level exact
+    * pair table. */
+  private[graft] def lshFunnelCountsQuotientOf(
+      g: DataFrame, fa: DataFrame, repSh: DataFrame,
+      gp: DataFrame): DataFrame = {
+    val sz = g.select(col("rep"), col("sz"))
+    val repFa = fa.join(sz.select(col("rep").as("doc_id")), Seq("doc_id"))
+    val candRep = lshCandidatePairsFromArrays(repFa)
+    val verRep = verifyJaccard(candRep, repSh, 0.5)
+      .select("da", "db")
+    val gpCross = gp.filter(col("da") < col("db")).select("da", "db")
+    val tpCross = verRep.join(gpCross, Seq("da", "db"), "left_semi")
+    // member-pair mass of a rep-level pair table (no broadcast: the group
+    // table is corpus-sized at scale — plain shuffled joins)
+    def mass(p: DataFrame, as: String): DataFrame = p
+      .join(sz.toDF("da", "sza"), "da")
+      .join(sz.toDF("db", "szb"), "db")
+      .agg(coalesce(sum(col("sza") * col("szb")), lit(0L)).as(as))
+    def intraMass(reps: DataFrame, as: String): DataFrame = g
+      .join(reps, Seq("rep"), "left_semi")
+      .agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L)).as(as))
+    val lshIntraReps = repFa.filter(size(col("sh_feats")) > 0)
+      .select(col("doc_id").as("rep"))
+      .join(g.filter(col("sz") >= 2).select("rep"), Seq("rep"), "left_semi")
+    val exactIntraReps = gp.filter(col("da") === col("db"))
+      .select(col("da").as("rep"))
+    mass(candRep, "c_cross")
+      .crossJoin(intraMass(lshIntraReps, "c_intra"))
+      .crossJoin(mass(verRep, "v_cross"))
+      .crossJoin(mass(gpCross, "e_cross"))
+      .crossJoin(intraMass(exactIntraReps, "e_intra"))
+      .crossJoin(mass(tpCross, "t_cross"))
+      .select((col("c_cross") + col("c_intra")).as("n_candidates"),
+        (col("v_cross") + col("c_intra")).as("n_verified"),
+        (col("e_cross") + col("e_intra")).as("n_exact"),
+        (col("t_cross") + col("e_intra")).as("n_true_positive"))
+  }
+
   /** SimHash near-dup pairs `(da, db, hamming ≤ 3)` — materialized once
     * per (session, corpus) and shared by `dedup_simhash` and its quality
     * report. Features are the same 4-word shingles as the Jaccard/MinHash
@@ -863,14 +932,28 @@ object DedupQueries extends QueryGroup {
     // rep: every input is a session-cached artifact another graded entry
     // already pays for; only the three counts and one semi-join are new.
     "dedup_lsh_quality" -> ((s, dir) => {
-      val cand = lshCandidates(s, dir)
-      val ver = lshVerified(s, dir).select("da", "db")
-      val exact = sharedPairs(s, dir).select("da", "db")
-      val tp = ver.join(exact, Seq("da", "db"), "left_semi")
-      val counts = cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(ver.agg(count(lit(1)).as("n_verified")))
-        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-        .crossJoin(tp.agg(count(lit(1)).as("n_true_positive")))
+      // r17 (VERDICT r16 item 2): on a dup-DENSE corpus (the sf1 sweep's
+      // 10×-replicated template-spam shape) the member-level candidate
+      // table is Ω(k²) per k-copy duplicate group — the measured 33.8×
+      // sf1 blow-up. Every count this report emits is GROUP-INVARIANT
+      // (signatures, band buckets, and Jaccard depend only on the text),
+      // so on the quotient branch the four counts are computed from
+      // GROUP-level pair tables weighted by group sizes — bit-identical
+      // values (LshQuotientEquivalence in DedupSimilaritySpec proves it
+      // on a dup-dense corpus), work ∝ distinct texts. The dup-sparse
+      // branch (every graded SF) keeps the member-level path unchanged.
+      val counts =
+        if (quotientPays(textGroups(s, dir))) lshFunnelCountsQuotient(s, dir)
+        else {
+          val cand = lshCandidates(s, dir)
+          val ver = lshVerified(s, dir).select("da", "db")
+          val exact = sharedPairs(s, dir).select("da", "db")
+          val tp = ver.join(exact, Seq("da", "db"), "left_semi")
+          cand.agg(count(lit(1)).as("n_candidates"))
+            .crossJoin(ver.agg(count(lit(1)).as("n_verified")))
+            .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+            .crossJoin(tp.agg(count(lit(1)).as("n_true_positive")))
+        }
       // zero-denominator guards (round-8 ADVICE): on a dup-free corpus
       // there is nothing to find and nothing was falsely proposed —
       // report a perfect 1.0, not null/NaN, so the row stays well-defined

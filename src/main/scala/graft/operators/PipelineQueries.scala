@@ -82,8 +82,13 @@ object PipelineQueries extends QueryGroup {
       s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"pipeline:docq:$dir") {
       // scanPar: the regex counts are the per-row-heavy stage
+      // (r17: carries `lang` too, so the quality-formula consumers in
+      // other families — text_quality, sample_importance,
+      // curate_anneal_mix — can read this frame instead of re-running
+      // the two corpus regex passes; existing consumers select by name
+      // and are unaffected)
       Tables.scanPar(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
+        .select(col("doc_id"), col("source"), col("lang"),
           size(TextQueries.toks(col("text"))).cast("long").as("tokens"),
           size(TextQueries.toks(col("text"))).cast("double")
             .as("n_tokens"),

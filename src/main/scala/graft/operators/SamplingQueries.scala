@@ -290,16 +290,12 @@ object SamplingQueries extends QueryGroup {
     "sample_importance" -> ((s, dir) => {
       val u = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
         16, 10).cast("double") / lit(16777216.0)
-      Tables.scan(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(TextQueries.toks(col("text"))).cast("double").as("n_tokens"),
-          length(col("text")).cast("double").as("n_chars"),
-          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
-            .as("n_punct"),
-          regexp_count(lower(col("text")),
-            lit("\\b(the|a|of|and|to|in|is|it)\\b")).cast("double")
-            .as("n_stop"),
-          u.as("u01"))
+      // metric tuple off the shared corpus pass (PipelineQueries.
+      // docQualityMetrics — identical expression trees, so q is
+      // bit-identical); the hash coin is a cheap projection on top
+      PipelineQueries.docQualityMetrics(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("n_chars"), col("n_punct"), col("n_stop"), u.as("u01"))
         .select(col("doc_id"), col("lang"), col("u01"),
           (least(lit(1.0), col("n_tokens") / lit(50.0))
             * (lit(1.0) - col("n_punct") / col("n_chars"))

@@ -289,15 +289,11 @@ object TextQueries extends QueryGroup {
 
     // quality scoring: length/punct/stopword ratios → composite score
     "text_quality" -> ((s, dir) => {
-      Tables.scan(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          size(toks(col("text"))).cast("double").as("n_tokens"),
-          length(col("text")).cast("double").as("n_chars"),
-          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double")
-            .as("n_punct"),
-          regexp_count(lower(col("text")),
-            lit("\\b(the|a|of|and|to|in|is|it)\\b")).cast("double")
-            .as("n_stop"))
+      // the metric tuple comes off the shared corpus pass
+      // ([[PipelineQueries.docQualityMetrics]] — the identical expression
+      // trees, so every ratio below is bit-identical); was a private
+      // corpus scan + 2 regex passes per invocation
+      PipelineQueries.docQualityMetrics(s, dir)
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           (col("n_punct") / col("n_chars")).as("punct_ratio"),
           (col("n_stop") / col("n_tokens")).as("stop_ratio"),

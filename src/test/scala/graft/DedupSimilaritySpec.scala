@@ -335,6 +335,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(quotientClusters == directClusters)
   }
 
+  test("LshQuotientEquivalence: the quotient-counted LSH funnel report " +
+      "equals the member-level report on a dup-heavy corpus") {
+    import org.apache.spark.sql.functions._
+    // same miniature sf1-sweep shape as the pair-build equivalence test:
+    // every text in a 3-copy duplicate group, so the quotient branch is
+    // the one the graded query would take
+    val base = graft.sources.Tables.scan(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val docs = (0 to 2).map(i => base.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val fa = docs.select(col("doc_id"),
+      graft.functions.VectorFunctions.wordShingles(
+        lower(trim(col("text"))), 4).as("sh_feats"))
+    val sh = fa.select(col("doc_id"), explode(col("sh_feats")).as("s"))
+      .distinct()
+    val g = DedupQueries.textGroupsOf(docs)
+    assert(DedupQueries.quotientPays(g))
+    val gp = DedupQueries.groupedPairBuild(g, sh)
+    // member-level ground truth (the pre-r17 formulation, inlined)
+    val cand = DedupQueries.lshCandidatePairsFromArrays(fa)
+    val ver = DedupQueries.verifyJaccard(cand, sh, 0.5).select("da", "db")
+    val exact = DedupQueries.expandPairs(g, gp).select("da", "db")
+    val tp = ver.join(exact, Seq("da", "db"), "left_semi")
+    val expect = Map(
+      "n_candidates" -> cand.count(), "n_verified" -> ver.count(),
+      "n_exact" -> exact.count(), "n_true_positive" -> tp.count())
+    // quotient-counted report
+    val repSh = sh.join(g.select(col("rep").as("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val got = DedupQueries.lshFunnelCountsQuotientOf(g, fa, repSh, gp)
+      .collect().head
+    expect.foreach { case (c, v) =>
+      assert(got.getAs[Long](c) == v,
+        s"$c: quotient ${got.getAs[Long](c)} != member-level $v")
+    }
+    assert(expect("n_candidates") > 0L)
+  }
+
   test("cached corpus helpers are row-identical to the parameterized " +
       "builds they specialize (no silent drift between the two copies)") {
     import org.apache.spark.sql.functions._
