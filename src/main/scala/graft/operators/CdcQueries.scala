@@ -516,6 +516,12 @@ object CdcQueries extends QueryGroup {
           s.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state." +
               "RocksDBStateStoreProvider")
+          // NOT set: rocksdb.changelogCheckpointing (r17 A/B, 5-rep
+          // subset min: 2.41 → 2.75 s WITH changelog on) — with 2
+          // micro-batches × 4 tiny stores the full snapshot per commit
+          // is already small and the changelog layer is pure extra
+          // bookkeeping; at production state sizes (GB-scale stores,
+          // many batches) it is the right flag, here it measures worse
           s.conf.set("spark.sql.shuffle.partitions", "4")
           try TwsCompaction.compact(in.toDS())
             .writeStream.format("memory").queryName(sinkName)

@@ -43,7 +43,14 @@ object StreamQueries extends QueryGroup {
     }),
 
     // op 38: sliding 5-minute windows, 1-minute slide — each event lands in
-    // 5 overlapping windows
+    // 5 overlapping windows. NOT two-level-regrouped like agg_threshold
+    // (r17 A/B, 5-rep subset min: 0.51 → 0.67 s WITH minute-grain
+    // pre-aggregation): this corpus averages ~1 event per minute, so the
+    // pre-aggregate reduces nothing and just adds a second exchange —
+    // the regroup pays exactly when the slide grain is coarse relative
+    // to event density (agg_threshold's hour grain is ~50:1 here and
+    // won 30%). At production density (≫1 event/slide) the regroup is
+    // the right shape; at this SF the direct window explode is.
     "stream_sliding" -> ((s, dir) => {
       Tables.scan(s, dir, "events")
         .groupBy(window(col("ts"), "5 minutes", "1 minute"))
@@ -182,10 +189,10 @@ object StreamQueries extends QueryGroup {
     // the islands form here is also the backfill path a deployment runs
     // to score historical rule coverage.
     "alert_sustained" -> ((s, dir) => {
+      // the hourly aggregate IS the shared ts:hourly frame (identical
+      // expression tree, r17) — was a private corpus scan + groupBy
       graft.streaming.AlertRules.sustainedRuns(
-        Tables.scan(s, dir, "events")
-          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-          .agg(count(lit(1)).as("n")),
+        TimeSeriesQueries.hourlyCounts(s, dir).withColumnRenamed("y", "n"),
         keyCol = "event_type", threshold = 4L, minRun = 3)
         .orderBy("event_type", "run_start")
     }),
@@ -268,8 +275,12 @@ object StreamQueries extends QueryGroup {
       import org.apache.spark.sql.expressions.Window
       val stallTs = lit("2024-01-12 00:00:00").cast("timestamp_ntz")
       val ev = Tables.scan(s, dir, "events")
-      val span = ev.agg(date_trunc("hour", min(col("ts"))).as("t0"),
-        date_trunc("hour", max(col("ts"))).as("t1"))
+      // span off the shared hourly rollup (trunc is monotone+idempotent,
+      // so min/max of h equal the trunc'd raw min/max) — one less corpus
+      // scan; the per-(partition, hour) count below still needs the raw
+      // event grain (its key is event_id-derived)
+      val span = TimeSeriesQueries.hourlyCounts(s, dir)
+        .agg(min(col("h")).as("t0"), max(col("h")).as("t1"))
       val hours = span
         .select(explode(expr("sequence(t0, t1, interval 1 hour)")).as("h"))
       val perHour = ev
@@ -320,9 +331,10 @@ object StreamQueries extends QueryGroup {
     // cardinality, corpus-size-independent); the only corpus-sized work
     // is the one span aggregate.
     "alert_heartbeat_stall" -> ((s, dir) => {
-      val ev = Tables.scan(s, dir, "events")
-      val span = ev.agg(date_trunc("hour", min(col("ts"))).as("t0"),
-        date_trunc("hour", max(col("ts"))).as("t1"))
+      // span off the shared hourly rollup — this query's ONLY
+      // corpus-sized work drops to zero (the grid is span-bounded)
+      val span = TimeSeriesQueries.hourlyCounts(s, dir)
+        .agg(min(col("h")).as("t0"), max(col("h")).as("t1"))
       val hours = span
         .select(
           explode(expr("sequence(t0, t1, interval 1 hour)")).as("h"),
@@ -365,9 +377,10 @@ object StreamQueries extends QueryGroup {
     // independent; the only corpus-sized work is the hourly aggregate.
     "cdc_prometheus_metrics" -> ((s, dir) => {
       import graft.streaming.{Prometheus, StreamingMetrics}
-      val ledger = Tables.scan(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("n"))
+      // the ledger IS the shared ts:hourly frame (identical expression
+      // tree, r17); the collect stays bounded — types × span-hours
+      val ledger = TimeSeriesQueries.hourlyCounts(s, dir)
+        .withColumnRenamed("y", "n")
         .orderBy("event_type", "h")
         .collect()
       val batches = ledger.toSeq.zipWithIndex.map { case (r, i) =>

@@ -773,8 +773,7 @@ object TextQueries extends QueryGroup {
     // single-space encoding skipped the second site — ADVICE r12). The
     // corpus is ASCII (checked) so Java-regex vs RE2 per-char agree.
     "text_bpe_train" -> ((s, dir) => {
-      import s.implicits._
-      bpeLearn(s, dir)._1.toDF("round", "a", "b", "cnt")
+      bpeMerges(s, dir)
         .select(col("round"), col("a"), col("b"),
           concat(col("a"), col("b")).as("merged"), col("cnt"))
         .orderBy("round")
@@ -789,7 +788,7 @@ object TextQueries extends QueryGroup {
     // the tokenizer achieves (chars per BPE token), the statistic
     // tokenizer training monitors.
     "text_bpe_encode" -> ((s, dir) => {
-      val vocab = bpeLearn(s, dir)._2
+      val vocab = bpeVocab(s, dir)
         .select(col("term"), size(symSplit(col("repr"))).as("n_syms"))
       tfTable(s, dir).join(vocab, "term")
         .groupBy("doc_id")
@@ -802,6 +801,29 @@ object TextQueries extends QueryGroup {
             / col("n_bpe_tokens").cast("double")).as("compression"))
         .orderBy("doc_id")
     }))
+
+  /** Learned merge table as a DataFrame, materialized once per (session,
+    * corpus) — `text_bpe_train` (merges) and `text_bpe_encode` (vocab)
+    * previously EACH ran the full 5-round collect loop per rep; one tag
+    * build now runs it once and seeds the sibling vocab tag from the
+    * same run (guide §1.2: don't compute it twice). Graded tags, so each
+    * bench rep still re-pays the loop exactly once. */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.BoundedDfCache.getOrPersist(s, s"text:bpemerges:$dir") {
+      import s.implicits._
+      val (m, vocab) = bpeLearn(s, dir)
+      graft.BoundedDfCache.getOrPersist(s, s"text:bpevocab:$dir")(vocab)
+      m.toDF("round", "a", "b", "cnt")
+    }
+
+  /** Post-merge vocabulary `(term, freq, repr)` — seeded by [[bpeMerges]];
+    * the fallback build (evicted tag) re-runs the loop. */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    bpeMerges(s, dir)
+    graft.BoundedDfCache.getOrPersist(s, s"text:bpevocab:$dir") {
+      bpeLearn(s, dir)._2
+    }
+  }
 
   /** Learn 5 BPE merges over the corpus vocabulary (the `text_bpe_train`
     * loop, shared with `text_bpe_encode`): each round counts adjacent
