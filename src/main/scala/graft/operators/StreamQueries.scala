@@ -452,6 +452,55 @@ object StreamQueries extends QueryGroup {
             .otherwise(lit("RUNNING")))
       }
 
+  /** Two-phase global `ntile(k) - 1` over the total order (ts, event_id)
+    * — the feed fixtures' batch index — without the single-partition
+    * window a global ntile plans: `WindowExec` warns "No Partition
+    * Defined" and moves the whole slice to ONE task. Honest A/B (sf1,
+    * isolated, noop sink): old 2.96/0.76/0.66 s vs new 3.23/1.44/1.05 s
+    * for sess/join/late — the old form was NOT compute-bound at measured
+    * SFs (the 127 s `fixture:streamfeed:sess` window in the r17 sf1
+    * sweep was the one-task stage starving under the concurrent prewarm
+    * storm, an attribution artifact both forms show). The two-phase form
+    * is kept for the SHAPE: a single-partition sort of the whole slice
+    * is a hard straggler at 10×+ this corpus and the one remaining
+    * corpus-sized global window in the repo. Same shape as
+    * [[DedupQueries.sortedNeighborRank]]: rank within hour buckets
+    * (date_trunc is a PREFIX of the event-time order, so bucket-local
+    * order composes to global order), add broadcast per-bucket offsets,
+    * and apply SQL NTILE arithmetic to the global row number — the first
+    * n%k tiles take ⌈n/k⌉ rows, the rest ⌊n/k⌋, exactly what NTile
+    * computes — so the assignment is bit-identical to
+    * `ntile(k).over(Window.orderBy(ts, event_id)) - 1` ((ts, event_id)
+    * is a total order: event_id is unique). Only the ≤span-hours bucket
+    * table still pays a global window. floor-over-double division is
+    * exact here: counts ≪ 2^53. FeedBatchEquivalenceSpec re-proves
+    * equality against the direct ntile on real corpus slices. */
+  private[graft] def twoPhaseNtile0(df: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df.withColumn("_fb", date_trunc("hour", col("ts")))
+    val wLocal = Window.partitionBy("_fb").orderBy("ts", "event_id")
+    val wPrev = Window.orderBy("_fb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = bucketed.groupBy("_fb").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum("_n").over(wPrev), lit(0L)))
+      .withColumn("_tot", sum("_n").over(wAll))
+      .select("_fb", "_off", "_tot")
+    val ranked = bucketed
+      .withColumn("_rn_local", row_number().over(wLocal))
+      .join(broadcast(offsets), "_fb")
+    val rn = col("_off") + col("_rn_local") // 1-based global row number
+    val q = floor(col("_tot") / lit(k)).cast("long")
+    val rem = col("_tot") % lit(k)
+    val boundary = rem * (q + lit(1L))
+    val tile0 = when(rn <= boundary, floor((rn - lit(1L)) / (q + lit(1L))))
+      .otherwise(rem +
+        floor((rn - boundary - lit(1L)) / greatest(q, lit(1L))))
+    ranked.withColumn("_tile0", tile0.cast("int"))
+      .drop("_fb", "_rn_local", "_off", "_tot")
+  }
+
   /** ONE build for ALL three streaming-feed graded queries
     * (`stream_late_data`, `stream_append_mode`, `stream_session_live`):
     * the two replay loops — the straggling late feed driving the
@@ -485,7 +534,6 @@ object StreamQueries extends QueryGroup {
   private def streamFeeds(s: SparkSession, dir: String): DataFrame =
     graft.BoundedDfCache.getOrPersist(s, s"stream:feeds:$dir") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.OutputMode
     import s.implicits._
     import scala.concurrent.{Await, Future}
@@ -506,24 +554,22 @@ object StreamQueries extends QueryGroup {
         s, s"fixture:streamfeed:$name:$dir")(build)(
         _.sort(sortCols.map(col): _*))
     val lateBatches = feedFixture("late", Seq("batch", "ts")) {
-      Tables.scan(s, dir, "events")
-        .filter(col("event_id") % 8 === 0)
-        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-          col("event_type"))
-        .withColumn("q",
-          ntile(4).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
+      twoPhaseNtile0(
+        Tables.scan(s, dir, "events")
+          .filter(col("event_id") % 8 === 0)
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type")), 4)
         .withColumn("batch",
-          col("q") + when(col("event_id") % 40 === 0, 1).otherwise(0))
+          col("_tile0") + when(col("event_id") % 40 === 0, 1).otherwise(0))
         .select(col("batch"), col("ts"), col("event_type"))
     }
     val sessBatches = feedFixture("sess", Seq("batch", "ts")) {
-      Tables.scan(s, dir, "events")
-        .filter(col("event_id") % 4 === 1)
-        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-          col("user_id"))
-        .withColumn("batch",
-          ntile(5).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-        .select(col("batch"), col("ts"), col("user_id"))
+      twoPhaseNtile0(
+        Tables.scan(s, dir, "events")
+          .filter(col("event_id") % 4 === 1)
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id")), 5)
+        .select(col("_tile0").as("batch"), col("ts"), col("user_id"))
     }
     // stream-stream join feed: two DISJOINT slices (left %8=2, right %8=6
     // — off the late feed's %8=0 and the session feed's %4=1), batched
@@ -537,15 +583,14 @@ object StreamQueries extends QueryGroup {
     // commits 4 state stores × 8 partitions — the per-batch fixed cost
     // this feed's wall-clock is made of
     val joinBatches = feedFixture("join", Seq("batch", "ts", "event_id")) {
-      Tables.scan(s, dir, "events")
-        .filter(col("event_id") % 8 === 2 || col("event_id") % 8 === 6)
-        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-          col("user_id"),
-          (col("event_id") % 8 === 2).as("is_left"))
-        .withColumn("batch",
-          ntile(3).over(Window.orderBy(col("ts"), col("event_id"))) - 1)
-        .select(col("batch"), col("ts"), col("user_id"), col("event_id"),
-          col("is_left"))
+      twoPhaseNtile0(
+        Tables.scan(s, dir, "events")
+          .filter(col("event_id") % 8 === 2 || col("event_id") % 8 === 6)
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"),
+            (col("event_id") % 8 === 2).as("is_left")), 3)
+        .select(col("_tile0").as("batch"), col("ts"), col("user_id"),
+          col("event_id"), col("is_left"))
     }
     // fixture reads/drain bookkeeping run at ambient width (the bench
     // session is width 8); the four streaming queries pin their state
