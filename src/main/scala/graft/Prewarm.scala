@@ -92,7 +92,15 @@ object Prewarm {
     * unless [[enable]]d, and at most once per (session, corpus) epoch. */
   def kick(s: SparkSession, dir: String): Unit = {
     if (!on) return
-    val fresh = kicked.synchronized { kicked.add((s, dir)) }
+    val fresh = kicked.synchronized {
+      // bound the epoch set (r16 verdict minor): a long-lived session
+      // sweeping many corpora would otherwise accumulate entries — and
+      // pin their SparkSessions — forever. Clearing merely allows a
+      // redundant re-kick, which is a fast no-op through the cache
+      // latches (every tag is already materialized).
+      if (kicked.size >= 64) kicked.clear()
+      kicked.add((s, dir))
+    }
     if (!fresh) return
     val tasks = SparkEntry.prewarmTasks.sortBy(-_.weight)
     val t0 = System.nanoTime()
